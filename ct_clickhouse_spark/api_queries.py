@@ -1,0 +1,238 @@
+"""The reference REST API's 8 query shapes, Spark-first.
+
+Each public function mirrors one endpoint of the reference Flask app
+(reference: api/app.py:79-274) as a DataFrame builder over the
+``cert_domains`` fact table, and ``ORACLES`` carries the equivalent DuckDB
+SQL for the driver's differential check.
+
+Determinism notes (differences from the reference, by design):
+- The reference anchors time predicates on ``now()``/``today()``
+  (api/app.py:125, 181) — non-reproducible on a fixed fixture. We anchor on
+  scalar aggregates of the data itself (max/min ts), preserving the operator
+  shape (range predicate, date-equality) with a deterministic result.
+- Every LIMIT query gets a total ORDER BY (unique tiebreaker) so top-k is
+  well-defined across engines; the reference relies on ClickHouse's
+  arbitrary tie order (api/app.py:95).
+- ``san`` is emitted as a ';'-joined string in SELECT * shapes so value
+  comparison is representation-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .cert_domains import build_cert_domains, oracle_with_cert_domains
+
+# Parameters of the parameterized endpoints, chosen to exist at every sf
+# (custkey 1 and 3 always exist; see cert_domains.py construction).
+DOMAIN_PARAM = "www.cust1.net"  # /domain/<name>        (api/app.py:92-106)
+BASE_PARAM = "cust1.net"  # /subdomains/<base>          (api/app.py:109-117)
+RECENT_BASE_PARAM = "cust3.rs"  # /recent/<base>        (api/app.py:120-129)
+TLD_PARAM = "rs"  # /tld/<tld>                          (api/app.py:132-164)
+TLD_LIMIT = 500  # clamped into [1,1000] per api/app.py:136-141
+
+_STAR = ["ts", "domain", "base_domain", "fingerprint", "issuer", "subject"]
+_STAR_TAIL = ["not_before", "not_after", "log_name"]
+
+
+def _select_star(df: DataFrame) -> DataFrame:
+    return df.select(*_STAR, F.array_join("san", ";").alias("san"), *_STAR_TAIL)
+
+
+def domain_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /domain/<name>: SELECT * WHERE domain=? ORDER BY ts DESC LIMIT 100
+    (api/app.py:94-96)."""
+    cert = build_cert_domains(spark, sf_dir)
+    return (
+        _select_star(cert.filter(F.col("domain") == DOMAIN_PARAM))
+        .orderBy(F.col("ts").desc(), "fingerprint")
+        .limit(100)
+    )
+
+
+def subdomains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /subdomains/<base>: the flagship filter+groupBy+max+orderBy
+    (api/app.py:111-116)."""
+    cert = build_cert_domains(spark, sf_dir)
+    return (
+        cert.filter(F.col("base_domain") == BASE_PARAM)
+        .groupBy("domain")
+        .agg(F.max("ts").alias("last_seen"))
+        .orderBy("domain")
+    )
+
+
+def recent_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /recent/<base>: range predicate on ts + GROUP BY dedup
+    (api/app.py:122-128). Anchor = max(ts) - 180 days instead of now()-1d."""
+    build_cert_domains(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT domain FROM cert_domains
+        WHERE base_domain = '{RECENT_BASE_PARAM}'
+          AND ts > (SELECT max(ts) FROM cert_domains) - INTERVAL 180 DAY
+        GROUP BY domain
+        """
+    )
+
+
+def tld_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /tld/<tld>: LIKE suffix match + group + top-k by last_seen
+    (api/app.py:144-153). Spark plans TakeOrderedAndProject — true top-k."""
+    cert = build_cert_domains(spark, sf_dir)
+    return (
+        cert.filter(F.col("domain").like(f"%.{TLD_PARAM}"))
+        .groupBy("domain")
+        .agg(F.max("ts").alias("last_seen"))
+        .orderBy(F.col("last_seen").desc(), "domain")
+        .limit(TLD_LIMIT)
+    )
+
+
+def stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /stats (api/app.py:184-193) with exact distinct counts so the
+    oracle can hash-match; the sketch variant is stats_approx (rows-only)."""
+    build_cert_domains(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+            count(*) AS total,
+            count(DISTINCT domain) AS subdomains,
+            count(DISTINCT base_domain) AS domains,
+            min(ts) AS first_seen,
+            max(ts) AS last_seen
+        FROM cert_domains
+        WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM cert_domains)
+        """
+    )
+
+
+def stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /stats with uniqCombined≈HLL++ (api/app.py:187-188) —
+    approx_count_distinct; sketch estimates differ per engine, so rows-only."""
+    cert = build_cert_domains(spark, sf_dir)
+    return cert.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.approx_count_distinct("domain").alias("subdomains"),
+        F.approx_count_distinct("base_domain").alias("domains"),
+        F.min("ts").alias("first_seen"),
+        F.max("ts").alias("last_seen"),
+    )
+
+
+def stream_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /stream's page query: ts > watermark ORDER BY ts ASC LIMIT 100
+    (api/app.py:259-262). Anchor = min(ts) + 180 days."""
+    build_cert_domains(spark, sf_dir)
+    return spark.sql(
+        f"""
+        SELECT ts, domain, base_domain, fingerprint, issuer, subject,
+               array_join(san, ';') AS san, not_before, not_after, log_name
+        FROM cert_domains
+        WHERE ts > (SELECT min(ts) FROM cert_domains) + INTERVAL 180 DAY
+        ORDER BY ts ASC, fingerprint, domain
+        LIMIT 100
+        """
+    )
+
+
+def table_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GET /size: storage introspection (api/app.py:224-230 reads
+    system.parts). Spark equivalent: Hadoop FS content summary per table,
+    exposed as a small metadata DataFrame. Rows-only (no SQL oracle)."""
+    from .catalog import TABLE_NAMES, table_path
+
+    jvm = spark._jvm
+    jsc = spark._jsc
+    conf = jsc.hadoopConfiguration()
+    rows = []
+    for name in TABLE_NAMES:
+        path = jvm.org.apache.hadoop.fs.Path(table_path(sf_dir, name))
+        fs = path.getFileSystem(conf)
+        size = fs.getContentSummary(path).getLength() if fs.exists(path) else 0
+        rows.append((name, int(size)))
+    return spark.createDataFrame(rows, "table_name string, total_bytes long").orderBy(
+        "table_name"
+    )
+
+
+def human_readable_size(size_bytes: float) -> str:
+    """B→PB formatting, API-layer helper (reference: api/app.py:211-219)."""
+    if size_bytes == 0:
+        return "0B"
+    units = ("B", "KB", "MB", "GB", "TB", "PB")
+    i = 0
+    while size_bytes >= 1024 and i < len(units) - 1:
+        size_bytes /= 1024.0
+        i += 1
+    return f"{size_bytes:.2f}{units[i]}"
+
+
+_STAR_SQL = (
+    "ts, domain, base_domain, fingerprint, issuer, subject, "
+    "array_to_string(san, ';') AS san, not_before, not_after, log_name"
+)
+
+ORACLES: dict[str, str] = {
+    "ref_domain_lookup": oracle_with_cert_domains(
+        f"""
+        SELECT {_STAR_SQL} FROM cert_domains
+        WHERE domain = '{DOMAIN_PARAM}'
+        ORDER BY ts DESC, fingerprint LIMIT 100
+        """
+    ),
+    "ref_subdomains": oracle_with_cert_domains(
+        f"""
+        SELECT domain, max(ts) AS last_seen FROM cert_domains
+        WHERE base_domain = '{BASE_PARAM}'
+        GROUP BY domain ORDER BY domain
+        """
+    ),
+    "ref_recent": oracle_with_cert_domains(
+        f"""
+        SELECT domain FROM cert_domains
+        WHERE base_domain = '{RECENT_BASE_PARAM}'
+          AND ts > (SELECT max(ts) FROM cert_domains) - INTERVAL 180 DAY
+        GROUP BY domain
+        """
+    ),
+    "ref_tld_topk": oracle_with_cert_domains(
+        f"""
+        SELECT domain, max(ts) AS last_seen FROM cert_domains
+        WHERE domain LIKE '%.{TLD_PARAM}'
+        GROUP BY domain
+        ORDER BY last_seen DESC, domain LIMIT {TLD_LIMIT}
+        """
+    ),
+    "ref_stats": oracle_with_cert_domains(
+        """
+        SELECT
+            count(*) AS total,
+            count(DISTINCT domain) AS subdomains,
+            count(DISTINCT base_domain) AS domains,
+            min(ts) AS first_seen,
+            max(ts) AS last_seen
+        FROM cert_domains
+        WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM cert_domains)
+        """
+    ),
+    "ref_stream_page": oracle_with_cert_domains(
+        f"""
+        SELECT {_STAR_SQL} FROM cert_domains
+        WHERE ts > (SELECT min(ts) FROM cert_domains) + INTERVAL 180 DAY
+        ORDER BY ts ASC, fingerprint, domain LIMIT 100
+        """
+    ),
+}
+
+QUERIES = {
+    "ref_domain_lookup": domain_lookup,
+    "ref_subdomains": subdomains,
+    "ref_recent": recent_domains,
+    "ref_tld_topk": tld_topk,
+    "ref_stats": stats_exact,
+    "ref_stats_approx": stats_approx,  # rows-only by design
+    "ref_stream_page": stream_page,
+    "ref_table_sizes": table_sizes,  # rows-only by design
+}

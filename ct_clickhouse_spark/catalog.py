@@ -1,0 +1,157 @@
+"""Catalog layer: explicit schemas for every fixture table + loaders.
+
+The reference declares a fixed, explicit DDL (reference:
+clickhouse/init.sql:3-18) — no schema inference anywhere. We mirror that
+discipline: every table has a hand-declared StructType and loads are
+validated against it (never ``inferSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampNTZType,
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+_f = StructField
+
+SCHEMAS: dict[str, StructType] = {
+    "region": StructType([_f("r_regionkey", IntegerType()), _f("r_name", StringType())]),
+    "nation": StructType(
+        [
+            _f("n_nationkey", IntegerType()),
+            _f("n_name", StringType()),
+            _f("n_regionkey", IntegerType()),
+        ]
+    ),
+    "customer": StructType(
+        [
+            _f("c_custkey", LongType()),
+            _f("c_name", StringType()),
+            _f("c_nationkey", IntegerType()),
+            _f("c_acctbal", DoubleType()),
+            _f("c_mktsegment", StringType()),
+        ]
+    ),
+    "supplier": StructType(
+        [
+            _f("s_suppkey", LongType()),
+            _f("s_name", StringType()),
+            _f("s_nationkey", IntegerType()),
+            _f("s_acctbal", DoubleType()),
+        ]
+    ),
+    "part": StructType(
+        [
+            _f("p_partkey", LongType()),
+            _f("p_name", StringType()),
+            _f("p_brand", StringType()),
+            _f("p_type", StringType()),
+            _f("p_size", IntegerType()),
+            _f("p_retailprice", DoubleType()),
+        ]
+    ),
+    "orders": StructType(
+        [
+            _f("o_orderkey", LongType()),
+            _f("o_custkey", LongType()),
+            _f("o_orderstatus", StringType()),
+            _f("o_totalprice", DoubleType()),
+            _f("o_orderdate", TimestampNTZType()),
+            _f("o_orderpriority", StringType()),
+        ]
+    ),
+    "lineitem": StructType(
+        [
+            _f("l_orderkey", LongType()),
+            _f("l_partkey", LongType()),
+            _f("l_suppkey", LongType()),
+            _f("l_linenumber", IntegerType()),
+            _f("l_quantity", DoubleType()),
+            _f("l_extendedprice", DoubleType()),
+            _f("l_discount", DoubleType()),
+            _f("l_tax", DoubleType()),
+            _f("l_returnflag", StringType()),
+            _f("l_linestatus", StringType()),
+            _f("l_shipdate", TimestampNTZType()),
+        ]
+    ),
+    "events": StructType(
+        [
+            _f("event_id", LongType()),
+            _f("ts", TimestampNTZType()),
+            _f("user_id", LongType()),
+            _f("event_type", StringType()),
+            _f("value", DoubleType()),
+            _f("props", StringType()),
+        ]
+    ),
+    "documents": StructType(
+        [
+            _f("doc_id", LongType()),
+            _f("text", StringType()),
+            _f("lang", StringType()),
+            _f("source", StringType()),
+            _f("n_chars", LongType()),
+        ]
+    ),
+    "embeddings": StructType(
+        [
+            _f("vec_id", LongType()),
+            _f("embedding", ArrayType(FloatType())),
+            _f("label", IntegerType()),
+        ]
+    ),
+}
+
+# The reference's single fact table, one row per (certificate, domain)
+# (reference: clickhouse/init.sql:3-18; grain per ingestion/ct_ingestor.py:189-203).
+CERT_DOMAINS_SCHEMA = StructType(
+    [
+        _f("ts", TimestampNTZType()),  # init.sql:5
+        _f("domain", StringType()),  # init.sql:6
+        _f("base_domain", StringType()),  # init.sql:7
+        _f("fingerprint", StringType()),  # init.sql:8 FixedString(64) -> len-64 hex
+        _f("issuer", StringType()),  # init.sql:9
+        _f("subject", StringType()),  # init.sql:10
+        _f("san", ArrayType(StringType())),  # init.sql:11
+        _f("not_before", TimestampNTZType()),  # init.sql:12
+        _f("not_after", TimestampNTZType()),  # init.sql:13
+        _f("log_name", StringType()),  # init.sql:14
+    ]
+)
+
+TABLE_NAMES = list(SCHEMAS)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table; fails fast on schema drift instead of inferring."""
+    df = spark.read.parquet(table_path(sf_dir, name))
+    expected = SCHEMAS[name]
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    want = {f.name: f.dataType.simpleString() for f in expected.fields}
+    if got != want:
+        raise ValueError(f"schema drift for table {name!r}: expected {want}, got {got}")
+    return df
+
+
+def register_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
+    """Register fixture tables as temp views so spark.sql can address them."""
+    for name in names or TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

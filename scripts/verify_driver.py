@@ -1,0 +1,127 @@
+#!/usr/bin/env python
+"""Driver-contract verification harness (mimics the round driver).
+
+Runs the public surface end-to-end:
+  1. ``entry(spark)`` smoke at sf0.001 (rows >= 0, stable schema)
+  2. every ``queries()[name]`` at sf0.01 vs ``oracle_sql()[name]`` on DuckDB:
+     row count, sorted column names, order-insensitive value hash
+     (values normalized: timestamps -> isoformat seconds, floats -> round 6)
+
+Usage: python scripts/verify_driver.py [query-name-substring ...]
+Exit 0 iff everything matches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMOKE_DIR = "/root/testdata/sf0.001"
+ORACLE_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    import datetime
+    import math
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.6g}"
+    if isinstance(v, datetime.datetime):
+        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="seconds")
+    if isinstance(v, datetime.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    try:
+        import numpy as np
+
+        if isinstance(v, np.ndarray):
+            return "[" + ",".join(norm_cell(x) for x in v.tolist()) + "]"
+        if isinstance(v, np.generic):
+            return norm_cell(v.item())
+    except ImportError:
+        pass
+    return str(v)
+
+
+def frame_signature(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("\x01".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return sorted(cols), len(rows), h
+
+
+def main() -> int:
+    only = sys.argv[1:]
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from ct_clickhouse_spark.session import get_spark
+
+    spark = get_spark(app_name="verify-driver")
+
+    print("== entry() smoke @ sf0.001 ==")
+    t0 = time.time()
+    edf = entrymod.entry(spark)
+    erows = edf.collect()
+    print(f"entry ok: {len(erows)} rows, schema={[f.name for f in edf.schema.fields]}, {time.time()-t0:.1f}s")
+    assert len(erows) >= 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{ORACLE_DIR}/{t}.parquet')"
+        )
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    print(f"== {len(qs)} queries @ sf0.01 ({len(oracles)} with oracle) ==")
+    failures = []
+    for name, fn in qs.items():
+        if only and not any(s in name for s in only):
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, ORACLE_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {e}")
+            continue
+        spark_sec = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only  {name}: {len(srows)} rows [{spark_sec:.1f}s]")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: oracle error: {e}")
+            continue
+        ssig, dsig = frame_signature(scols, srows), frame_signature(dcols, drows)
+        if ssig == dsig:
+            print(f"MATCH {name}: {ssig[1]} rows hash={ssig[2]} [{spark_sec:.1f}s]")
+        else:
+            failures.append(name)
+            print(f"FAIL  {name}:")
+            print(f"   spark  cols={ssig[0]} rows={ssig[1]} hash={ssig[2]}")
+            print(f"   duckdb cols={dsig[0]} rows={dsig[1]} hash={dsig[2]}")
+    spark.stop()
+    print(f"== {'OK' if not failures else 'FAILURES: ' + ', '.join(failures)} ==")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
