@@ -22,19 +22,24 @@ def entry(spark: SparkSession) -> DataFrame:
     return subdomains(spark, "/root/testdata/sf0.001")
 
 
+def _modules():
+    from ct_clickhouse_spark import api_queries
+    from ct_clickhouse_spark.operators import relational, windows
+
+    return [api_queries, relational, windows]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    from ct_clickhouse_spark import api_queries
-
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(api_queries.QUERIES)
+    for mod in _modules():
+        out.update(mod.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL per queries() key (omitted => rows-only)."""
-    from ct_clickhouse_spark import api_queries
-
     out: dict[str, str] = {}
-    out.update(api_queries.ORACLES)
+    for mod in _modules():
+        out.update(mod.ORACLES)
     return out

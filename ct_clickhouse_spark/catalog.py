@@ -141,7 +141,28 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one fixture table; fails fast on schema drift instead of inferring."""
+    """Load one fixture table; fails fast on schema drift instead of inferring.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark's
+    reader rejects; we read nanos as long and floor-convert to microseconds
+    (exactly what DuckDB's ns->us truncation does), keeping the scan native
+    and vectorized."""
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(table_path(sf_dir, name))
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        ).select(*[f.name for f in SCHEMAS[name].fields])
+        got_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        want_fields = {f.name: f.dataType.simpleString() for f in SCHEMAS[name].fields}
+        if got_fields != want_fields:
+            raise ValueError(
+                f"schema drift for table {name!r}: expected {want_fields}, got {got_fields}"
+            )
+        return df
     df = spark.read.parquet(table_path(sf_dir, name))
     expected = SCHEMAS[name]
     got = {f.name: f.dataType.simpleString() for f in df.schema.fields}

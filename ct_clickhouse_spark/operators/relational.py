@@ -1,0 +1,303 @@
+"""Batch relational operators: joins, aggregations, set ops, top-k, rollup.
+
+The reference delegates all of this to ClickHouse via SQL strings (SURVEY
+§2.2-2.5; its own schema is single-table so it issues zero joins —
+api/app.py has none). A Spark engine gets the full relational algebra from
+Catalyst; these queries exercise it the way the reference's workload class
+(OLAP over one wide fact table + small dims) would at 100 TB:
+
+- fact-to-dim joins are written dim-last so AQE/broadcast picks map-side
+  hash joins (dims: region 5, nation 25, customer/supplier tiny vs lineitem)
+- aggregates are partial+final hash aggregates (map-side combine) — no
+  row explosion crosses the shuffle
+- top-k is ORDER BY + LIMIT => TakeOrderedAndProject (no global sort)
+- float aggregates are rounded in-query (both dialects) so results are
+  reproducible across engines and partition orders
+
+All money/measure sums here are double; rounding to 2 decimals bounds
+FP-addition-order noise far below the comparison granularity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+SHIP_CUTOFF = "1998-09-02"
+Q3_DATE = "1996-03-15"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-aggregate hash agg (SURVEY A2/A6).
+    One pass over lineitem, partial aggregation map-side; the canonical
+    'would this survive 100 TB' scan query."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(SHIP_CUTOFF).cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter -> fact joins -> agg -> top-k.
+    customer is broadcast (small side); revenue top-10 via TakeOrdered."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp_ntz")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp_ntz")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+    )
+
+
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join fact -> orders -> customer -> nation ->
+    region with broadcast dims, grouped rollup by geography."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (status, priority): subtotal + grand-total rows."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def setop_customers_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: customers with both an 'F' and an 'O' order (SURVEY U1)."""
+    orders = _t(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
+    return f_cust.intersect(o_cust)
+
+
+def setop_customers_never_open(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: customers with orders but never a 'P' order."""
+    orders = _t(spark, sf_dir, "orders")
+    any_cust = orders.select("o_custkey").distinct()
+    p_cust = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey").distinct()
+    return any_cust.exceptAll(p_cust)
+
+
+def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (ClickHouse `quantile` family
+    analog). Spark `percentile` == DuckDB `quantile_cont` (linear interp)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_extendedprice, 0.25)"), 2).alias("p25"),
+            F.round(F.expr("percentile(l_extendedprice, 0.5)"), 2).alias("p50"),
+            F.round(F.expr("percentile(l_extendedprice, 0.75)"), 2).alias("p75"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (sum/avg over CASE) — the OLAP pivot idiom."""
+    orders = _t(spark, sf_dir, "orders")
+    big = F.when(F.col("o_totalprice") > 100000, 1).otherwise(0)
+    f_price = F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice"))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.sum(big).alias("n_big"),
+            F.round(F.avg(f_price), 2).alias("avg_f_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def nations_with_many_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING via post-aggregation filter."""
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .filter(F.col("n_customers") >= 3)
+        .orderBy("c_nationkey")
+    )
+
+
+def topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by retail price: TakeOrderedAndProject (SURVEY O4)."""
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select("p_partkey", "p_name", "p_retailprice")
+        .orderBy(F.col("p_retailprice").desc(), "p_partkey")
+        .limit(20)
+    )
+
+
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT(DISTINCT) in one pass (SURVEY A5 oracle)."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.countDistinct("o_custkey").alias("n_cust"),
+        F.countDistinct("o_orderpriority").alias("n_prio"),
+        F.countDistinct("o_orderstatus").alias("n_status"),
+    )
+
+
+QUERIES = {
+    "rel_pricing_summary": pricing_summary,
+    "rel_shipping_priority": shipping_priority,
+    "rel_region_revenue": region_revenue,
+    "rel_rollup_sales": rollup_sales,
+    "rel_setop_intersect": setop_customers_both,
+    "rel_setop_except": setop_customers_never_open,
+    "rel_price_quantiles": price_quantiles,
+    "rel_conditional_agg": conditional_agg,
+    "rel_having": nations_with_many_customers,
+    "rel_topk_parts": topk_parts,
+    "rel_distinct_counts": distinct_counts,
+}
+
+ORACLES = {
+    "rel_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_extendedprice), 2) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{SHIP_CUTOFF}'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "rel_shipping_priority": f"""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+          AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    "rel_region_revenue": """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+    """,
+    "rel_rollup_sales": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_sales
+        FROM orders
+        GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "rel_setop_intersect": """
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        INTERSECT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "rel_setop_except": """
+        SELECT DISTINCT o_custkey FROM orders
+        EXCEPT
+        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    """,
+    "rel_price_quantiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "rel_conditional_agg": """
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
+               round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_f_price,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    "rel_having": """
+        SELECT c_nationkey, count(*) AS n_customers
+        FROM customer GROUP BY c_nationkey
+        HAVING count(*) >= 3 ORDER BY c_nationkey
+    """,
+    "rel_topk_parts": """
+        SELECT p_partkey, p_name, p_retailprice FROM part
+        ORDER BY p_retailprice DESC, p_partkey LIMIT 20
+    """,
+    "rel_distinct_counts": """
+        SELECT count(DISTINCT o_custkey) AS n_cust,
+               count(DISTINCT o_orderpriority) AS n_prio,
+               count(DISTINCT o_orderstatus) AS n_status
+        FROM orders
+    """,
+}

@@ -1,0 +1,232 @@
+"""Window functions + event-time windows (tumbling / sliding / session).
+
+The reference has no OVER clauses (SURVEY §2.7) — its `max(ts) GROUP BY
+domain` idiom (api/app.py:111-114) is a window substitute; and its "last 24h"
+query (api/app.py:122-128) is a query-time sliding lookback (SURVEY T8). We
+expose the full Spark window surface. The session-window operator is the
+batch twin of the Structured Streaming `session_window` (streaming/ uses the
+same expression), oracle-checked against a gaps-and-islands SQL rewrite.
+
+Scale notes:
+- every window partitions on a real key (customer, user) — no
+  `Window.partitionBy()` without keys, which would single-task at 100 TB
+- frame clauses are explicit ROWS BETWEEN; running sums order on
+  (ts, unique id) so FP accumulation order is deterministic
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number() OVER (PARTITION BY custkey ORDER BY date DESC) = 1 —
+    the window form of the reference's latest-cert-per-domain idiom."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .orderBy("o_custkey")
+    )
+
+
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative sum per customer, explicit ROWS frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag(): days since the customer's previous order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.to_date("o_orderdate"), F.to_date(prev)).alias("gap_days"),
+    ).orderBy("o_custkey", "o_orderkey")
+
+
+def price_rank_in_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank within brand."""
+    part = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc())
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    ).orderBy("p_brand", "p_partkey")
+
+
+def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding ROWS frame: 4-event moving average per user."""
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, Window.currentRow)
+    )
+    return events.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 4).alias("moving_avg"),
+    ).orderBy("user_id", "event_id")
+
+
+def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h event-time window (SURVEY T8). `F.window` is the same
+    expression Structured Streaming uses — batch here, stream in streaming/."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sliding_2h_every_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h window, 1h slide: each event lands in 2 windows."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "n_events")
+        .orderBy("window_start")
+    )
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute gap per user (SURVEY T8).
+    `session_window` end = last event + gap; the oracle reproduces that via
+    gaps-and-islands (lag + cumulative flag sum)."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+QUERIES = {
+    "win_latest_order_per_customer": latest_order_per_customer,
+    "win_running_revenue": running_revenue,
+    "win_order_gap_days": order_gap_days,
+    "win_price_rank_in_brand": price_rank_in_brand,
+    "win_moving_avg": moving_avg_value,
+    "evt_tumbling_hourly": tumbling_hourly,
+    "evt_sliding_2h_1h": sliding_2h_every_1h,
+    "evt_session_30m": session_windows,
+}
+
+ORACLES = {
+    "win_latest_order_per_customer": """
+        SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC
+            ) AS rn FROM orders
+        ) WHERE rn = 1 ORDER BY o_custkey
+    """,
+    "win_running_revenue": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ), 2) AS running_revenue
+        FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+    "win_order_gap_days": """
+        SELECT o_custkey, o_orderkey,
+               date_diff('day',
+                   CAST(lag(o_orderdate) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ) AS DATE),
+                   CAST(o_orderdate AS DATE)) AS gap_days
+        FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+    "win_price_rank_in_brand": """
+        SELECT p_brand, p_partkey, p_retailprice,
+               rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+               dense_rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
+        FROM part ORDER BY p_brand, p_partkey
+    """,
+    "win_moving_avg": """
+        SELECT user_id, event_id,
+               round(avg(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW
+               ), 4) AS moving_avg
+        FROM events ORDER BY user_id, event_id
+    """,
+    "evt_tumbling_hourly": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    "evt_sliding_2h_1h": """
+        SELECT window_start, count(*) AS n_events FROM (
+            SELECT unnest([date_trunc('hour', ts),
+                           date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
+            FROM events
+        ) GROUP BY 1 ORDER BY 1
+    """,
+    "evt_session_30m": f"""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                             > INTERVAL {SESSION_GAP_MIN} MINUTE
+                        OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ), numbered AS (
+            SELECT *, sum(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               min(ts) AS session_start,
+               max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+               count(*) AS n_events,
+               round(sum(value), 4) AS sum_value
+        FROM numbered GROUP BY user_id, session_id
+        ORDER BY user_id, session_start
+    """,
+}
