@@ -24,9 +24,9 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _modules():
     from ct_clickhouse_spark import api_queries
-    from ct_clickhouse_spark.operators import relational, windows
+    from ct_clickhouse_spark.operators import dedup, relational, similarity, text, windows
 
-    return [api_queries, relational, windows]
+    return [api_queries, relational, windows, dedup, text, similarity]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

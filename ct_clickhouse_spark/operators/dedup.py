@@ -1,0 +1,287 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+The reference *claims* dedup ("Deduplicates certificates by SHA256
+fingerprint", README.md:19) but implements none — its MergeTree has no
+uniqueness (init.sql:16-18) and the insert path is at-least-once
+(ct_ingestor.py:205-226); every read query papers over it with GROUP BY.
+Here dedup is a first-class operator family, plus the near-dup operators a
+training-data pipeline needs (north star, SURVEY §2.10).
+
+Scale design:
+- exact dedup = hash aggregate on the dedup key: one shuffle on the key,
+  map-side partial combine, no state kept beyond the aggregation
+- n-gram Jaccard join: shingle -> explode -> self-join **on shingle**
+  (equi-join, shuffles only shingle-pair rows) -> count-based Jaccard.
+  No O(n^2) cross join ever materializes; frequent-shingle skew is the
+  knob to watch at 100 TB (drop top-frequency shingles, AQE skew join).
+- MinHash-LSH: signatures via xxhash64 with k fixed seeds (pure JVM
+  expressions, no Python in the hot path), banded into buckets; candidate
+  pairs only join within a bucket. This is the 100 TB path: cost is
+  O(n * k) + bucket-local joins instead of O(n^2).
+- SimHash: 64-bit signature from per-token hashes, duplicate buckets by
+  signature band equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..cert_domains import build_cert_domains, oracle_with_cert_domains
+
+JACCARD_THRESHOLD = 0.5
+SHINGLE_WORDS = 3
+MINHASH_K = 16  # signature length
+MINHASH_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-s^4)^4
+SIMHASH_BITS = 32
+
+
+def cert_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by (fingerprint, domain) — the dedup the reference
+    claims (README.md:19) but never implements (SURVEY D1). dropDuplicates
+    compiles to a hash aggregate on the key; counts per log prove the
+    ~5% synthetic duplicates are gone."""
+    cert = build_cert_domains(spark, sf_dir)
+    return (
+        cert.dropDuplicates(["fingerprint", "domain"])
+        .groupBy("log_name")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+        .orderBy("log_name")
+    )
+
+
+def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup on documents: group by md5(text), keep min id."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+def _words(col):
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def _shingles(words_col):
+    """Word SHINGLE_WORDS-grams as an array; distinct per document."""
+    n = SHINGLE_WORDS
+    idx = F.sequence(F.lit(0), F.size(words_col) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(words_col, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.when(F.size(words_col) >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact word-3-gram Jaccard >= threshold.
+
+    Plan shape: explode distinct shingles -> equi-self-join on shingle ->
+    group by (a, b) counting common shingles -> Jaccard from |A|,|B|,|A∩B|.
+    The only shuffles are on the shingle key and the pair key."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(_shingles(_words(F.col("text")))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures via explode + k min-aggregates.
+
+    This is the scale-correct shape: one explode of distinct shingles, then
+    ``min(xxhash64(shingle, seed_i))`` per doc for k seeds — a single
+    map-side-combinable hash aggregate, no O(k)-deep expression trees
+    (a nested-transform formulation was 20x slower purely on codegen)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(_shingles(_words(F.col("text")))).alias("shingle"))
+    return sh.groupBy("doc_id").agg(
+        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(MINHASH_K)]
+    )
+
+
+def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=16) per document. Deterministic (seeded
+    xxhash64); rows-only — sketches have no ANSI-SQL oracle."""
+    sig = _minhash_sig_df(spark, sf_dir)
+    return sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(MINHASH_K)]).alias("signature")
+    ).orderBy("doc_id")
+
+
+def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH (the 100 TB path).
+
+    Bands of the signature become bucket keys; docs sharing any band bucket
+    are candidates; candidates are verified with the estimated Jaccard
+    (fraction of agreeing minhashes). Cost: k hashes/doc + bucket-local
+    joins — never all-pairs."""
+    rows_per_band = MINHASH_K // MINHASH_BANDS
+    sig = _minhash_sig_df(spark, sf_dir)
+
+    bands = sig.select(
+        "doc_id",
+        F.array(*[f"h{i}" for i in range(MINHASH_K)]).alias("sig"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[f"h{b * rows_per_band + j}" for j in range(rows_per_band)],
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.round(
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
+            )
+        )
+        / F.lit(MINHASH_K),
+        4,
+    )
+    return (
+        cand.withColumn("est_jaccard", est)
+        .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "est_jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash (32-bit) per document: sign-sum of per-token hash bits.
+
+    Implemented as explode(words) -> per-bit +/-1 contributions -> sum ->
+    sign bits -> binary-weighted sum. All JVM expressions; one shuffle on
+    doc_id. Hamming-close signatures = near-duplicates."""
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
+    h = F.xxhash64("tok")
+    bit_cols = [
+        F.sum(
+            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums = tokens.groupBy("doc_id").agg(*bit_cols)
+    sim = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+                for i in range(SIMHASH_BITS)
+            ]
+        ).alias("simhash"),
+    )
+    return sim.orderBy("doc_id")
+
+
+QUERIES = {
+    "dedup_cert_exact": cert_dedup_exact,
+    "dedup_doc_exact": doc_dedup_exact,
+    "dedup_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    "dedup_minhash_signatures": doc_minhash_signatures,  # rows-only (sketch)
+    "dedup_minhash_lsh_pairs": doc_minhash_lsh_pairs,  # rows-only (sketch)
+    "dedup_simhash": doc_simhash,  # rows-only (sketch)
+}
+
+ORACLES = {
+    "dedup_cert_exact": oracle_with_cert_domains(
+        """
+        SELECT log_name, count(*) AS n_unique FROM (
+            SELECT DISTINCT fingerprint, domain, log_name FROM cert_domains
+        ) GROUP BY log_name ORDER BY log_name
+        """
+    ),
+    "dedup_doc_exact": """
+        SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents GROUP BY md5(text) ORDER BY keep_id
+    """,
+    "dedup_ngram_jaccard_pairs": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle FROM (
+                SELECT doc_id,
+                       CASE WHEN len(words) >= {SHINGLE_WORDS}
+                            THEN list_transform(
+                                range(1, len(words) - {SHINGLE_WORDS - 2}),
+                                i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+                            ELSE [] END AS sh_list
+                FROM (
+                    SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+                    FROM documents
+                )
+            )
+        ), sizes AS (
+            SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        FROM pairs
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+    """,
+}

@@ -1,0 +1,212 @@
+"""Similarity search over embedding vectors (north star, SURVEY §2.10).
+
+Three tiers, mirroring how ANN serving actually scales:
+1. brute-force cosine top-k — exact baseline; O(n·d) per query, fully
+   JVM-side (zip_with/aggregate), distributes perfectly (map + TakeOrdered)
+2. all-pairs above threshold — exact, for offline dedup of small corpora
+3. random-hyperplane LSH (SimHash for cosine) — the 100 TB path: 16-bit
+   signatures via posexplode + broadcast hyperplane join, banded (4x4 bits)
+   bucket-local candidate generation, exact cosine verification only on
+   candidates. Recall/precision tuned by bits-per-band vs band count.
+
+The hyperplanes are pseudo-random ±1 vectors derived from xxhash64(bit,pos)
+parity: deterministic across runs/engines with no RNG state to ship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+TOPK = 10
+QUERY_VEC_ID = 0
+PAIR_THRESHOLD = 0.42  # max pair cosine in the fixture is ~0.51
+LSH_BITS = 16
+EMBED_DIM = 64
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, v: s + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, v: s + v * v))
+
+
+def _emb_double(df: DataFrame, out: str = "emb") -> DataFrame:
+    return df.withColumn(out, F.col("embedding").cast("array<double>"))
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k against the vec_id=0 query vector.
+    Broadcast the 1-row query side; TakeOrderedAndProject does the top-k."""
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qvec")
+    )
+    cos = _dot(F.col("emb"), F.col("qvec")) / (_norm(F.col("emb")) * _norm(F.col("qvec")))
+    return (
+        emb.crossJoin(F.broadcast(query))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", F.round(cos, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOPK)
+    )
+
+
+def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine >= threshold (near-duplicate vectors).
+    O(n^2) — the correctness baseline the LSH tier is measured against."""
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("vb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= PAIR_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _hyperplanes(spark: SparkSession) -> DataFrame:
+    """LSH_BITS x EMBED_DIM pseudo-random ±1 hyperplane components, derived
+    from xxhash64 parity — a tiny broadcastable dim table built in-plan."""
+    return spark.range(LSH_BITS).select(
+        F.col("id").alias("bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(EMBED_DIM - 1))).alias("pos"),
+    ).select(
+        "bit",
+        "pos",
+        (F.when(F.pmod(F.xxhash64("bit", "pos"), 2) == 0, 1.0).otherwise(-1.0)).alias(
+            "sign"
+        ),
+    )
+
+
+def lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit random-hyperplane signature per vector.
+
+    posexplode(embedding) -> broadcast-join the hyperplane table ->
+    groupBy(vec_id, bit) sum -> sign -> pack bits. Two hash aggregates,
+    all JVM; scales linearly in n·d·bits."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comps = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    dots = (
+        comps.join(F.broadcast(_hyperplanes(spark)), "pos")
+        .groupBy("vec_id", "bit")
+        .agg(F.sum(F.col("v") * F.col("sign")).alias("dot"))
+    )
+    return (
+        dots.groupBy("vec_id")
+        .agg(
+            F.sum(
+                F.when(F.col("dot") > 0, F.expr("shiftleft(1L, CAST(bit AS INT))")).otherwise(F.lit(0))
+            ).alias("signature")
+        )
+        .orderBy("vec_id")
+    )
+
+
+LSH_BANDS = 4  # 4 bands x 4 bits
+
+
+def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN near-dup pairs: banded signature buckets generate candidates,
+    exact cosine verifies inside buckets only. At 100 TB the banded join
+    replaces the O(n^2) cross join with LSH_BANDS shuffles on small keys;
+    recall = 1-(1-p^4)^4 where p = 1 - angle/pi."""
+    bits_per_band = LSH_BITS // LSH_BANDS
+    sigs = lsh_signatures(spark, sf_dir)
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings")).select("vec_id", "emb")
+    mask = (1 << bits_per_band) - 1
+    bands = sigs.join(emb, "vec_id").select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"CAST(shiftright(signature, {b * bits_per_band}) AS BIGINT) & {mask}"
+                        ).alias("bucket"),
+                    )
+                    for b in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", "emb", "bb.band", "bb.bucket")
+    a = bands.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("va"), "band", "bucket"
+    )
+    b = bands.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("vb"), "band", "bucket"
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .filter(F.col("cosine") >= PAIR_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid components: posexplode + avg per (label, pos) —
+    the building block of IVF coarse quantization."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+        )
+        .groupBy("label", "pos")
+        .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
+        .orderBy("label", "pos")
+    )
+
+
+QUERIES = {
+    "sim_cosine_topk": cosine_topk,
+    "sim_cosine_pairs": cosine_pairs,
+    "sim_lsh_signatures": lsh_signatures,  # rows-only (hash sketch)
+    "sim_lsh_pairs": lsh_candidate_pairs,  # rows-only (hash sketch)
+    "sim_label_centroids": label_centroids,
+}
+
+_COS_SQL = (
+    "list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) / "
+    "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
+    "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
+)
+
+ORACLES = {
+    "sim_cosine_topk": f"""
+        SELECT a.vec_id AS vec_id, a.label AS label,
+               round({_COS_SQL}, 4) AS cosine
+        FROM embeddings a, embeddings b
+        WHERE b.vec_id = {QUERY_VEC_ID} AND a.vec_id != {QUERY_VEC_ID}
+        ORDER BY cosine DESC, vec_id LIMIT {TOPK}
+    """,
+    "sim_cosine_pairs": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({_COS_SQL}, 4) AS cosine
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round({_COS_SQL}, 4) >= {PAIR_THRESHOLD}
+        ORDER BY id_a, id_b
+    """,
+    "sim_label_centroids": """
+        SELECT label, pos - 1 AS pos, round(avg(v), 6) AS centroid_v
+        FROM (
+            SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ) GROUP BY label, pos ORDER BY label, pos
+    """,
+}

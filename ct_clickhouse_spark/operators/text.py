@@ -1,0 +1,195 @@
+"""Text-analysis operators for a training-data pipeline (north star,
+SURVEY §2.10): document stats, quality scoring, language-ID heuristic,
+token counting, content fingerprinting.
+
+Everything here is built-in-expression-only (JVM, whole-stage codegen) —
+no Python touches the hot path. The reference has no text operators; its
+only string work is lower-casing and LIKE (SURVEY F6/F7).
+
+Scale notes: all operators are embarrassingly parallel projections or
+single hash aggregates; no shuffles except the explicit groupBys. At
+100 TB the text column dominates scan cost — every query projects only
+the columns it needs so Parquet column pruning does its job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+# Tiny in-query stopword lists for the language-ID heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "un"],
+    "es": ["el", "la", "los", "y", "es", "un"],
+}
+
+# BPE-ish tokenizer regex: letter runs, single digits, or single symbols.
+TOKEN_RE = "[a-z]+|[0-9]|[^a-z0-9\\s]"
+FP_WINDOW = 16  # character k-gram width for the rolling fingerprint
+
+
+def _words(col):
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document basic stats: word count, char length, avg word length."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.length("text").alias("n_chars_actual"),
+        F.round(
+            F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
+            / F.size(words),
+            4,
+        ).alias("avg_word_len"),
+    ).orderBy("doc_id")
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length band + non-alnum ratio + mean word
+    length band — the standard cheap pre-filter before LLM training."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_chars = F.length("text")
+    junk_ratio = F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")) / n_chars
+    mean_wl = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / F.size(words)
+    score = (
+        F.when((n_chars >= 100) & (n_chars <= 5000), 1).otherwise(0)
+        + F.when(junk_ratio < 0.1, 1).otherwise(0)
+        + F.when((mean_wl >= 3) & (mean_wl <= 10), 1).otherwise(0)
+    )
+    return docs.select(
+        "doc_id",
+        F.round(junk_ratio, 4).alias("junk_ratio"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        score.alias("quality_score"),
+    ).orderBy("doc_id")
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic: per-language stopword counts +
+    argmax. (The fixture text is synthetic so accuracy is not the point;
+    the operator shape — n lexicon scores + argmax — is.)"""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    scores = {
+        lang: F.size(F.filter(words, lambda w: w.isin(sw))).alias(f"score_{lang}")
+        for lang, sw in STOPWORDS.items()
+    }
+    scored = docs.select("doc_id", "lang", *scores.values())
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in STOPWORDS])
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in STOPWORDS:  # first-match-wins tie break, fixed lang order
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id", "lang", *[f"score_{lang}" for lang in STOPWORDS], pred.alias("pred_lang")
+    ).orderBy("doc_id")
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish regex tokens per doc,
+    and corpus totals per source."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id",
+        "source",
+        F.size(_words(F.col("text"))).alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias(
+            "re_tokens"
+        ),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("re_tokens").alias("total_re_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("source")
+    )
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint: min/max xxhash64 over sliding character
+    k-grams (Rabin-Karp/winnowing style). Deterministic; rows-only (no
+    xxhash64 in ANSI SQL)."""
+    docs = load_table(spark, sf_dir, "documents")
+    txt = F.lower(F.trim(F.col("text")))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(txt) - FP_WINDOW + 1, F.lit(1)))
+    grams = F.transform(idx, lambda i: F.xxhash64(F.substring(txt, i, FP_WINDOW)))
+    return docs.select(
+        "doc_id",
+        F.array_min(grams).alias("fp_min"),
+        F.array_max(grams).alias("fp_max"),
+    ).orderBy("doc_id")
+
+
+def _stopword_sql(lang: str) -> str:
+    return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+QUERIES = {
+    "text_doc_stats": doc_stats,
+    "text_quality_score": quality_score,
+    "text_lang_id": lang_id,
+    "text_token_count": token_count,
+    "text_doc_fingerprint": doc_fingerprint,  # rows-only (xxhash64 sketch)
+}
+
+_WORDS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+ORACLES = {
+    "text_doc_stats": f"""
+        SELECT doc_id,
+               len({_WORDS_SQL}) AS n_words,
+               length(text) AS n_chars_actual,
+               round(list_sum(list_transform({_WORDS_SQL}, w -> length(w)))
+                     / len({_WORDS_SQL}), 4) AS avg_word_len
+        FROM documents ORDER BY doc_id
+    """,
+    "text_quality_score": f"""
+        SELECT doc_id,
+               round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                     / length(text), 4) AS junk_ratio,
+               round(list_sum(list_transform({_WORDS_SQL}, w -> length(w)))
+                     / len({_WORDS_SQL}), 4) AS mean_word_len,
+               (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1 ELSE 0 END
+                + CASE WHEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                            / length(text) < 0.1 THEN 1 ELSE 0 END
+                + CASE WHEN list_sum(list_transform({_WORDS_SQL}, w -> length(w)))
+                            / len({_WORDS_SQL}) BETWEEN 3 AND 10 THEN 1 ELSE 0 END
+               ) AS quality_score
+        FROM documents ORDER BY doc_id
+    """,
+    "text_lang_id": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   len(list_filter({_WORDS_SQL}, w -> list_contains({_stopword_sql('en')}, w))) AS score_en,
+                   len(list_filter({_WORDS_SQL}, w -> list_contains({_stopword_sql('de')}, w))) AS score_de,
+                   len(list_filter({_WORDS_SQL}, w -> list_contains({_stopword_sql('fr')}, w))) AS score_fr,
+                   len(list_filter({_WORDS_SQL}, w -> list_contains({_stopword_sql('es')}, w))) AS score_es
+            FROM documents
+        )
+        SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+               CASE WHEN greatest(score_en, score_de, score_fr, score_es) <= 0 THEN 'unknown'
+                    WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
+                    WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
+                    WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
+                    ELSE 'es' END AS pred_lang
+        FROM scored ORDER BY doc_id
+    """,
+    "text_token_count": f"""
+        SELECT source,
+               sum(len({_WORDS_SQL})) AS total_ws_tokens,
+               sum(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS total_re_tokens,
+               count(*) AS n_docs
+        FROM documents GROUP BY source ORDER BY source
+    """,
+}

@@ -1,0 +1,99 @@
+"""Operator-level tests: oracle parity at sf0.001 plus semantic properties
+the SQL oracle can't express (sketch recall, dedup effectiveness)."""
+
+from __future__ import annotations
+
+import pytest
+
+from ct_clickhouse_spark.operators import dedup, relational, similarity, text, windows
+from ct_clickhouse_spark.testing import assert_matches_oracle
+from tests.conftest import SF_DIR
+
+ALL_MODULES = [relational, windows, dedup, text, similarity]
+
+
+def _oracle_cases():
+    for mod in ALL_MODULES:
+        for name in sorted(set(mod.QUERIES) & set(mod.ORACLES)):
+            yield pytest.param(mod, name, id=name)
+
+
+@pytest.mark.parametrize("mod,name", list(_oracle_cases()))
+def test_operator_matches_oracle(spark, duck, mod, name):
+    df = mod.QUERIES[name](spark, SF_DIR)
+    assert_matches_oracle(df, duck, mod.ORACLES[name], name)
+
+
+def test_exact_dedup_removes_synthetic_duplicates(spark):
+    from ct_clickhouse_spark.cert_domains import build_cert_domains
+
+    cert = build_cert_domains(spark, SF_DIR)
+    total = cert.count()
+    unique = cert.dropDuplicates(["fingerprint", "domain"]).count()
+    # construction duplicates cert_id % 20 == 0 wholesale (~5%)
+    assert total > unique
+    assert abs((total - unique) / total - 0.05) < 0.02
+
+
+def test_minhash_lsh_recall_against_exact_jaccard(spark):
+    """LSH candidates must recover the high-similarity pairs: at the
+    fixture's similarity level (planted near-dups at j>=0.95) banded
+    MinHash recall should be ~1."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.doc_ngram_jaccard_pairs(spark, SF_DIR).collect()
+        if r.jaccard >= 0.9
+    }
+    approx = {
+        (r.doc_a, r.doc_b) for r in dedup.doc_minhash_lsh_pairs(spark, SF_DIR).collect()
+    }
+    assert exact, "fixture should contain planted near-duplicates"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall} too low ({len(exact)} exact pairs)"
+
+
+def test_simhash_near_dups_have_close_hashes(spark):
+    """Near-duplicate docs (exact jaccard >= 0.9) should have simhash
+    hamming distance well below random (~16 for 32-bit)."""
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in dedup.doc_ngram_jaccard_pairs(spark, SF_DIR).collect()
+        if r.jaccard >= 0.9
+    ]
+    sims = {r.doc_id: r.simhash for r in dedup.doc_simhash(spark, SF_DIR).collect()}
+    assert pairs
+    for a, b in pairs:
+        ham = bin(int(sims[a]) ^ int(sims[b])).count("1")
+        assert ham <= 8, f"simhash hamming {ham} for near-dup pair ({a},{b})"
+
+
+def test_lsh_ann_recall_against_brute_force(spark):
+    """Banded hyperplane LSH should recover a reasonable fraction of the
+    true above-threshold pairs (theory: ~50% at cosine ~0.45 with 4x4)."""
+    exact = {
+        (r.id_a, r.id_b) for r in similarity.cosine_pairs(spark, SF_DIR).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in similarity.lsh_candidate_pairs(spark, SF_DIR).collect()
+    }
+    assert approx <= exact, "LSH pairs are cosine-verified: must be a subset"
+    if exact:
+        assert len(approx) / len(exact) >= 0.2
+
+
+def test_lang_id_prefers_english_on_stopworded_text(spark):
+    rows = text.lang_id(spark, SF_DIR).collect()
+    # fixture text contains 'the'/'a' (english stopwords) -> no row should
+    # score de/fr/es above en
+    assert all(r.pred_lang in ("en", "unknown") for r in rows)
+
+
+def test_broadcast_join_in_region_revenue(spark):
+    plan = (
+        relational.region_revenue(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan, "dim joins must broadcast"
