@@ -1,0 +1,99 @@
+"""Streaming ingest pipeline: CT entries -> cert_domains table.
+
+The reference's whole ingestion program (ingestion/ct_ingestor.py:151-230)
+as ONE declarative streaming query:
+
+  ct_log source (per-log partitions, checkpointed offsets)
+    -> mapInPandas X.509 parse (functions/x509.py)       # ct_ingestor.py:184-187
+    -> base-domain pandas UDF (functions/domains.py)     # ct_ingestor.py:146-147
+    -> explode(domains) to per-domain rows               # ct_ingestor.py:189-203
+    -> dropDuplicatesWithinWatermark on (fingerprint, domain)
+    -> Parquet sink partitioned by month, checkpointed   # ct_ingestor.py:205-226
+
+Differences from the reference, by design:
+- REAL dedup: the reference only claims it (README.md:19); its insert path
+  is at-least-once (crash between insert and offset write re-inserts,
+  ct_ingestor.py:224-226). Here offsets commit atomically with the sink
+  (exactly-once) AND dropDuplicatesWithinWatermark removes cross-batch
+  duplicates with *bounded* state — unbounded dropDuplicates state is the
+  100 TB trap (SURVEY §7 risk register).
+- ts is still processing-time (reference: datetime.utcnow(),
+  ct_ingestor.py:191) for parity; the watermark column is ts so late data
+  semantics kick in if a real event-time is substituted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from ..functions.domains import base_domain_udf
+from ..functions.x509 import parse_entries
+from ..sources.ct_log import register
+
+WATERMARK = "1 hour"
+
+
+def ingest_stream(spark: SparkSession, log_dir: str, max_per_trigger: int = 512) -> DataFrame:
+    """The unbounded cert_domains DataFrame (pre-sink)."""
+    register(spark)
+    raw = (
+        spark.readStream.format("ct_log")
+        .option("path", log_dir)
+        .option("maxEntriesPerTrigger", str(max_per_trigger))
+        .load()
+    )
+    parsed = parse_entries(raw)
+    exploded = (
+        # ts stays TIMESTAMP (not NTZ) until after the stateful dedup:
+        # watermarks are only legal on TIMESTAMP columns
+        parsed.withColumn("ts", F.current_timestamp())
+        .withColumn("domain", F.explode("domains"))
+        .withColumn("base_domain", base_domain_udf(F.col("domain")))
+        .withColumn("log_name", F.regexp_replace("log_name", " ", "_"))
+        .select(
+            "ts",
+            "domain",
+            "base_domain",
+            "fingerprint",
+            "issuer",
+            "subject",
+            F.col("domains").alias("san"),
+            "not_before",
+            "not_after",
+            "log_name",
+        )
+    )
+    deduped = exploded.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+        ["fingerprint", "domain"]
+    )
+    # normalize to the catalog's TIMESTAMP_NTZ after the stateful stage
+    return deduped.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def start_ingest(
+    spark: SparkSession,
+    log_dir: str,
+    table_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Start the ingest query. availableNow=True is the backfill/test mode
+    (reference T4: frozen-log completion); processingTime='5 seconds'
+    mirrors the reference's POLL_INTERVAL (ct_ingestor.py:24) in live mode."""
+    df = ingest_stream(spark, log_dir).withColumn(
+        "month", F.date_format("ts", "yyyyMM")
+    )
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", table_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("month")
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime="5 seconds")
+    return writer.start()
