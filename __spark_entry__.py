@@ -24,9 +24,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _modules():
     from ct_clickhouse_spark import api_queries
-    from ct_clickhouse_spark.operators import dedup, relational, similarity, text, windows
+    from ct_clickhouse_spark.operators import (
+        dedup,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        windows,
+    )
 
-    return [api_queries, relational, windows, dedup, text, similarity]
+    return [api_queries, relational, windows, dedup, text, similarity, multimodal]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,224 @@
+"""Multimodal columns: opaque binary payloads + typed metadata
+(north star, SURVEY §2.10).
+
+Pattern: media lives beside relational metadata as a Parquet ``binary``
+column with a typed metadata struct — Parquet's Dremel-style nested
+encoding makes the struct columns prunable, so metadata-only queries never
+touch the payload bytes (the dominant scan cost at 100 TB).
+
+The container has no image/audio codecs, so the *decode* step is a
+deterministic fake (byte-level features) clearly marked below; the real
+codec drops into ``_decode_payload`` behind the same mapInPandas plumbing —
+schema, Arrow batching, partitioning are all real and tested. Payloads are
+synthesized deterministically from ``documents.text`` so the DuckDB oracle
+can rebuild the identical media table for the metadata queries.
+
+Media table schema:
+  media_id long, kind string (image|audio|video), format string,
+  width int, height int, payload binary, source string
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..catalog import load_table
+
+FRAME_BYTES = 256  # fake video "frame" size
+FRAME_STRIDE = 4  # sample every 4th frame
+
+try:  # the real decoder would live here; not present in this container
+    import PIL.Image  # noqa: F401
+
+    HAVE_IMAGE_CODEC = True
+except ImportError:
+    HAVE_IMAGE_CODEC = False
+
+
+def build_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table from documents: payload = utf-8 bytes of
+    text (a stand-in for real image/audio bytes), metadata derived from
+    doc_id so both engines can reconstruct it."""
+    docs = load_table(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    fmt = (
+        F.when(F.col("doc_id") % 3 == 0, F.when(F.col("doc_id") % 2 == 0, "png").otherwise("jpeg"))
+        .when(F.col("doc_id") % 3 == 1, "wav")
+        .otherwise("mp4")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        kind.alias("kind"),
+        fmt.alias("format"),
+        (64 + (F.col("doc_id") % 8) * 32).cast("int").alias("width"),
+        (64 + (F.col("doc_id") % 5) * 32).cast("int").alias("height"),
+        F.encode("text", "utf-8").alias("payload"),
+        "source",
+    )
+
+
+def media_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregate: per (kind, format) count, payload bytes,
+    mean pixel count. Column pruning keeps the payload column unread —
+    check ReadSchema in .explain (the point of the struct/binary split)."""
+    media = build_media(spark, sf_dir)
+    return (
+        media.groupBy("kind", "format")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.round(F.avg(F.col("width") * F.col("height")), 2).alias("avg_pixels"),
+        )
+        .orderBy("kind", "format")
+    )
+
+
+DECODE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),
+        StructField("n_bytes", IntegerType()),
+        StructField("mean_byte", DoubleType()),
+        StructField("max_byte", IntegerType()),
+        StructField("header_hex", StringType()),
+    ]
+)
+
+
+def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Decode' each payload into features via Arrow-batched mapInPandas.
+
+    STUB decode: with no codec libraries in this container, features are
+    deterministic byte statistics. A real implementation replaces
+    ``_decode_payload`` with PIL/librosa/pyav per ``kind`` — the Spark
+    plumbing (batch iterator, schema, partition parallelism) is identical.
+    """
+
+    def _decode_payload(kind: str, payload: bytes) -> dict:
+        if HAVE_IMAGE_CODEC and kind == "image":  # pragma: no cover
+            raise NotImplementedError("real image decode not wired in this container")
+        arr = bytes(payload)
+        return {
+            "n_bytes": len(arr),
+            "mean_byte": round(sum(arr) / len(arr), 4) if arr else 0.0,
+            "max_byte": max(arr) if arr else 0,
+            "header_hex": arr[:8].hex(),
+        }
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                {"media_id": mid, "kind": kind, **_decode_payload(kind, payload)}
+                for mid, kind, payload in zip(
+                    pdf["media_id"], pdf["kind"], pdf["payload"]
+                )
+            ]
+            yield pd.DataFrame(out, columns=[f.name for f in DECODE_SCHEMA.fields])
+
+    media = build_media(spark, sf_dir).select("media_id", "kind", "payload")
+    return media.mapInPandas(_decode, DECODE_SCHEMA).orderBy("media_id")
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for 'video' payloads: every FRAME_STRIDE-th
+    FRAME_BYTES-chunk becomes a row — the mapInPandas row-expansion shape
+    real frame extraction uses (1 video in -> n frames out)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = max(1, len(data) // FRAME_BYTES)
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    out.append(
+                        {
+                            "media_id": mid,
+                            "frame_idx": idx,
+                            "frame_bytes": data[idx * FRAME_BYTES : (idx + 1) * FRAME_BYTES],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    media = (
+        build_media(spark, sf_dir)
+        .filter(F.col("kind") == "video")
+        .select("media_id", "payload")
+    )
+    return media.mapInPandas(_frames, FRAME_SCHEMA).orderBy("media_id", "frame_idx")
+
+
+def frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated view of frame_sample with a SQL oracle: sampled-frame
+    count per video is closed-form from the payload length."""
+    frames = frame_sample(spark, sf_dir)
+    return (
+        frames.groupBy("media_id")
+        .agg(F.count(F.lit(1)).alias("n_sampled_frames"))
+        .orderBy("media_id")
+    )
+
+
+QUERIES = {
+    "mm_meta_stats": media_meta_stats,
+    "mm_decode_features": decode_features,  # rows-only (stubbed decode)
+    "mm_frame_sample_counts": frame_sample_counts,
+}
+
+# The identical media-table construction, DuckDB dialect.
+_MEDIA_SQL = """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+           CASE WHEN doc_id % 3 = 0 THEN
+                    CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END
+                WHEN doc_id % 3 = 1 THEN 'wav' ELSE 'mp4' END AS format,
+           CAST(64 + (doc_id % 8) * 32 AS INT) AS width,
+           CAST(64 + (doc_id % 5) * 32 AS INT) AS height,
+           encode(text) AS payload,
+           source
+    FROM documents
+"""
+
+ORACLES = {
+    "mm_meta_stats": f"""
+        WITH media AS ({_MEDIA_SQL})
+        SELECT kind, format, count(*) AS n_items,
+               sum(octet_length(payload)) AS total_bytes,
+               round(avg(width * height), 2) AS avg_pixels
+        FROM media GROUP BY kind, format ORDER BY kind, format
+    """,
+    "mm_frame_sample_counts": f"""
+        WITH media AS ({_MEDIA_SQL})
+        SELECT media_id,
+               CAST(ceil(greatest(octet_length(payload) // {FRAME_BYTES}, 1)
+                         / {FRAME_STRIDE}.0) AS BIGINT) AS n_sampled_frames
+        FROM media WHERE kind = 'video' ORDER BY media_id
+    """,
+}

@@ -131,6 +131,43 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+TOP_TERMS = 3
+
+
+def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDAF surface (SURVEY §2.9): top-N terms per source via
+    applyInPandas group-map. The groupBy key distributes the corpus; the
+    per-group Python does the term ranking — the escape hatch for
+    aggregation logic Spark SQL can't express. (This one *is* SQL-
+    expressible, deliberately, so the UDAF path gets a real oracle.)"""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def _top(pdf: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for text in pdf["text"]:
+            for w in text.lower().strip().split():
+                counts[w] = counts.get(w, 0) + 1
+        best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_TERMS]
+        return pd.DataFrame(
+            {
+                "source": pdf["source"].iloc[0],
+                "term": [t for t, _ in best],
+                "term_rank": range(1, len(best) + 1),
+                "n_occurrences": [c for _, c in best],
+            }
+        )
+
+    schema = "source string, term string, term_rank int, n_occurrences long"
+    return (
+        docs.select("source", "text")
+        .groupBy("source")
+        .applyInPandas(_top, schema)
+        .orderBy("source", "term_rank")
+    )
+
+
 def _stopword_sql(lang: str) -> str:
     return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
@@ -141,6 +178,7 @@ QUERIES = {
     "text_lang_id": lang_id,
     "text_token_count": token_count,
     "text_doc_fingerprint": doc_fingerprint,  # rows-only (xxhash64 sketch)
+    "text_top_terms_per_source": top_terms_per_source,
 }
 
 _WORDS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -191,5 +229,21 @@ ORACLES = {
                sum(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS total_re_tokens,
                count(*) AS n_docs
         FROM documents GROUP BY source ORDER BY source
+    """,
+    "text_top_terms_per_source": f"""
+        WITH words AS (
+            SELECT source, unnest({_WORDS_SQL}) AS term FROM documents
+        ), counts AS (
+            SELECT source, term, count(*) AS n_occurrences
+            FROM words GROUP BY source, term
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY n_occurrences DESC, term
+            ) AS term_rank
+            FROM counts
+        )
+        SELECT source, term, CAST(term_rank AS INT) AS term_rank, n_occurrences
+        FROM ranked WHERE term_rank <= {TOP_TERMS}
+        ORDER BY source, term_rank
     """,
 }

@@ -1,0 +1,65 @@
+"""Plan-shape regression tests: the 100 TB guarantees (pushdown, pruning,
+broadcast, top-k) asserted on the actual physical plans."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ct_clickhouse_spark import plans
+from ct_clickhouse_spark.catalog import load_table
+from ct_clickhouse_spark.operators import relational
+from tests.conftest import SF_DIR
+
+
+def test_filter_pushdown_reaches_parquet(spark):
+    li = load_table(spark, SF_DIR, "lineitem").filter(F.col("l_returnflag") == "R")
+    assert plans.has_pushed_filters(li, "EqualTo(l_returnflag,R)")
+
+
+def test_range_filter_pushdown(spark):
+    df = relational.pricing_summary(spark, SF_DIR)
+    assert plans.has_pushed_filters(df, "LessThanOrEqual(l_shipdate")
+
+
+def test_column_pruning(spark):
+    """A 2-column projection must not read all 11 lineitem columns."""
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = plans.read_schema_columns(li)
+    assert schemas and all(set(s) == {"l_orderkey", "l_quantity"} for s in schemas)
+
+
+def test_metadata_query_never_reads_payload(spark):
+    """Multimodal metadata aggregates must not scan the binary column."""
+    from ct_clickhouse_spark.operators import multimodal
+
+    df = multimodal.media_meta_stats(spark, SF_DIR)
+    for cols in plans.read_schema_columns(df):
+        # payload derives from text; width/height/format from doc_id:
+        # the scan should read only those narrow source columns
+        assert "text" in cols or "doc_id" in cols or "source" in cols
+
+
+def test_partition_pruning_on_month(spark, tmp_path):
+    from ct_clickhouse_spark.cert_domains import write_cert_domains
+
+    out = str(tmp_path / "cd")
+    write_cert_domains(spark, SF_DIR, out)
+    df = spark.read.parquet(out).filter(F.col("month") == "199506")
+    assert plans.has_partition_filters(df, "month")
+    # and the data filter list stays empty — month is partition-only
+    assert not plans.has_pushed_filters(df, "month")
+
+
+def test_broadcast_joins_for_dims(spark):
+    assert plans.has_broadcast_hash_join(relational.region_revenue(spark, SF_DIR))
+    assert plans.has_broadcast_hash_join(relational.shipping_priority(spark, SF_DIR))
+
+
+def test_topk_plans_take_ordered(spark):
+    assert plans.has_take_ordered(relational.topk_parts(spark, SF_DIR))
+    assert plans.has_take_ordered(relational.shipping_priority(spark, SF_DIR))
+
+
+def test_aggregation_uses_wholestage_codegen(spark):
+    df = relational.pricing_summary(spark, SF_DIR)
+    assert plans.wholestage_codegen_spans(df) >= 1
