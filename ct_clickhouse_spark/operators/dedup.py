@@ -87,14 +87,20 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     group by (a, b) counting common shingles -> Jaccard from |A|,|B|,|A∩B|.
     The only shuffles are on the shingle key and the pair key."""
     docs = load_table(spark, sf_dir, "documents")
+    # join on the 64-bit shingle hash, not the string: ~10x smaller shuffle
+    # and long-key compares (collision odds at 1e6 shingles: ~1e-8 — far
+    # below the comparison's float-rounding noise)
     sh = docs.select(
-        "doc_id", F.explode(_shingles(_words(F.col("text")))).alias("shingle")
+        "doc_id",
+        F.explode(
+            F.transform(_shingles(_words(F.col("text"))), lambda s: F.xxhash64(s))
+        ).alias("sh_h"),
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -123,9 +129,17 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combinable hash aggregate, no O(k)-deep expression trees
     (a nested-transform formulation was 20x slower purely on codegen)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(_shingles(_words(F.col("text")))).alias("shingle"))
+    # hash the shingle string ONCE, then derive the k family members by
+    # hashing the resulting long with the seed — k string hashes per
+    # shingle was the dominant cost at sf0.1
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(_shingles(_words(F.col("text"))), lambda s: F.xxhash64(s))
+        ).alias("sh_h"),
+    )
     return sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}") for i in range(MINHASH_K)]
+        *[F.min(F.xxhash64("sh_h", F.lit(i))).alias(f"h{i}") for i in range(MINHASH_K)]
     )
 
 

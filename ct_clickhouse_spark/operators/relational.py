@@ -199,6 +199,28 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders at all."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+def suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): suppliers that appear in lineitem."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
 QUERIES = {
     "rel_pricing_summary": pricing_summary,
     "rel_shipping_priority": shipping_priority,
@@ -211,6 +233,8 @@ QUERIES = {
     "rel_having": nations_with_many_customers,
     "rel_topk_parts": topk_parts,
     "rel_distinct_counts": distinct_counts,
+    "rel_anti_join": customers_without_orders,
+    "rel_semi_join": suppliers_with_shipments,
 }
 
 ORACLES = {
@@ -299,5 +323,15 @@ ORACLES = {
                count(DISTINCT o_orderpriority) AS n_prio,
                count(DISTINCT o_orderstatus) AS n_status
         FROM orders
+    """,
+    "rel_anti_join": """
+        SELECT c_custkey, c_name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        ORDER BY c_custkey
+    """,
+    "rel_semi_join": """
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        ORDER BY s_suppkey
     """,
 }

@@ -117,18 +117,50 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Content fingerprint: min/max xxhash64 over sliding character
-    k-grams (Rabin-Karp/winnowing style). Deterministic; rows-only (no
-    xxhash64 in ANSI SQL)."""
+    """Content fingerprint: min/max of a Rabin-Karp rolling polynomial
+    hash over sliding FP_WINDOW-byte windows. Deterministic; rows-only.
+
+    Implemented as a numpy rolling hash inside mapInPandas: the window
+    hash for every position is computed with vectorized uint64 arithmetic
+    (one multiply-add sweep per window byte), not one hash call per
+    window — a per-window Catalyst expression was ~10x slower at sf0.1."""
+    import numpy as np
+
     docs = load_table(spark, sf_dir, "documents")
-    txt = F.lower(F.trim(F.col("text")))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(txt) - FP_WINDOW + 1, F.lit(1)))
-    grams = F.transform(idx, lambda i: F.xxhash64(F.substring(txt, i, FP_WINDOW)))
-    return docs.select(
-        "doc_id",
-        F.array_min(grams).alias("fp_min"),
-        F.array_max(grams).alias("fp_max"),
-    ).orderBy("doc_id")
+    base = np.uint64(1099511628211)  # FNV-ish odd multiplier
+
+    def _fp(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = np.frombuffer(
+                    text.lower().strip().encode("utf-8"), dtype=np.uint8
+                )
+                n = len(data)
+                if n < FP_WINDOW:
+                    data = np.pad(data, (0, FP_WINDOW - n))
+                    n = FP_WINDOW
+                k = n - FP_WINDOW + 1
+                with np.errstate(over="ignore"):
+                    h = np.zeros(k, dtype=np.uint64)
+                    for j in range(FP_WINDOW):
+                        h = h * base + data[j : j + k].astype(np.uint64)
+                out.append(
+                    {
+                        "doc_id": doc_id,
+                        "fp_min": int(h.min().astype(np.int64)),
+                        "fp_max": int(h.max().astype(np.int64)),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "fp_min", "fp_max"])
+
+    return (
+        docs.select("doc_id", "text")
+        .mapInPandas(_fp, "doc_id long, fp_min long, fp_max long")
+        .orderBy("doc_id")
+    )
 
 
 TOP_TERMS = 3
