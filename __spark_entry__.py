@@ -24,6 +24,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _modules():
     from ct_clickhouse_spark import api_queries
+    from ct_clickhouse_spark.functions import udtfs
     from ct_clickhouse_spark.operators import (
         dedup,
         multimodal,
@@ -33,7 +34,7 @@ def _modules():
         windows,
     )
 
-    return [api_queries, relational, windows, dedup, text, similarity, multimodal]
+    return [api_queries, relational, windows, dedup, text, similarity, multimodal, udtfs]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table
 from ..cert_domains import build_cert_domains, oracle_with_cert_domains
+from ..session import default_parallelism
 
 JACCARD_THRESHOLD = 0.5
 SHINGLE_WORDS = 3
@@ -85,8 +86,13 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: explode distinct shingles -> equi-self-join on shingle ->
     group by (a, b) counting common shingles -> Jaccard from |A|,|B|,|A∩B|.
-    The only shuffles are on the shingle key and the pair key."""
-    docs = load_table(spark, sf_dir, "documents")
+    The only shuffles are on the shingle key and the pair key.
+
+    The scan is repartitioned before the shingle projection: the fixture
+    is one small parquet file = one input split, which would serialize the
+    expensive expression work (13s single-task at sf0.1 -> ~1s across
+    cores). On real multi-file inputs the repartition is a no-op cost."""
+    docs = load_table(spark, sf_dir, "documents").repartition(default_parallelism())
     # join on the 64-bit shingle hash, not the string: ~10x smaller shuffle
     # and long-key compares (collision odds at 1e6 shingles: ~1e-8 — far
     # below the comparison's float-rounding noise)
@@ -128,7 +134,7 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``min(xxhash64(shingle, seed_i))`` per doc for k seeds — a single
     map-side-combinable hash aggregate, no O(k)-deep expression trees
     (a nested-transform formulation was 20x slower purely on codegen)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(default_parallelism())
     # hash the shingle string ONCE, then derive the k family members by
     # hashing the resulting long with the seed — k string hashes per
     # shingle was the dominant cost at sf0.1
@@ -223,7 +229,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     Implemented as explode(words) -> per-bit +/-1 contributions -> sum ->
     sign bits -> binary-weighted sum. All JVM expressions; one shuffle on
     doc_id. Hamming-close signatures = near-duplicates."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(default_parallelism())
     tokens = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
     h = F.xxhash64("tok")
     bit_cols = [

@@ -200,9 +200,9 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS): customers with no orders at all."""
+    """LEFT ANTI join (NOT EXISTS): customers with no 'P'-status order."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     return (
         cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -326,7 +326,8 @@ ORACLES = {
     """,
     "rel_anti_join": """
         SELECT c_custkey, c_name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
         ORDER BY c_custkey
     """,
     "rel_semi_join": """

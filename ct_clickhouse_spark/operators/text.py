@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..session import default_parallelism
 
 # Tiny in-query stopword lists for the language-ID heuristic.
 STOPWORDS = {
@@ -126,7 +127,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — a per-window Catalyst expression was ~10x slower at sf0.1."""
     import numpy as np
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = load_table(spark, sf_dir, "documents").repartition(default_parallelism())
     base = np.uint64(1099511628211)  # FNV-ish odd multiplier
 
     def _fp(batches):
