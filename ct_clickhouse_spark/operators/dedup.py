@@ -48,7 +48,6 @@ def cert_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         cert.dropDuplicates(["fingerprint", "domain"])
         .groupBy("log_name")
         .agg(F.count(F.lit(1)).alias("n_unique"))
-        .orderBy("log_name")
     )
 
 
@@ -58,7 +57,6 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.groupBy(F.md5("text").alias("text_hash"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
-        .orderBy("keep_id")
     )
 
 
@@ -123,7 +121,6 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -155,7 +152,7 @@ def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_sig_df(spark, sf_dir)
     return sig.select(
         "doc_id", F.array(*[f"h{i}" for i in range(MINHASH_K)]).alias("signature")
-    ).orderBy("doc_id")
+    )
 
 
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -219,7 +216,6 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("est_jaccard", est)
         .filter(F.col("est_jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "est_jaccard")
-        .orderBy("doc_a", "doc_b")
     )
 
 
@@ -248,7 +244,7 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         ).alias("simhash"),
     )
-    return sim.orderBy("doc_id")
+    return sim
 
 
 QUERIES = {

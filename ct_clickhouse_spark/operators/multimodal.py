@@ -86,7 +86,6 @@ def media_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.length("payload")).alias("total_bytes"),
             F.round(F.avg(F.col("width") * F.col("height")), 2).alias("avg_pixels"),
         )
-        .orderBy("kind", "format")
     )
 
 
@@ -133,7 +132,7 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in DECODE_SCHEMA.fields])
 
     media = build_media(spark, sf_dir).select("media_id", "kind", "payload")
-    return media.mapInPandas(_decode, DECODE_SCHEMA).orderBy("media_id")
+    return media.mapInPandas(_decode, DECODE_SCHEMA)
 
 
 FRAME_SCHEMA = StructType(
@@ -181,7 +180,6 @@ def frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         frames.groupBy("media_id")
         .agg(F.count(F.lit(1)).alias("n_sampled_frames"))
-        .orderBy("media_id")
     )
 
 

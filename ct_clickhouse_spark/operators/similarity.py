@@ -102,10 +102,7 @@ def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"id_a": a_ids[ai], "id_b": ids_all[bj], "cosine": sims[ai, bj]}
             )
 
-    return (
-        emb.mapInPandas(_pairs, "id_a long, id_b long, cosine double")
-        .orderBy("id_a", "id_b")
-    )
+    return emb.mapInPandas(_pairs, "id_a long, id_b long, cosine double")
 
 
 def _hyperplanes(spark: SparkSession) -> DataFrame:
@@ -145,7 +142,6 @@ def lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("dot") > 0, F.expr("shiftleft(1L, CAST(bit AS INT))")).otherwise(F.lit(0))
             ).alias("signature")
         )
-        .orderBy("vec_id")
     )
 
 
@@ -210,9 +206,7 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    return cand.mapInPandas(_verify, "id_a long, id_b long, cosine double").orderBy(
-        "id_a", "id_b"
-    )
+    return cand.mapInPandas(_verify, "id_a long, id_b long, cosine double")
 
 
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -225,7 +219,6 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("label", "pos")
         .agg(F.round(F.avg("v"), 6).alias("centroid_v"))
-        .orderBy("label", "pos")
     )
 
 

@@ -50,7 +50,7 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size(words),
             4,
         ).alias("avg_word_len"),
-    ).orderBy("doc_id")
+    )
 
 
 def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,7 +71,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(junk_ratio, 4).alias("junk_ratio"),
         F.round(mean_wl, 4).alias("mean_word_len"),
         score.alias("quality_score"),
-    ).orderBy("doc_id")
+    )
 
 
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,7 +91,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
     return scored.select(
         "doc_id", "lang", *[f"score_{lang}" for lang in STOPWORDS], pred.alias("pred_lang")
-    ).orderBy("doc_id")
+    )
 
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -113,7 +113,6 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("re_tokens").alias("total_re_tokens"),
             F.count(F.lit(1)).alias("n_docs"),
         )
-        .orderBy("source")
     )
 
 
@@ -160,7 +159,6 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.select("doc_id", "text")
         .mapInPandas(_fp, "doc_id long, fp_min long, fp_max long")
-        .orderBy("doc_id")
     )
 
 
@@ -197,7 +195,6 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", "text")
         .groupBy("source")
         .applyInPandas(_top, schema)
-        .orderBy("source", "term_rank")
     )
 
 

@@ -35,7 +35,6 @@ def latest_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
-        .orderBy("o_custkey")
     )
 
 
@@ -51,7 +50,7 @@ def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.round(F.sum("o_totalprice").over(w), 2).alias("running_revenue"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,7 +62,7 @@ def order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         F.datediff(F.to_date("o_orderdate"), F.to_date(prev)).alias("gap_days"),
-    ).orderBy("o_custkey", "o_orderkey")
+    )
 
 
 def price_rank_in_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,7 +75,7 @@ def price_rank_in_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_retailprice",
         F.rank().over(w).alias("price_rank"),
         F.dense_rank().over(w).alias("price_dense_rank"),
-    ).orderBy("p_brand", "p_partkey")
+    )
 
 
 def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -91,7 +90,7 @@ def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_id",
         F.round(F.avg("value").over(w), 4).alias("moving_avg"),
-    ).orderBy("user_id", "event_id")
+    )
 
 
 def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +104,6 @@ def tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -116,7 +114,6 @@ def sliding_2h_every_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(F.col("w.start").alias("window_start"), "n_events")
-        .orderBy("window_start")
     )
 
 
@@ -140,7 +137,6 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_value",
         )
-        .orderBy("user_id", "session_start")
     )
 
 
