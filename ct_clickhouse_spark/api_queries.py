@@ -157,6 +157,23 @@ def table_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ALLOWED_LOGS = ["Google_Argon2024", "DigiCert_Yeti2024"]
+
+
+def log_allowlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-membership filter (SURVEY J2): the reference's IP-allowlist gate
+    (api/app.py:27-53, `client_ip in allowed_ips`) as the engine-side
+    idiom — isin against a small literal set, which Catalyst compiles to
+    an In predicate pushed into the scan (a broadcast-hash semi-join once
+    the set outgrows a literal list)."""
+    cert = build_cert_domains(spark, sf_dir)
+    return (
+        cert.filter(F.col("log_name").isin(ALLOWED_LOGS))
+        .groupBy("log_name")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
 def human_readable_size(size_bytes: float) -> str:
     """B→PB formatting, API-layer helper (reference: api/app.py:211-219)."""
     if size_bytes == 0:
@@ -217,6 +234,13 @@ ORACLES: dict[str, str] = {
         WHERE CAST(ts AS DATE) = (SELECT max(CAST(ts AS DATE)) FROM cert_domains)
         """
     ),
+    "ref_log_allowlist": oracle_with_cert_domains(
+        f"""
+        SELECT log_name, count(*) AS n_rows FROM cert_domains
+        WHERE log_name IN ({", ".join(repr(x) for x in ALLOWED_LOGS)})
+        GROUP BY log_name
+        """
+    ),
     "ref_stream_page": oracle_with_cert_domains(
         f"""
         SELECT {_STAR_SQL} FROM cert_domains
@@ -235,4 +259,5 @@ QUERIES = {
     "ref_stats_approx": stats_approx,  # rows-only by design
     "ref_stream_page": stream_page,
     "ref_table_sizes": table_sizes,  # rows-only by design
+    "ref_log_allowlist": log_allowlist,
 }

@@ -140,6 +140,13 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# DataFrame-lineage cache: repeated load_table calls re-list files and
+# re-read footers on the driver (~50-100 ms each), which dominates small
+# interactive queries. The cached object is just the immutable logical
+# plan — no data is pinned.
+_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; fails fast on schema drift instead of inferring.
 
@@ -147,6 +154,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     reader rejects; we read nanos as long and floor-convert to microseconds
     (exactly what DuckDB's ns->us truncation does), keeping the scan native
     and vectorized."""
+    key = (id(spark), sf_dir, name)
+    cached = _DF_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         from pyspark.sql import functions as F
 
@@ -156,19 +167,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             "ts",
             F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
         ).select(*[f.name for f in SCHEMAS[name].fields])
-        got_fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-        want_fields = {f.name: f.dataType.simpleString() for f in SCHEMAS[name].fields}
-        if got_fields != want_fields:
-            raise ValueError(
-                f"schema drift for table {name!r}: expected {want_fields}, got {got_fields}"
-            )
-        return df
-    df = spark.read.parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
     expected = SCHEMAS[name]
     got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     want = {f.name: f.dataType.simpleString() for f in expected.fields}
     if got != want:
         raise ValueError(f"schema drift for table {name!r}: expected {want}, got {got}")
+    _DF_CACHE[key] = df
     return df
 
 

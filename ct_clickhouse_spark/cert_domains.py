@@ -110,10 +110,20 @@ def oracle_with_cert_domains(select_sql: str) -> str:
     return f"WITH cert_domains AS (\n{cert_domains_duckdb_sql()}\n)\n{select_sql}"
 
 
+_CERT_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def build_cert_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Build the cert_domains DataFrame and register it as a temp view."""
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    df = spark.sql(cert_domains_spark_sql())
+    """Build the cert_domains DataFrame and register it as a temp view.
+    The (immutable) lineage is cached per (session, sf_dir) so repeated
+    queries skip re-parsing the construction SQL; views are re-registered
+    each call so spark.sql always resolves."""
+    key = (id(spark), sf_dir)
+    df = _CERT_CACHE.get(key)
+    if df is None:
+        load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+        df = spark.sql(cert_domains_spark_sql())
+        _CERT_CACHE[key] = df
     df.createOrReplaceTempView("cert_domains")
     return df
 
