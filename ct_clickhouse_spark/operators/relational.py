@@ -216,6 +216,21 @@ def suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (ClickHouse stddevSamp/varSamp/corr analog):
+    per-flag dispersion + price/quantity correlation in one pass."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+            F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+            F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias("price_qty_covar"),
+        )
+    )
+
+
 QUERIES = {
     "rel_pricing_summary": pricing_summary,
     "rel_shipping_priority": shipping_priority,
@@ -230,6 +245,7 @@ QUERIES = {
     "rel_distinct_counts": distinct_counts,
     "rel_anti_join": customers_without_orders,
     "rel_semi_join": suppliers_with_shipments,
+    "rel_stats_agg": stats_aggregates,
 }
 
 ORACLES = {
@@ -318,6 +334,14 @@ ORACLES = {
                count(DISTINCT o_orderpriority) AS n_prio,
                count(DISTINCT o_orderstatus) AS n_status
         FROM orders
+    """,
+    "rel_stats_agg": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+               round(var_samp(l_discount), 6) AS disc_var,
+               round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+               round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_covar
+        FROM lineitem GROUP BY l_returnflag
     """,
     "rel_anti_join": """
         SELECT c_custkey, c_name FROM customer

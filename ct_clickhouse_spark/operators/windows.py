@@ -140,6 +140,37 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: events.props is a JSON string; extract a
+    field path and aggregate (ClickHouse JSONExtract* analog)."""
+    events = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 4).alias("avg_k"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+def spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4): customer account-balance quartile buckets.
+
+    Exception to the partitioned-window rule above: exact global ntile
+    requires a total order (single-partition window). At 100 TB assign
+    buckets by comparing against approx_percentile boundaries instead —
+    same output schema, no global sort."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).alias("balance_quartile"),
+    )
+
+
 QUERIES = {
     "win_latest_order_per_customer": latest_order_per_customer,
     "win_running_revenue": running_revenue,
@@ -149,6 +180,8 @@ QUERIES = {
     "evt_tumbling_hourly": tumbling_hourly,
     "evt_sliding_2h_1h": sliding_2h_every_1h,
     "evt_session_30m": session_windows,
+    "evt_json_props": json_props_rollup,
+    "win_ntile_quartiles": spend_quartiles,
 }
 
 ORACLES = {
@@ -201,6 +234,18 @@ ORACLES = {
                            date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
             FROM events
         ) GROUP BY 1 ORDER BY 1
+    """,
+    "evt_json_props": """
+        SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+               count(*) AS n_events
+        FROM events GROUP BY event_type
+    """,
+    "win_ntile_quartiles": """
+        SELECT c_custkey, c_acctbal,
+               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
+        FROM customer
     """,
     "evt_session_30m": f"""
         WITH flagged AS (
