@@ -62,14 +62,12 @@ WITH cert_base AS (
   FROM cert_base
 ), exploded AS (
   {explode_select}
+), duplicated AS (
+  {dup_select}
 )
 SELECT ts, domain, base_domain, fingerprint, issuer, subject, san,
        not_before, not_after, log_name
-FROM exploded
-UNION ALL
-SELECT ts, domain, base_domain, fingerprint, issuer, subject, san,
-       not_before, not_after, log_name
-FROM exploded WHERE dup_sel = 0
+FROM duplicated
 """
 
 _SPARK_FRAGMENTS = {
@@ -81,6 +79,13 @@ _SPARK_FRAGMENTS = {
     "san_expr": "concat(array(base_domain), transform(prefixes, p -> concat(p, '.', base_domain)))",
     "fingerprint_expr": "sha2(concat(base_domain, '|', CAST(cert_id AS STRING)), 256)",
     "explode_select": "SELECT c.*, d AS domain FROM certs c LATERAL VIEW explode(san) t AS d",
+    # at-least-once duplicates in ONE pass: explode a 1- or 2-element
+    # sequence instead of UNION ALL (which recomputes the whole sha2 +
+    # explode chain twice in both engines)
+    "dup_select": (
+        "SELECT e.*, i FROM exploded e LATERAL VIEW "
+        "explode(sequence(1, CASE WHEN dup_sel = 0 THEN 2 ELSE 1 END)) t AS i"
+    ),
 }
 
 _DUCKDB_FRAGMENTS = {
@@ -92,6 +97,10 @@ _DUCKDB_FRAGMENTS = {
     "san_expr": "list_concat([base_domain], list_transform(prefixes, p -> concat(p, '.', base_domain)))",
     "fingerprint_expr": "sha256(concat(base_domain, '|', CAST(cert_id AS VARCHAR)))",
     "explode_select": "SELECT c.*, unnest(san) AS domain FROM certs c",
+    "dup_select": (
+        "SELECT e.*, unnest(range(1, CASE WHEN dup_sel = 0 THEN 2 ELSE 1 END + 1)) AS i "
+        "FROM exploded e"
+    ),
 }
 
 
