@@ -216,6 +216,15 @@ def suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping-set combinations."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_sales"),
+    )
+
+
 def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates (ClickHouse stddevSamp/varSamp/corr analog):
     per-flag dispersion + price/quantity correlation in one pass."""
@@ -246,6 +255,7 @@ QUERIES = {
     "rel_anti_join": customers_without_orders,
     "rel_semi_join": suppliers_with_shipments,
     "rel_stats_agg": stats_aggregates,
+    "rel_cube_sales": cube_sales,
 }
 
 ORACLES = {
@@ -334,6 +344,12 @@ ORACLES = {
                count(DISTINCT o_orderpriority) AS n_prio,
                count(DISTINCT o_orderstatus) AS n_status
         FROM orders
+    """,
+    "rel_cube_sales": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_sales
+        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
     "rel_stats_agg": """
         SELECT l_returnflag,
