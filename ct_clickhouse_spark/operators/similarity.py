@@ -209,6 +209,77 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.mapInPandas(_verify, "id_a long, id_b long, cosine double")
 
 
+IVF_CLUSTERS = 8
+IVF_PROBES = 2
+IVF_ITERS = 2
+
+
+def _ivf_centroids(ids, mat):
+    """Deterministic k-means-lite coarse quantizer: seeds = the k lowest
+    vec_ids, then IVF_ITERS Lloyd iterations. Runs on the (already
+    broadcast-sized) matrix; at 100 TB train on a sample or with a
+    distributed k-means — the assignment/probe plan below is unchanged."""
+    import numpy as np
+
+    order = np.argsort(ids)
+    cents = mat[order[:IVF_CLUSTERS]].copy()
+    for _ in range(IVF_ITERS):
+        assign = np.argmax(mat @ cents.T, axis=1)
+        for c in range(IVF_CLUSTERS):
+            members = mat[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                cents[c] = m / (np.linalg.norm(m) or 1.0)
+    return cents
+
+
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (the other classic ANN scale path, besides
+    LSH): vectors are bucketed by nearest coarse centroid; the query
+    probes only its IVF_PROBES closest buckets and runs exact cosine
+    there. At scale the assignment is a partition key — the probe reads
+    IVF_PROBES/IVF_CLUSTERS of the data instead of all of it."""
+    import numpy as np
+    import pandas as pd
+
+    bc = _normalized_matrix(spark, sf_dir)
+    ids_all, mat_all = bc.value
+    cents = _ivf_centroids(ids_all, mat_all)
+    qvec = mat_all[np.nonzero(ids_all == QUERY_VEC_ID)[0][0]]
+    probe = set(np.argsort(-(cents @ qvec))[:IVF_PROBES].tolist())
+    bc_cents = spark.sparkContext.broadcast((cents, probe, qvec))
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+
+    def _search(batches):
+        cents_, probe_, q = bc_cents.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            assign = np.argmax(m @ cents_.T, axis=1)
+            in_probe = np.isin(assign, list(probe_)) & (
+                pdf["vec_id"].to_numpy() != QUERY_VEC_ID
+            )
+            if not in_probe.any():
+                continue
+            sims = np.round(m[in_probe] @ q, 4)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[in_probe],
+                    "label": pdf["label"].to_numpy()[in_probe],
+                    "cosine": sims,
+                }
+            )
+
+    return (
+        emb.mapInPandas(_search, "vec_id long, label int, cosine double")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(TOPK)
+    )
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components: posexplode + avg per (label, pos) —
     the building block of IVF coarse quantization."""
@@ -227,6 +298,7 @@ QUERIES = {
     "sim_cosine_pairs": cosine_pairs,
     "sim_lsh_signatures": lsh_signatures,  # rows-only (hash sketch)
     "sim_lsh_pairs": lsh_candidate_pairs,  # rows-only (hash sketch)
+    "sim_ivf_topk": ivf_topk,  # rows-only (approximate index)
     "sim_label_centroids": label_centroids,
 }
 

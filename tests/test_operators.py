@@ -82,6 +82,21 @@ def test_lsh_ann_recall_against_brute_force(spark):
         assert len(approx) / len(exact) >= 0.2
 
 
+def test_ivf_topk_recall_against_brute_force(spark):
+    """IVF with 2/8 probes should recover most of the true top-10."""
+    exact = [r.vec_id for r in similarity.cosine_topk(spark, SF_DIR).collect()]
+    approx = {r.vec_id for r in similarity.ivf_topk(spark, SF_DIR).collect()}
+    recall = len(set(exact) & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall}"
+    # IVF cosines are exact for returned ids: spot-check against brute list
+    exact_map = {
+        r.vec_id: r.cosine for r in similarity.cosine_topk(spark, SF_DIR).collect()
+    }
+    for r in similarity.ivf_topk(spark, SF_DIR).collect():
+        if r.vec_id in exact_map:
+            assert abs(r.cosine - exact_map[r.vec_id]) < 1e-9
+
+
 def test_lang_id_prefers_english_on_stopworded_text(spark):
     rows = text.lang_id(spark, SF_DIR).collect()
     # fixture text contains 'the'/'a' (english stopwords) -> no row should
