@@ -27,6 +27,7 @@ def _modules():
     from ct_clickhouse_spark.functions import udtfs
     from ct_clickhouse_spark.operators import (
         dedup,
+        ingest_batch,
         multimodal,
         relational,
         similarity,
@@ -34,7 +35,17 @@ def _modules():
         windows,
     )
 
-    return [api_queries, relational, windows, dedup, text, similarity, multimodal, udtfs]
+    return [
+        api_queries,
+        relational,
+        windows,
+        dedup,
+        text,
+        similarity,
+        multimodal,
+        udtfs,
+        ingest_batch,
+    ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
