@@ -216,6 +216,32 @@ def suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join(
+    big: DataFrame, small: DataFrame, big_key: str, small_key: str, n_salt: int = 8
+) -> DataFrame:
+    """Skew-mitigating equi-join: salt the big side's key, replicate the
+    small side across all salts, join on (key, salt).
+
+    AQE's skew-join split (enabled in session.py) handles most skew at
+    runtime; explicit salting is the plan-level tool when one key is so
+    hot that even split partitions overwhelm a task — the join becomes
+    n_salt independent joins per hot key. Result is row-identical to the
+    plain join (verified in tests)."""
+    from pyspark.sql import functions as F
+
+    big_salted = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+    )
+    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
+    small_replicated = small.withColumn("_salt", salts)
+    joined = big_salted.join(
+        small_replicated,
+        (big_salted[big_key] == small_replicated[small_key])
+        & (big_salted["_salt"] == small_replicated["_salt"]),
+    )
+    return joined.drop("_salt")
+
+
 def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all 4 grouping-set combinations."""
     orders = _t(spark, sf_dir, "orders")

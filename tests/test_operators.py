@@ -104,6 +104,70 @@ def test_lang_id_prefers_english_on_stopworded_text(spark):
     assert all(r.pred_lang in ("en", "unknown") for r in rows)
 
 
+def test_salted_join_equals_plain_join(spark):
+    """Salting must be a pure physical rewrite: same rows out."""
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderstatus")
+    plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    salted = relational.salted_join(li, orders, "l_orderkey", "o_orderkey", n_salt=4)
+    cols = ["l_orderkey", "l_quantity", "o_orderkey", "o_orderstatus"]
+    assert salted.count() == plain.count()
+    assert (
+        plain.select(cols).exceptAll(salted.select(cols)).count() == 0
+        and salted.select(cols).exceptAll(plain.select(cols)).count() == 0
+    )
+
+
+def test_streaming_session_window_matches_batch(spark, tmp_path):
+    """T8 in streaming mode: session_window over a chunked file stream
+    with watermark converges to the batch session result."""
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.catalog import load_table
+
+    src = str(tmp_path / "src")
+    events = load_table(spark, SF_DIR, "events").orderBy("ts", "event_id")
+    n = events.count()
+    first = events.limit(n // 2)
+    events.subtract(first).coalesce(1).write.parquet(src + "/chunk=1")
+    first.coalesce(1).write.parquet(src + "/chunk=0")
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+        .withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", "1 hour")
+        .groupBy(F.session_window("ts_tz", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r.user_id, r["w"].start.isoformat(), r.n_events)
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+    want = {
+        (r.user_id, r.session_start.isoformat(), r.n_events)
+        for r in windows.session_windows(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
 def test_broadcast_join_in_region_revenue(spark):
     plan = (
         relational.region_revenue(spark, SF_DIR)
