@@ -97,9 +97,13 @@ _DUCKDB_FRAGMENTS = {
     "san_expr": "list_concat([base_domain], list_transform(prefixes, p -> concat(p, '.', base_domain)))",
     "fingerprint_expr": "sha256(concat(base_domain, '|', CAST(cert_id AS VARCHAR)))",
     "explode_select": "SELECT c.*, unnest(san) AS domain FROM certs c",
+    # DuckDB is faster with the two-pass UNION ALL (it materializes
+    # multi-referenced CTEs) while Spark is faster with the single-pass
+    # sequence explode — each dialect gets its best formulation; the
+    # parity test pins both to the identical relation.
     "dup_select": (
-        "SELECT e.*, unnest(range(1, CASE WHEN dup_sel = 0 THEN 2 ELSE 1 END + 1)) AS i "
-        "FROM exploded e"
+        "SELECT e.*, 1 AS i FROM exploded e "
+        "UNION ALL SELECT e.*, 2 AS i FROM exploded e WHERE dup_sel = 0"
     ),
 }
 

@@ -13,7 +13,6 @@ Exit 0 iff everything matches.
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 import time
@@ -25,47 +24,13 @@ ORACLE_DIR = "/root/testdata/sf0.01"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def norm_cell(v):
-    import datetime
-    import math
-
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"{v:.6g}"
-    if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat(sep=" ", timespec="seconds")
-    if isinstance(v, datetime.date):
-        return v.isoformat()
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(norm_cell(x) for x in v) + "]"
-    try:
-        import numpy as np
-
-        if isinstance(v, np.ndarray):
-            return "[" + ",".join(norm_cell(x) for x in v.tolist()) + "]"
-        if isinstance(v, np.generic):
-            return norm_cell(v.item())
-    except ImportError:
-        pass
-    return str(v)
-
-
-def frame_signature(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    lines = sorted("\x01".join(norm_cell(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
-    return sorted(cols), len(rows), h
-
-
 def main() -> int:
     only = sys.argv[1:]
     import duckdb
 
     import __spark_entry__ as entrymod
     from ct_clickhouse_spark.session import get_spark
+    from ct_clickhouse_spark.testing import frame_signature
 
     spark = get_spark(app_name="verify-driver")
 
