@@ -30,27 +30,30 @@ def main() -> None:
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
-        fn(spark, SF_DIR).collect()  # warm-up (also builds temp views)
-        samples = []
-        for _ in range(RUNS):
-            t0 = time.time()
-            fn(spark, SF_DIR).collect()
-            samples.append(time.time() - t0)
-        timings[name] = round(statistics.median(samples), 4)
+        try:
+            fn(spark, SF_DIR).collect()  # warm-up (also builds temp views)
+            samples = []
+            for _ in range(RUNS):
+                t0 = time.time()
+                fn(spark, SF_DIR).collect()
+                samples.append(time.time() - t0)
+            timings[name] = round(statistics.median(samples), 4)
+        except Exception as e:  # one broken query must not void the metric
+            errors[name] = str(e)[:200]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -242,6 +242,37 @@ def salted_join(
     return joined.drop("_salt")
 
 
+def latest_order_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argMax (ClickHouse's signature aggregate): per priority, the order
+    key of the latest order — max_by over a unique maximand (epoch-days *
+    10^7 + orderkey) so ties cannot make the answer engine-dependent."""
+    orders = _t(spark, sf_dir, "orders")
+    maximand = (
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long") * 10_000_000 + F.col("o_orderkey")
+    )
+    return orders.groupBy("o_orderpriority").agg(
+        F.max_by("o_orderkey", maximand).alias("latest_orderkey"),
+        F.max("o_orderdate").alias("latest_orderdate"),
+    )
+
+
+def nations_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupArray/string_agg analog: ordered string aggregation per region."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
 def cube_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUBE over (status, priority): all 4 grouping-set combinations."""
     orders = _t(spark, sf_dir, "orders")
@@ -282,6 +313,8 @@ QUERIES = {
     "rel_semi_join": suppliers_with_shipments,
     "rel_stats_agg": stats_aggregates,
     "rel_cube_sales": cube_sales,
+    "rel_argmax": latest_order_argmax,
+    "rel_group_concat": nations_concat,
 }
 
 ORACLES = {
@@ -370,6 +403,21 @@ ORACLES = {
                count(DISTINCT o_orderpriority) AS n_prio,
                count(DISTINCT o_orderstatus) AS n_status
         FROM orders
+    """,
+    "rel_argmax": """
+        SELECT o_orderpriority,
+               arg_max(o_orderkey,
+                       date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+                       * 10000000 + o_orderkey) AS latest_orderkey,
+               max(o_orderdate) AS latest_orderdate
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "rel_group_concat": """
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
     """,
     "rel_cube_sales": """
         SELECT o_orderstatus, o_orderpriority,
