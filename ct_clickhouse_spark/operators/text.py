@@ -198,6 +198,25 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-keyed train/test split — the standard
+    LLM-pipeline idiom: bucket by a hash of the stable document key so the
+    split survives re-runs, re-partitioning, and engine changes. Split on
+    the first hex char of md5(doc_id): 0-b -> train (12/16), c-f -> test.
+    Reported per (split, lang) so stratification skew is visible."""
+    docs = load_table(spark, sf_dir, "documents")
+    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    split = F.when(first_hex < "c", "train").otherwise("test")
+    return (
+        docs.withColumn("split", split)
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+        )
+    )
+
+
 def _stopword_sql(lang: str) -> str:
     return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
@@ -209,6 +228,7 @@ QUERIES = {
     "text_token_count": token_count,
     "text_doc_fingerprint": doc_fingerprint,  # rows-only (xxhash64 sketch)
     "text_top_terms_per_source": top_terms_per_source,
+    "text_train_test_split": train_test_split,
 }
 
 _WORDS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
@@ -259,6 +279,14 @@ ORACLES = {
                sum(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS total_re_tokens,
                count(*) AS n_docs
         FROM documents GROUP BY source ORDER BY source
+    """,
+    "text_train_test_split": """
+        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                    THEN 'train' ELSE 'test' END AS split,
+               lang,
+               count(*) AS n_docs,
+               sum(length(text)) AS total_chars
+        FROM documents GROUP BY 1, 2
     """,
     "text_top_terms_per_source": f"""
         WITH words AS (
