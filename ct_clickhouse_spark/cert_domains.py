@@ -135,7 +135,11 @@ def build_cert_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _CERT_CACHE.get(key)
     if df is None:
         load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-        df = spark.sql(cert_domains_spark_sql())
+        # .cache(): the reference stores cert_domains as a physical table
+        # (init.sql) — in-memory columnar caching is the engine's analog,
+        # so the per-query cost is a cached-relation scan, not a rebuild
+        # of the sha2+explode construction (~500k rows at sf0.1, ~150 MB).
+        df = spark.sql(cert_domains_spark_sql()).cache()
         _CERT_CACHE[key] = df
     df.createOrReplaceTempView("cert_domains")
     return df
