@@ -56,7 +56,13 @@ def compact_parquet(
     df = spark.read.parquet(path)
     partition_cols = [c for c in df.columns if c == "month"]
     tmp = path.rstrip("/") + "__compacting"
-    out = df.repartition(n_files) if not partition_cols else df.repartition(*partition_cols)
+    # partitioned tables shuffle on (n_files, partition cols): rows of one
+    # Hive partition land in few tasks, total file count ~= n_files
+    out = (
+        df.repartition(n_files)
+        if not partition_cols
+        else df.repartition(n_files, *partition_cols)
+    )
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
     writer = out.write.mode("overwrite")

@@ -177,10 +177,16 @@ def create_app(spark: SparkSession, table_path: str):
     def stats():
         date_str = request.args.get("date")
         if date_str:
+            # validate eagerly: Column construction is lazy, so a bad date
+            # would otherwise surface as a 500 at execution time instead of
+            # the reference's 400 (api/app.py:174-179)
+            import datetime
+
             try:
-                target = F.to_date(F.lit(date_str), "yyyy-MM-dd")
-            except Exception:
+                datetime.datetime.strptime(date_str, "%Y-%m-%d")
+            except ValueError:
                 return jsonify({"error": "Invalid date format. Use YYYY-MM-DD"}), 400
+            target = F.to_date(F.lit(date_str), "yyyy-MM-dd")
         else:
             target = F.current_date()
         df = (

@@ -62,6 +62,12 @@ def test_tld_with_limit_clamp(client):
     assert len(rows) <= 100
 
 
+def test_stats_invalid_date_is_400(client):
+    resp = client.get("/stats?date=not-a-date")
+    assert resp.status_code == 400
+    assert "Invalid date" in resp.get_data(as_text=True)
+
+
 def test_stats_with_date(client):
     body = json.loads(client.get("/stats?date=1995-06-15").data)
     assert set(body) == {"total", "subdomains", "domains", "first_seen",
