@@ -171,6 +171,75 @@ def spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+FUNNEL_STEPS = ["view", "click", "purchase"]
+
+
+def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (ClickHouse windowFunnel analog): per user, the
+    deepest step of view -> click -> purchase reached *in order* (each
+    step strictly after the previous one), then funnel counts per step.
+
+    Plan shape: one conditional-min aggregate per user for step 1, then a
+    per-step broadcast-joinable aggregate chain — no per-user sorting or
+    Python; each step is a filtered hash aggregate + join on user_id."""
+    events = load_table(spark, sf_dir, "events")
+    s1 = (
+        events.filter(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == FUNNEL_STEPS[1])
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == FUNNEL_STEPS[2])
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    depth = (
+        s1.join(s2.select("user_id", "t2"), "user_id", "left")
+        .join(s3.select("user_id", "t3"), "user_id", "left")
+        .select(
+            "user_id",
+            F.when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .alias("funnel_depth"),
+        )
+    )
+    return depth.groupBy("funnel_depth").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+RETENTION_D0 = "2024-01-02"
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention (ClickHouse retention() analog): of users active on day 0,
+    how many were also active 1 / 7 / 14 days later — one conditional-max
+    aggregate per horizon, a single pass."""
+    events = load_table(spark, sf_dir, "events")
+    d = F.to_date("ts")
+    day0 = F.lit(RETENTION_D0).cast("date")
+    flags = events.groupBy("user_id").agg(
+        F.max(F.when(d == day0, 1).otherwise(0)).alias("d0"),
+        F.max(F.when(d == F.date_add(day0, 1), 1).otherwise(0)).alias("d1"),
+        F.max(F.when(d == F.date_add(day0, 7), 1).otherwise(0)).alias("d7"),
+        F.max(F.when(d == F.date_add(day0, 14), 1).otherwise(0)).alias("d14"),
+    )
+    return flags.filter(F.col("d0") == 1).agg(
+        F.count(F.lit(1)).alias("cohort_size"),
+        F.sum("d1").alias("retained_1d"),
+        F.sum("d7").alias("retained_7d"),
+        F.sum("d14").alias("retained_14d"),
+    )
+
+
 QUERIES = {
     "win_latest_order_per_customer": latest_order_per_customer,
     "win_running_revenue": running_revenue,
@@ -182,6 +251,8 @@ QUERIES = {
     "evt_session_30m": session_windows,
     "evt_json_props": json_props_rollup,
     "win_ntile_quartiles": spend_quartiles,
+    "evt_funnel": event_funnel,
+    "evt_retention": cohort_retention,
 }
 
 ORACLES = {
@@ -234,6 +305,44 @@ ORACLES = {
                            date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
             FROM events
         ) GROUP BY 1 ORDER BY 1
+    """,
+    "evt_funnel": """
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t1
+            GROUP BY e.user_id
+        ), s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t2
+            GROUP BY e.user_id
+        )
+        SELECT CASE WHEN t3 IS NOT NULL THEN 3
+                    WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS funnel_depth,
+               count(*) AS n_users
+        FROM s1
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+        GROUP BY 1
+    """,
+    "evt_retention": """
+        WITH flags AS (
+            SELECT user_id,
+                   max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-02' THEN 1 ELSE 0 END) AS d0,
+                   max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-03' THEN 1 ELSE 0 END) AS d1,
+                   max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-09' THEN 1 ELSE 0 END) AS d7,
+                   max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-16' THEN 1 ELSE 0 END) AS d14
+            FROM events GROUP BY user_id
+        )
+        SELECT count(*) AS cohort_size,
+               sum(d1) AS retained_1d,
+               sum(d7) AS retained_7d,
+               sum(d14) AS retained_14d
+        FROM flags WHERE d0 = 1
     """,
     "evt_json_props": """
         SELECT event_type,

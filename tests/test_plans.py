@@ -50,6 +50,24 @@ def test_partition_pruning_on_month(spark, tmp_path):
     assert not plans.has_pushed_filters(df, "month")
 
 
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """A join against a filtered dim on the partition column must plan a
+    dynamic-pruning subquery on the fact scan: at 100 TB this is the
+    difference between scanning one month and scanning the table."""
+    from ct_clickhouse_spark.cert_domains import write_cert_domains
+
+    out = str(tmp_path / "cd")
+    write_cert_domains(spark, SF_DIR, out)
+    fact = spark.read.parquet(out)
+    months = [r.month for r in fact.select("month").distinct().limit(2).collect()]
+    dim = spark.createDataFrame(
+        [(m, i) for i, m in enumerate(months)], "month string, tag int"
+    )
+    joined = fact.join(dim.filter(F.col("tag") == 0), "month")
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+
+
 def test_broadcast_joins_for_dims(spark):
     assert plans.has_broadcast_hash_join(relational.region_revenue(spark, SF_DIR))
     assert plans.has_broadcast_hash_join(relational.shipping_priority(spark, SF_DIR))
