@@ -242,6 +242,17 @@ def salted_join(
     return joined.drop("_salt")
 
 
+def part_metrics_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide part metrics to long (metric, value) rows —
+    the wide-to-long reshape feature pipelines lean on."""
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "metric", "value")
+
+
 def latest_order_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """argMax (ClickHouse's signature aggregate): per priority, the order
     key of the latest order — max_by over a unique maximand (epoch-days *
@@ -313,6 +324,7 @@ QUERIES = {
     "rel_semi_join": suppliers_with_shipments,
     "rel_stats_agg": stats_aggregates,
     "rel_cube_sales": cube_sales,
+    "rel_unpivot": part_metrics_unpivot,
     "rel_argmax": latest_order_argmax,
     "rel_group_concat": nations_concat,
 }
@@ -403,6 +415,14 @@ ORACLES = {
                count(DISTINCT o_orderpriority) AS n_prio,
                count(DISTINCT o_orderstatus) AS n_status
         FROM orders
+    """,
+    "rel_unpivot": """
+        SELECT p_partkey, metric, value FROM (
+            SELECT p_partkey,
+                   CAST(p_size AS DOUBLE) AS size,
+                   p_retailprice AS retailprice
+            FROM part
+        ) UNPIVOT (value FOR metric IN (size, retailprice))
     """,
     "rel_argmax": """
         SELECT o_orderpriority,
