@@ -1,6 +1,6 @@
 """Similarity search over embedding vectors (north star, SURVEY §2.10).
 
-Three tiers, mirroring how ANN serving actually scales:
+Four tiers, mirroring how ANN serving actually scales:
 1. brute-force cosine top-k — exact baseline; O(n·d) per query, fully
    JVM-side (zip_with/aggregate), distributes perfectly (map + TakeOrdered)
 2. all-pairs above threshold — exact, for offline dedup of small corpora
@@ -8,6 +8,8 @@ Three tiers, mirroring how ANN serving actually scales:
    signatures via posexplode + broadcast hyperplane join, banded (4x4 bits)
    bucket-local candidate generation, exact cosine verification only on
    candidates. Recall/precision tuned by bits-per-band vs band count.
+4. IVF (coarse quantizer + probed buckets) — the partition-pruning ANN
+   path: assignment is a partition key, a probe reads 2/8 of the data.
 
 The hyperplanes are pseudo-random ±1 vectors derived from xxhash64(bit,pos)
 parity: deterministic across runs/engines with no RNG state to ship.

@@ -2,9 +2,11 @@
 SURVEY §2.10): document stats, quality scoring, language-ID heuristic,
 token counting, content fingerprinting.
 
-Everything here is built-in-expression-only (JVM, whole-stage codegen) —
-no Python touches the hot path. The reference has no text operators; its
-only string work is lower-casing and LIKE (SURVEY F6/F7).
+The scoring/counting operators are built-in-expression-only (JVM,
+whole-stage codegen). Python appears exactly where the shape demands it:
+the rolling fingerprint (vectorized numpy via mapInPandas) and the
+top-terms UDAF (applyInPandas) — both Arrow-batched. The reference has no
+text operators; its only string work is lower-casing and LIKE (F6/F7).
 
 Scale notes: all operators are embarrassingly parallel projections or
 single hash aggregates; no shuffles except the explicit groupBys. At
