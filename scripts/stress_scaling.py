@@ -1,0 +1,120 @@
+#!/usr/bin/env python
+"""Empirical scaling check: run the heavy operators on synthetically
+multiplied data (k x UNION of the sf0.1 fixtures with shifted keys) and
+report wall-clock vs multiplier. Near-linear growth is the evidence that
+the plans scale by data volume, not by some super-linear term.
+
+Usage: python scripts/stress_scaling.py [k ...]   (default 1 2 4)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.1"
+
+
+def multiplied(spark, name: str, key_cols: list[str], k: int):
+    """k copies with shifted keys so join/group cardinality scales too."""
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.catalog import load_table
+
+    base = load_table(spark, SF_DIR, name)
+    parts = []
+    for i in range(k):
+        df = base
+        for c in key_cols:
+            df = df.withColumn(c, F.col(c) + F.lit(i * 100_000_000))
+        parts.append(df)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.session import get_spark
+
+    ks = [int(x) for x in sys.argv[1:]] or [1, 2, 4]
+    spark = get_spark(app_name="stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict[int, float]] = {}
+
+    def timed(tag: str, k: int, fn):
+        fn()  # warm
+        t0 = time.time()
+        fn()
+        results.setdefault(tag, {})[k] = round(time.time() - t0, 2)
+
+    for k in ks:
+        li = multiplied(spark, "lineitem", ["l_orderkey"], k)
+        orders = multiplied(spark, "orders", ["o_orderkey", "o_custkey"], k)
+        from ct_clickhouse_spark.session import default_parallelism
+
+        docs = multiplied(spark, "documents", ["doc_id"], k).repartition(
+            default_parallelism()
+        )
+
+        # scan-heavy hash aggregate (TPC-H Q1 shape)
+        timed("pricing_summary_agg", k, lambda: li.groupBy(
+            "l_returnflag", "l_linestatus"
+        ).agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count(F.lit(1))).collect())
+
+        # fact-fact join + agg
+        timed("fact_join_agg", k, lambda: li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).groupBy("o_orderpriority").agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        ).collect())
+
+        # window function over the multiplied keys
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        # aggregate over the window column itself, or Catalyst prunes the
+        # window away as dead code
+        timed("window_running", k, lambda: orders.select(
+            "o_custkey", F.sum("o_totalprice").over(w).alias("r")
+        ).agg(F.round(F.sum("r"), 2)).collect())
+
+        # shingle self-join (near-dup) on multiplied docs
+        words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        idx = F.sequence(F.lit(0), F.size(words) - 3)
+        grams = F.when(
+            F.size(words) >= 3,
+            F.array_distinct(
+                F.transform(
+                    idx,
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(words, (i + 1).cast("int")),
+                        F.element_at(words, (i + 2).cast("int")),
+                        F.element_at(words, (i + 3).cast("int")),
+                    ),
+                )
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        sh = docs.select(
+            "doc_id", F.explode(F.transform(grams, lambda s: F.xxhash64(s))).alias("h")
+        )
+        a, b = sh.alias("a"), sh.alias("b")
+        timed("shingle_self_join", k, lambda: a.join(
+            b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+        ).groupBy(F.col("a.doc_id"), F.col("b.doc_id")).agg(F.count(F.lit(1))).agg(
+            F.count(F.lit(1))
+        ).collect())
+
+    print(json.dumps({"multipliers": ks, "seconds": results}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
