@@ -151,6 +151,27 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile: the documented 100 TB substitute for exact
+    percentile/global ntile (one pass, mergeable sketch, no sort).
+    Rows-only: sketch estimates are engine-specific."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75), 10000)"
+            ).alias("ps")
+        )
+        .select(
+            "l_returnflag",
+            F.col("ps")[0].alias("p25"),
+            F.col("ps")[1].alias("p50"),
+            F.col("ps")[2].alias("p75"),
+        )
+    )
+
+
 def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conditional aggregation (sum/avg over CASE) — the OLAP pivot idiom."""
     orders = _t(spark, sf_dir, "orders")
@@ -316,6 +337,7 @@ QUERIES = {
     "rel_setop_intersect": setop_customers_both,
     "rel_setop_except": setop_customers_never_open,
     "rel_price_quantiles": price_quantiles,
+    "rel_approx_quantiles": approx_quantiles,  # rows-only (sketch)
     "rel_conditional_agg": conditional_agg,
     "rel_having": nations_with_many_customers,
     "rel_topk_parts": topk_parts,

@@ -50,3 +50,43 @@ def test_tree_size_bounds_entries_read(spark, tmp_path):
     rows = spark.sql("SELECT * FROM bounded").collect()
     assert len(rows) == 3
     assert sorted(r.entry_index for r in rows) == [0, 1, 2]
+
+
+def test_pacing_is_relative_to_committed_offset(tmp_path):
+    """maxEntriesPerTrigger must clamp latestOffset against the COMMITTED
+    offset — clamping in partitions() would silently skip entries."""
+    import json
+    import os
+
+    from ct_clickhouse_spark.sources.ct_log import CTLogStreamReader
+
+    d = tmp_path / "logs" / "biglog"
+    os.makedirs(d)
+    (d / "sth.json").write_text(json.dumps({"tree_size": 10}))
+    (d / "entries.jsonl").write_text("")
+
+    r = CTLogStreamReader({"path": str(tmp_path / "logs"), "maxentriespertrigger": "3"})
+    assert r.initialOffset() == {"biglog": 0}
+    # first batch (no commit yet): everything available
+    assert r.latestOffset() == {"biglog": 10}
+    r.commit({"biglog": 2})
+    assert r.latestOffset() == {"biglog": 5}  # 2 committed + 3 paced
+    r.commit({"biglog": 5})
+    assert r.latestOffset() == {"biglog": 8}
+
+
+def test_partitions_chunked_at_batch_size(tmp_path):
+    import json
+    import os
+
+    from ct_clickhouse_spark.sources.ct_log import DEFAULT_BATCH, CTLogStreamReader
+
+    d = tmp_path / "logs" / "biglog"
+    os.makedirs(d)
+    (d / "sth.json").write_text(json.dumps({"tree_size": 2000}))
+    (d / "entries.jsonl").write_text("")
+
+    r = CTLogStreamReader({"path": str(tmp_path / "logs")})
+    parts = r.partitions({"biglog": 0}, {"biglog": 1200})
+    bounds = sorted((p.start, p.end) for p in parts)
+    assert bounds == [(0, DEFAULT_BATCH), (DEFAULT_BATCH, 1024), (1024, 1200)]
