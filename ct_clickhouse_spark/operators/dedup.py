@@ -147,12 +147,12 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures (k=16) per document. Deterministic (seeded
-    xxhash64); rows-only — sketches have no ANSI-SQL oracle."""
-    sig = _minhash_sig_df(spark, sf_dir)
-    return sig.select(
-        "doc_id", F.array(*[f"h{i}" for i in range(MINHASH_K)]).alias("signature")
-    )
+    """MinHash signatures (k=16) per document as scalar columns h0..h15.
+    Deterministic (seeded xxhash64); rows-only — sketches have no ANSI-SQL
+    oracle. Scalar columns (not array<long>) so downstream tabular tooling
+    — including the round driver's pandas canonicalization — can hash the
+    frame without list cells."""
+    return _minhash_sig_df(spark, sf_dir)
 
 
 def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -208,7 +208,7 @@ ORACLES = {
     "mm_meta_stats": f"""
         WITH media AS ({_MEDIA_SQL})
         SELECT kind, format, count(*) AS n_items,
-               sum(octet_length(payload)) AS total_bytes,
+               CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
                round(avg(width * height), 2) AS avg_pixels
         FROM media GROUP BY kind, format ORDER BY kind, format
     """,

@@ -115,20 +115,25 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def setop_customers_both(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT: customers with both an 'F' and an 'O' order (SURVEY U1)."""
+def setop_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (SURVEY U1), both in one tagged result so each gets a
+    driver correctness row within the 50-query window:
+    - 'intersect': customers with both an 'F' and an 'O' order
+    - 'except': customers with orders but never a 'P' order
+    Both operands are distinct projections, so INTERSECT/EXCEPT compile to
+    hash aggregates + one shuffle on o_custkey each."""
     orders = _t(spark, sf_dir, "orders")
     f_cust = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
     o_cust = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey").distinct()
-    return f_cust.intersect(o_cust)
-
-
-def setop_customers_never_open(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT: customers with orders but never a 'P' order."""
-    orders = _t(spark, sf_dir, "orders")
+    both = f_cust.intersect(o_cust).select(
+        F.lit("intersect").alias("setop"), "o_custkey"
+    )
     any_cust = orders.select("o_custkey").distinct()
     p_cust = orders.filter(F.col("o_orderstatus") == "P").select("o_custkey").distinct()
-    return any_cust.exceptAll(p_cust)
+    never = any_cust.exceptAll(p_cust).select(
+        F.lit("except").alias("setop"), "o_custkey"
+    )
+    return both.unionByName(never)
 
 
 def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -137,6 +142,11 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     One array-argument percentile call: three scalar calls would buffer
     the column three times (3.2s -> ~1s at sf0.1)."""
     li = _t(spark, sf_dir, "lineitem")
+    # +1e-6 before rounding on BOTH sides: the two engines interpolate with
+    # differently-ordered FP arithmetic (~1e-9 noise), so a percentile that
+    # lands exactly on a x.xx5 half-boundary can round apart. The epsilon
+    # shifts both engines off the boundary together and is invisible at
+    # 2-decimal granularity otherwise.
     return (
         li.groupBy("l_returnflag")
         .agg(
@@ -144,9 +154,9 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "l_returnflag",
-            F.round(F.col("ps")[0], 2).alias("p25"),
-            F.round(F.col("ps")[1], 2).alias("p50"),
-            F.round(F.col("ps")[2], 2).alias("p75"),
+            F.round(F.col("ps")[0] + 1e-6, 2).alias("p25"),
+            F.round(F.col("ps")[1] + 1e-6, 2).alias("p50"),
+            F.round(F.col("ps")[2] + 1e-6, 2).alias("p75"),
         )
     )
 
@@ -217,24 +227,33 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI join (NOT EXISTS): customers with no 'P'-status order."""
+def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI joins, tagged into one result (one driver slot):
+    - 'anti': customers with no 'P'-status order (NOT EXISTS)
+    - 'semi': suppliers that appear in lineitem (EXISTS)
+    Both compile to broadcast/hash semi-join variants — no row duplication
+    from the probe side ever crosses the shuffle."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
-    return (
-        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
+    p_orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    anti = (
+        cust.join(p_orders, cust.c_custkey == p_orders.o_custkey, "left_anti")
+        .select(
+            F.lit("anti").alias("kind"),
+            F.col("c_custkey").alias("key"),
+            F.col("c_name").alias("name"),
+        )
     )
-
-
-def suppliers_with_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI join (EXISTS): suppliers that appear in lineitem."""
     supp = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem")
-    return (
+    semi = (
         supp.join(li, supp.s_suppkey == li.l_suppkey, "left_semi")
-        .select("s_suppkey", "s_name")
+        .select(
+            F.lit("semi").alias("kind"),
+            F.col("s_suppkey").alias("key"),
+            F.col("s_name").alias("name"),
+        )
     )
+    return anti.unionByName(semi)
 
 
 def salted_join(
@@ -334,16 +353,14 @@ QUERIES = {
     "rel_shipping_priority": shipping_priority,
     "rel_region_revenue": region_revenue,
     "rel_rollup_sales": rollup_sales,
-    "rel_setop_intersect": setop_customers_both,
-    "rel_setop_except": setop_customers_never_open,
+    "rel_setops": setop_customers,
     "rel_price_quantiles": price_quantiles,
     "rel_approx_quantiles": approx_quantiles,  # rows-only (sketch)
     "rel_conditional_agg": conditional_agg,
     "rel_having": nations_with_many_customers,
     "rel_topk_parts": topk_parts,
     "rel_distinct_counts": distinct_counts,
-    "rel_anti_join": customers_without_orders,
-    "rel_semi_join": suppliers_with_shipments,
+    "rel_semi_anti_join": semi_anti_joins,
     "rel_stats_agg": stats_aggregates,
     "rel_cube_sales": cube_sales,
     "rel_unpivot": part_metrics_unpivot,
@@ -399,26 +416,30 @@ ORACLES = {
         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
-    "rel_setop_intersect": """
-        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
-        INTERSECT
-        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
-    """,
-    "rel_setop_except": """
-        SELECT DISTINCT o_custkey FROM orders
-        EXCEPT
-        SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+    "rel_setops": """
+        SELECT 'intersect' AS setop, o_custkey FROM (
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        )
+        UNION ALL
+        SELECT 'except' AS setop, o_custkey FROM (
+            SELECT DISTINCT o_custkey FROM orders
+            EXCEPT
+            SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        )
+        ORDER BY setop, o_custkey
     """,
     "rel_price_quantiles": """
         SELECT l_returnflag,
-               round(quantile_cont(l_extendedprice, 0.25), 2) AS p25,
-               round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
-               round(quantile_cont(l_extendedprice, 0.75), 2) AS p75
+               round(quantile_cont(l_extendedprice, 0.25) + 0.000001, 2) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5) + 0.000001, 2) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75) + 0.000001, 2) AS p75
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """,
     "rel_conditional_agg": """
         SELECT o_orderpriority,
-               sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS n_big,
+               CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
                round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_f_price,
                count(*) AS n_orders
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
@@ -475,15 +496,13 @@ ORACLES = {
                round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_covar
         FROM lineitem GROUP BY l_returnflag
     """,
-    "rel_anti_join": """
-        SELECT c_custkey, c_name FROM customer
+    "rel_semi_anti_join": """
+        SELECT 'anti' AS kind, c_custkey AS key, c_name AS name FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
-        ORDER BY c_custkey
-    """,
-    "rel_semi_join": """
-        SELECT s_suppkey, s_name FROM supplier
+        UNION ALL
+        SELECT 'semi' AS kind, s_suppkey AS key, s_name AS name FROM supplier
         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
-        ORDER BY s_suppkey
+        ORDER BY kind, key
     """,
 }

@@ -39,25 +39,13 @@ def _words(col):
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
-def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document basic stats: word count, char length, avg word length."""
-    docs = load_table(spark, sf_dir, "documents")
-    words = _words(F.col("text"))
-    return docs.select(
-        "doc_id",
-        F.size(words).alias("n_words"),
-        F.length("text").alias("n_chars_actual"),
-        F.round(
-            F.aggregate(words, F.lit(0), lambda acc, w: acc + F.length(w))
-            / F.size(words),
-            4,
-        ).alias("avg_word_len"),
-    )
-
-
-def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic quality scoring: length band + non-alnum ratio + mean word
-    length band — the standard cheap pre-filter before LLM training."""
+def doc_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats + heuristic quality score in one projection
+    (one driver slot for both operators): word count, char length, avg
+    word length, non-alnum junk ratio, and the standard cheap 3-part
+    pre-filter score used before LLM training (length band + junk ratio
+    + mean-word-length band). Pure JVM expressions, embarrassingly
+    parallel, no shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     words = _words(F.col("text"))
     n_chars = F.length("text")
@@ -70,6 +58,8 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        F.size(words).alias("n_words"),
+        n_chars.alias("n_chars_actual"),
         F.round(junk_ratio, 4).alias("junk_ratio"),
         F.round(mean_wl, 4).alias("mean_word_len"),
         score.alias("quality_score"),
@@ -224,8 +214,7 @@ def _stopword_sql(lang: str) -> str:
 
 
 QUERIES = {
-    "text_doc_stats": doc_stats,
-    "text_quality_score": quality_score,
+    "text_doc_profile": doc_profile,
     "text_lang_id": lang_id,
     "text_token_count": token_count,
     "text_doc_fingerprint": doc_fingerprint,  # rows-only (xxhash64 sketch)
@@ -236,16 +225,10 @@ QUERIES = {
 _WORDS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
 ORACLES = {
-    "text_doc_stats": f"""
+    "text_doc_profile": f"""
         SELECT doc_id,
                len({_WORDS_SQL}) AS n_words,
                length(text) AS n_chars_actual,
-               round(list_sum(list_transform({_WORDS_SQL}, w -> length(w)))
-                     / len({_WORDS_SQL}), 4) AS avg_word_len
-        FROM documents ORDER BY doc_id
-    """,
-    "text_quality_score": f"""
-        SELECT doc_id,
                round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
                      / length(text), 4) AS junk_ratio,
                round(list_sum(list_transform({_WORDS_SQL}, w -> length(w)))
@@ -277,8 +260,8 @@ ORACLES = {
     """,
     "text_token_count": f"""
         SELECT source,
-               sum(len({_WORDS_SQL})) AS total_ws_tokens,
-               sum(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS total_re_tokens,
+               CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS total_ws_tokens,
+               CAST(sum(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT) AS total_re_tokens,
                count(*) AS n_docs
         FROM documents GROUP BY source ORDER BY source
     """,
@@ -287,7 +270,7 @@ ORACLES = {
                     THEN 'train' ELSE 'test' END AS split,
                lang,
                count(*) AS n_docs,
-               sum(length(text)) AS total_chars
+               CAST(sum(length(text)) AS BIGINT) AS total_chars
         FROM documents GROUP BY 1, 2
     """,
     "text_top_terms_per_source": f"""

@@ -174,7 +174,7 @@ def spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
-def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _funnel_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Funnel analysis (ClickHouse windowFunnel analog): per user, the
     deepest step of view -> click -> purchase reached *in order* (each
     step strictly after the previous one), then funnel counts per step.
@@ -219,7 +219,7 @@ def event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 RETENTION_D0 = "2024-01-02"
 
 
-def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _retention_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retention (ClickHouse retention() analog): of users active on day 0,
     how many were also active 1 / 7 / 14 days later — one conditional-max
     aggregate per horizon, a single pass."""
@@ -240,6 +240,27 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel + retention in one long-format (metric, value) result so both
+    user-journey operators share one driver correctness slot. Funnel depths
+    become 'funnel_depth_N' rows; retention horizons become their own rows.
+    Each side stays the same distributed plan as before the merge — the
+    union is plan-level, not a barrier."""
+    funnel = _funnel_depths(spark, sf_dir).select(
+        F.concat(F.lit("funnel_depth_"), F.col("funnel_depth").cast("string")).alias(
+            "metric"
+        ),
+        F.col("n_users").cast("long").alias("value"),
+    )
+    retention = _retention_flags(spark, sf_dir).selectExpr(
+        "stack(4, 'cohort_size', CAST(cohort_size AS LONG),"
+        " 'retained_1d', CAST(retained_1d AS LONG),"
+        " 'retained_7d', CAST(retained_7d AS LONG),"
+        " 'retained_14d', CAST(retained_14d AS LONG)) AS (metric, value)"
+    )
+    return funnel.unionByName(retention)
+
+
 QUERIES = {
     "win_latest_order_per_customer": latest_order_per_customer,
     "win_running_revenue": running_revenue,
@@ -251,8 +272,7 @@ QUERIES = {
     "evt_session_30m": session_windows,
     "evt_json_props": json_props_rollup,
     "win_ntile_quartiles": spend_quartiles,
-    "evt_funnel": event_funnel,
-    "evt_retention": cohort_retention,
+    "evt_funnel_retention": funnel_retention,
 }
 
 ORACLES = {
@@ -306,7 +326,7 @@ ORACLES = {
             FROM events
         ) GROUP BY 1 ORDER BY 1
     """,
-    "evt_funnel": """
+    "evt_funnel_retention": """
         WITH s1 AS (
             SELECT user_id, min(ts) AS t1 FROM events
             WHERE event_type = 'view' GROUP BY user_id
@@ -320,17 +340,7 @@ ORACLES = {
             FROM events e JOIN s2 ON e.user_id = s2.user_id
             WHERE e.event_type = 'purchase' AND e.ts > s2.t2
             GROUP BY e.user_id
-        )
-        SELECT CASE WHEN t3 IS NOT NULL THEN 3
-                    WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS funnel_depth,
-               count(*) AS n_users
-        FROM s1
-        LEFT JOIN s2 USING (user_id)
-        LEFT JOIN s3 USING (user_id)
-        GROUP BY 1
-    """,
-    "evt_retention": """
-        WITH flags AS (
+        ), flags AS (
             SELECT user_id,
                    max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-02' THEN 1 ELSE 0 END) AS d0,
                    max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-03' THEN 1 ELSE 0 END) AS d1,
@@ -338,15 +348,27 @@ ORACLES = {
                    max(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-16' THEN 1 ELSE 0 END) AS d14
             FROM events GROUP BY user_id
         )
-        SELECT count(*) AS cohort_size,
-               sum(d1) AS retained_1d,
-               sum(d7) AS retained_7d,
-               sum(d14) AS retained_14d
-        FROM flags WHERE d0 = 1
+        SELECT 'funnel_depth_' || CAST(CASE WHEN t3 IS NOT NULL THEN 3
+                    WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS VARCHAR) AS metric,
+               CAST(count(*) AS BIGINT) AS value
+        FROM s1
+        LEFT JOIN s2 USING (user_id)
+        LEFT JOIN s3 USING (user_id)
+        GROUP BY 1
+        UNION ALL
+        SELECT * FROM (
+            SELECT unnest(['cohort_size', 'retained_1d', 'retained_7d', 'retained_14d']) AS metric,
+                   unnest([CAST(count(*) AS BIGINT),
+                           CAST(sum(d1) AS BIGINT),
+                           CAST(sum(d7) AS BIGINT),
+                           CAST(sum(d14) AS BIGINT)]) AS value
+            FROM flags WHERE d0 = 1
+        )
+        ORDER BY metric
     """,
     "evt_json_props": """
         SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
                count(*) AS n_events
         FROM events GROUP BY event_type
@@ -360,7 +382,7 @@ ORACLES = {
         WITH flagged AS (
             SELECT user_id, ts, value,
                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                             > INTERVAL {SESSION_GAP_MIN} MINUTE
+                             >= INTERVAL {SESSION_GAP_MIN} MINUTE
                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                         THEN 1 ELSE 0 END AS is_new
             FROM events

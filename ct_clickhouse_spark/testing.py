@@ -1,9 +1,19 @@
 """Oracle-differential test helpers (mirrors the round driver's compare).
 
-Normalization: the driver compares row-count + sorted column names +
-order-insensitive value hash. We normalize timestamps to second granularity
-and floats to 6 significant digits so engine-level representation noise
-(ns-vs-us pandas dtypes, float formatting) never masks a real mismatch.
+The round driver fetches BOTH sides through pandas (Spark ``toPandas()``,
+DuckDB ``.df()``), sorts columns by name, lexsorts rows, and hashes the
+stringified values with NO numeric re-normalization. Two consequences,
+both observed in round 1 (VERDICT.md "What's wrong"):
+- dtype artifacts are REAL mismatches: DuckDB ``sum(INTEGER)`` returns
+  HUGEINT -> pandas float64 -> "3.0" vs Spark's int64 "3". Oracles must
+  CAST integer sums to BIGINT.
+- non-scalar cells (array columns) crash the canonicalization
+  (``TypeError: unhashable type: 'list'``); queries must only return
+  scalar columns.
+``pandas_signature``/``assert_matches_oracle`` reproduce that strict
+behavior so local verification agrees with the driver. The older
+``frame_signature`` (fetchall + float normalization) remains for unit
+tests that compare engine-native row tuples.
 """
 
 from __future__ import annotations
@@ -55,6 +65,45 @@ def frame_signature(cols: list[str], rows) -> tuple[list[str], int, str]:
     return sorted(cols), len(rows), digest
 
 
+def _pandas_cell(v) -> str:
+    """Driver-faithful cell rendering: str() of the pandas-level value.
+
+    Nulls of any dtype collapse to "NULL" (the one place we are *more*
+    lenient than plain str(): pandas renders an int-col null as nan after
+    the float64 coercion on one side and None on the other; the driver
+    evidently treats them equal since round-1 rollup/cube queries with
+    NULL group keys hash-matched). Array/list cells raise — the driver's
+    canonicalization crashes on them, so failing loudly here is the
+    faithful behavior."""
+    import pandas as pd
+
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        raise TypeError(
+            "non-scalar cell in driver-compared result (array column?) — "
+            "the round driver's pandas canonicalization crashes on these"
+        )
+    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def pandas_signature(pdf) -> tuple[list[str], int, str]:
+    """(sorted columns, row count, order-insensitive strict value hash)
+    over a pandas DataFrame — the round driver's compare."""
+    cols = sorted(pdf.columns)
+    lines = sorted(
+        "\x01".join(_pandas_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+    digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return cols, len(pdf), digest
+
+
 def duckdb_fixture_connection(sf_dir: str):
     """A DuckDB connection with the 10 fixture tables registered as views,
     exactly like the driver's oracle environment."""
@@ -71,11 +120,10 @@ def duckdb_fixture_connection(sf_dir: str):
 
 
 def assert_matches_oracle(spark_df, con, oracle_sql: str, name: str = "query") -> None:
-    srows = [tuple(r) for r in spark_df.collect()]
-    ssig = frame_signature(spark_df.columns, srows)
-    res = con.execute(oracle_sql)
-    dcols = [d[0] for d in res.description]
-    dsig = frame_signature(dcols, res.fetchall())
+    """Strict driver-faithful compare: both sides through pandas, str()
+    values, no float re-rounding (see module docstring)."""
+    ssig = pandas_signature(spark_df.toPandas())
+    dsig = pandas_signature(con.execute(oracle_sql).df())
     assert ssig == dsig, (
         f"{name}: spark {ssig} != duckdb {dsig}"
     )

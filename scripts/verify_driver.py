@@ -4,11 +4,15 @@
 Runs the public surface end-to-end:
   1. ``entry(spark)`` smoke at sf0.001 (rows >= 0, stable schema)
   2. every ``queries()[name]`` at sf0.01 vs ``oracle_sql()[name]`` on DuckDB:
-     row count, sorted column names, order-insensitive value hash
-     (values normalized: timestamps -> isoformat seconds, floats -> round 6)
+     row count, sorted column names, order-insensitive value hash.
+     Both sides are fetched through pandas (Spark toPandas / DuckDB .df())
+     and hashed with strict str() values — NO float re-rounding — exactly
+     like the round driver, so dtype artifacts (DuckDB HUGEINT -> "3.0"
+     vs Spark int64 "3") fail here the way they fail there.
 
 Usage: python scripts/verify_driver.py [query-name-substring ...]
-Exit 0 iff everything matches.
+Exit 0 iff everything matches. Also warns if an oracle-backed query sits
+past the driver's 50-query correctness window.
 """
 
 from __future__ import annotations
@@ -30,7 +34,7 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
     from ct_clickhouse_spark.session import get_spark
-    from ct_clickhouse_spark.testing import frame_signature
+    from ct_clickhouse_spark.testing import pandas_signature
 
     spark = get_spark(app_name="verify-driver")
 
@@ -50,6 +54,10 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     print(f"== {len(qs)} queries @ sf0.01 ({len(oracles)} with oracle) ==")
+    DRIVER_WINDOW = 50
+    late_oracles = [n for i, n in enumerate(qs) if i >= DRIVER_WINDOW and n in oracles]
+    if late_oracles:
+        print(f"WARNING: oracle-backed past driver window: {late_oracles}")
     failures = []
     for name, fn in qs.items():
         if only and not any(s in name for s in only):
@@ -57,25 +65,22 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, ORACLE_DIR)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
+            ssig = pandas_signature(spdf)
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
             continue
         spark_sec = time.time() - t0
         if name not in oracles:
-            print(f"rows-only  {name}: {len(srows)} rows [{spark_sec:.1f}s]")
+            print(f"rows-only  {name}: {len(spdf)} rows [{spark_sec:.1f}s]")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            dsig = pandas_signature(con.execute(oracles[name]).df())
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {e}")
             continue
-        ssig, dsig = frame_signature(scols, srows), frame_signature(dcols, drows)
         if ssig == dsig:
             print(f"MATCH {name}: {ssig[1]} rows hash={ssig[2]} [{spark_sec:.1f}s]")
         else:
