@@ -58,53 +58,82 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _normalized_matrix(spark: SparkSession, sf_dir: str):
-    """Broadcast (ids, row-normalized float64 matrix) of all embeddings.
-
-    The GEMM-side of brute-force similarity: one side of the comparison is
-    broadcast as a dense numpy matrix so the dot products run in BLAS
-    instead of per-element Catalyst expressions (a pure-expression
-    formulation was ~50x slower at sf0.1). At 100 TB the broadcast side
-    becomes a *block*: tile the matrix and mapInPandas per block-pair —
-    identical kernel, outer loop over blocks; or use the LSH tier below."""
-    import numpy as np
-
-    rows = (
-        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
-    )
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    mat = np.array([r.embedding for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    return spark.sparkContext.broadcast((ids, mat))
+GEMM_BLOCKS = 4  # tiles per side; at scale set ≈ ceil(n / rows-per-tile)
 
 
 def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs cosine >= threshold (near-duplicate vectors).
-    O(n^2) flops — but as distributed GEMM: each partition of vectors is
-    multiplied against the broadcast normalized matrix with numpy; only
-    above-threshold (id_a < id_b) pairs are emitted."""
+    """Exact all-pairs cosine >= threshold via block-tiled distributed GEMM.
+
+    No driver collect, no full-matrix broadcast: vectors are hashed into
+    GEMM_BLOCKS tiles; each unordered tile pair (bi <= bj) is one group
+    task. A vector ships to every task its tile participates in (left side
+    of (bi, *), right side of (*, bj)), so a pair (x, y) lands in exactly
+    one task — (min(bx,by), max(bx,by)) — and the per-task kernel is a
+    dense numpy GEMM over the two tiles. Shuffle volume is n·GEMM_BLOCKS
+    rows (the classic O(n·sqrt(P)) blocked-GEMM replication), each task
+    holds only two tiles — sized to executor memory, never the corpus.
+    The LSH/IVF tiers below remain the sub-quadratic 100 TB paths; this is
+    the exact tier done scale-honestly."""
     import numpy as np
     import pandas as pd
 
-    bc = _normalized_matrix(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    block = F.pmod(F.xxhash64("vec_id"), F.lit(GEMM_BLOCKS)).alias("block")
+    tiles = emb.select("vec_id", "embedding", block)
 
-    def _pairs(batches):
-        ids_all, mat_all = bc.value
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            a = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            a /= np.linalg.norm(a, axis=1, keepdims=True)
-            sims = np.round(a @ mat_all.T, 4)
-            keep = (sims >= PAIR_THRESHOLD) & (a_ids[:, None] < ids_all[None, :])
-            ai, bj = np.nonzero(keep)
-            yield pd.DataFrame(
-                {"id_a": a_ids[ai], "id_b": ids_all[bj], "cosine": sims[ai, bj]}
-            )
+    tasks = spark.createDataFrame(
+        [(bi * GEMM_BLOCKS + bj, bi, bj)
+         for bi in range(GEMM_BLOCKS)
+         for bj in range(bi, GEMM_BLOCKS)],
+        "task int, bi int, bj int",
+    )
+    left = tiles.join(F.broadcast(tasks), tiles.block == tasks.bi).select(
+        "task", F.lit("L").alias("side"), "vec_id", "embedding"
+    )
+    right = (
+        tiles.join(
+            F.broadcast(tasks.filter(F.col("bi") != F.col("bj"))),
+            tiles.block == tasks.bj,
+        ).select("task", F.lit("R").alias("side"), "vec_id", "embedding")
+    )
+    both = left.unionByName(right)
 
-    return emb.mapInPandas(_pairs, "id_a long, id_b long, cosine double")
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        task = int(pdf["task"].iloc[0])
+        diagonal = (task // GEMM_BLOCKS) == (task % GEMM_BLOCKS)
+        l_mask = (pdf["side"] == "L").to_numpy()
+        l_ids = pdf["vec_id"].to_numpy(dtype=np.int64)[l_mask]
+        if l_ids.size == 0:
+            return empty
+        lm = np.array(pdf["embedding"][l_mask].tolist(), dtype=np.float64)
+        lm /= np.linalg.norm(lm, axis=1, keepdims=True)
+        if diagonal:  # one tile joined with itself
+            r_ids, rm = l_ids, lm
+        else:
+            r_ids = pdf["vec_id"].to_numpy(dtype=np.int64)[~l_mask]
+            if r_ids.size == 0:
+                return empty
+            rm = np.array(pdf["embedding"][~l_mask].tolist(), dtype=np.float64)
+            rm /= np.linalg.norm(rm, axis=1, keepdims=True)
+        sims = np.round(lm @ rm.T, 4)
+        keep = sims >= PAIR_THRESHOLD
+        if diagonal:
+            # same id set on both axes: keep each unordered pair once
+            keep &= l_ids[:, None] < r_ids[None, :]
+        ai, bj = np.nonzero(keep)
+        a_ids, b_ids = l_ids[ai], r_ids[bj]
+        # off-diagonal tiles hold disjoint id sets and each unordered pair
+        # lands in exactly one task; canonicalize to id_a < id_b on emit
+        ia = np.minimum(a_ids, b_ids)
+        ib = np.maximum(a_ids, b_ids)
+        return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": sims[ai, bj]})
+
+    return (
+        both.groupBy("task")
+        .applyInPandas(_kernel, "id_a long, id_b long, cosine double")
+    )
 
 
 def _hyperplanes(spark: SparkSession) -> DataFrame:
@@ -154,10 +183,12 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN near-dup pairs: banded signature buckets generate candidates,
     exact cosine verifies inside buckets only. At 100 TB the banded join
     replaces the O(n^2) cross join with LSH_BANDS shuffles on small keys;
-    recall = 1-(1-p^4)^4 where p = 1 - angle/pi."""
-    import numpy as np
-    import pandas as pd
+    recall = 1-(1-p^4)^4 where p = 1 - angle/pi.
 
+    Verification joins the (LSH-pruned, small) candidate set back to the
+    embeddings table on each side and computes the cosine with JVM
+    zip_with/aggregate expressions — two hash joins on vec_id, no driver
+    collect, no full-matrix broadcast anywhere in the plan."""
     bits_per_band = LSH_BITS // LSH_BANDS
     sigs = lsh_signatures(spark, sf_dir)
     mask = (1 << bits_per_band) - 1
@@ -186,29 +217,22 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # exact-cosine verification of candidates: vectorized gather against the
-    # broadcast normalized matrix (no embedding arrays ever shuffle)
-    bc = _normalized_matrix(spark, sf_dir)
-
-    def _verify(batches):
-        ids_all, mat_all = bc.value
-        pos = {int(v): i for i, v in enumerate(ids_all)}
-        for pdf in batches:
-            if pdf.empty:
-                continue
-            ia = pdf["id_a"].map(pos).to_numpy()
-            ib = pdf["id_b"].map(pos).to_numpy()
-            sims = np.round(np.einsum("ij,ij->i", mat_all[ia], mat_all[ib]), 4)
-            keep = sims >= PAIR_THRESHOLD
-            yield pd.DataFrame(
-                {
-                    "id_a": pdf["id_a"].to_numpy()[keep],
-                    "id_b": pdf["id_b"].to_numpy()[keep],
-                    "cosine": sims[keep],
-                }
-            )
-
-    return cand.mapInPandas(_verify, "id_a long, id_b long, cosine double")
+    # exact-cosine verification: join the pruned candidates back to the
+    # embeddings table on each side; the dot product runs as JVM
+    # zip_with/aggregate expressions over the two fetched arrays
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
+    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
+        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
+    )
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("cosine", F.round(cos, 4))
+        .filter(F.col("cosine") >= PAIR_THRESHOLD)
+        .select("id_a", "id_b", "cosine")
+    )
 
 
 IVF_CLUSTERS = 8
@@ -216,22 +240,75 @@ IVF_PROBES = 2
 IVF_ITERS = 2
 
 
-def _ivf_centroids(ids, mat):
-    """Deterministic k-means-lite coarse quantizer: seeds = the k lowest
-    vec_ids, then IVF_ITERS Lloyd iterations. Runs on the (already
-    broadcast-sized) matrix; at 100 TB train on a sample or with a
-    distributed k-means — the assignment/probe plan below is unchanged."""
-    import numpy as np
+def _ivf_centroids(spark: SparkSession, sf_dir: str):
+    """Distributed deterministic k-means-lite coarse quantizer.
 
-    order = np.argsort(ids)
-    cents = mat[order[:IVF_CLUSTERS]].copy()
+    Seeds = the k lowest vec_ids (an orderBy(vec_id).limit(k) — only k
+    rows ever reach the driver), then IVF_ITERS Lloyd iterations where
+    assignment + per-cluster mean run as a distributed mapInPandas
+    partial-sum + tiny (k x d)-row final aggregate; each iteration
+    collects exactly k centroids. Centroid components are rounded to 9
+    decimals per iteration so cross-partition FP summation order cannot
+    leak into assignments — keeping the index deterministic at any
+    parallelism. Nothing larger than k x d doubles is ever centralized,
+    at any corpus size."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    seed_rows = emb.orderBy("vec_id").limit(IVF_CLUSTERS).collect()
+    cents = np.array([r.embedding for r in seed_rows], dtype=np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+
     for _ in range(IVF_ITERS):
-        assign = np.argmax(mat @ cents.T, axis=1)
-        for c in range(IVF_CLUSTERS):
-            members = mat[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                cents[c] = m / (np.linalg.norm(m) or 1.0)
+        bc = spark.sparkContext.broadcast(cents)
+
+        def _partial(batches):
+            c = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+                m /= np.linalg.norm(m, axis=1, keepdims=True)
+                assign = np.argmax(m @ c.T, axis=1)
+                out = []
+                for cl in np.unique(assign):
+                    members = m[assign == cl]
+                    out.append(
+                        {
+                            "cluster": int(cl),
+                            "n": len(members),
+                            "vsum": members.sum(axis=0).tolist(),
+                        }
+                    )
+                yield pd.DataFrame(out, columns=["cluster", "n", "vsum"])
+
+        partials = emb.mapInPandas(
+            _partial, "cluster int, n long, vsum array<double>"
+        )
+        # final combine: explode the k-vector partials to (cluster, pos)
+        # cells, sum, pivot back — a k*d-row aggregate, trivially small
+        totals = (
+            partials.select(
+                "cluster", "n", F.posexplode("vsum").alias("pos", "v")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("v").alias("v"), F.sum(F.when(F.col("pos") == 0, F.col("n"))).alias("n"))
+            .collect()
+        )
+        counts = {r.cluster: r.n for r in totals if r.pos == 0}
+        new = cents.copy()
+        for cl, cnt in counts.items():
+            if not cnt:
+                continue
+            vec = np.zeros(cents.shape[1])
+            for r in totals:
+                if r.cluster == cl:
+                    vec[r.pos] = r.v
+            m = vec / cnt
+            new[cl] = m / (np.linalg.norm(m) or 1.0)
+        cents = np.round(new, 9)
+        bc.destroy()
     return cents
 
 
@@ -240,14 +317,21 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH): vectors are bucketed by nearest coarse centroid; the query
     probes only its IVF_PROBES closest buckets and runs exact cosine
     there. At scale the assignment is a partition key — the probe reads
-    IVF_PROBES/IVF_CLUSTERS of the data instead of all of it."""
+    IVF_PROBES/IVF_CLUSTERS of the data instead of all of it. Training
+    is distributed (see _ivf_centroids); only the k centroids and the
+    single query vector are broadcast."""
     import numpy as np
     import pandas as pd
 
-    bc = _normalized_matrix(spark, sf_dir)
-    ids_all, mat_all = bc.value
-    cents = _ivf_centroids(ids_all, mat_all)
-    qvec = mat_all[np.nonzero(ids_all == QUERY_VEC_ID)[0][0]]
+    cents = _ivf_centroids(spark, sf_dir)
+    qrow = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .collect()
+    )
+    qvec = np.array(qrow[0].embedding, dtype=np.float64)
+    qvec /= np.linalg.norm(qvec)
     probe = set(np.argsort(-(cents @ qvec))[:IVF_PROBES].tolist())
     bc_cents = spark.sparkContext.broadcast((cents, probe, qvec))
 
