@@ -33,6 +33,13 @@ from ..session import default_parallelism
 
 JACCARD_THRESHOLD = 0.5
 SHINGLE_WORDS = 3
+# Stop-shingle cap: shingles appearing in more than this many documents are
+# boilerplate (headers, licenses, templates) and are dropped BEFORE the
+# shingle self-join. Without it one hot shingle at 100 TB joins
+# quadratically on a single key; with it the worst key fans out at most
+# SHINGLE_DF_CAP^2 rows. Jaccard is computed over the kept shingles on both
+# engines, so the oracle parity is exact.
+SHINGLE_DF_CAP = 50
 MINHASH_K = 16  # signature length
 MINHASH_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-s^4)^4
 SIMHASH_BITS = 32
@@ -79,27 +86,28 @@ def _shingles(words_col):
     )
 
 
-def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pairs by exact word-3-gram Jaccard >= threshold.
-
-    Plan shape: explode distinct shingles -> equi-self-join on shingle ->
-    group by (a, b) counting common shingles -> Jaccard from |A|,|B|,|A∩B|.
-    The only shuffles are on the shingle key and the pair key.
-
-    The scan is repartitioned before the shingle projection: the fixture
-    is one small parquet file = one input split, which would serialize the
-    expensive expression work (13s single-task at sf0.1 -> ~1s across
-    cores). On real multi-file inputs the repartition is a no-op cost."""
-    docs = load_table(spark, sf_dir, "documents").repartition(default_parallelism())
+def ngram_jaccard_pairs_for(docs: DataFrame) -> DataFrame:
+    """Near-duplicate pairs by exact word-3-gram Jaccard >= threshold over
+    an arbitrary (doc_id, text) frame — see doc_ngram_jaccard_pairs."""
     # join on the 64-bit shingle hash, not the string: ~10x smaller shuffle
     # and long-key compares (collision odds at 1e6 shingles: ~1e-8 — far
     # below the comparison's float-rounding noise)
-    sh = docs.select(
+    raw_sh = docs.select(
         "doc_id",
         F.explode(
             F.transform(_shingles(_words(F.col("text"))), lambda s: F.xxhash64(s))
         ).alias("sh_h"),
     )
+    # stop-shingle cap: drop shingles whose document frequency exceeds
+    # SHINGLE_DF_CAP before the self-join (hot-key quadratic guard). The
+    # hot set is tiny by construction -> broadcast anti-join.
+    hot = (
+        raw_sh.groupBy("sh_h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > SHINGLE_DF_CAP)
+        .select("sh_h")
+    )
+    sh = raw_sh.join(F.broadcast(hot), "sh_h", "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -122,6 +130,23 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs by exact word-3-gram Jaccard >= threshold.
+
+    Plan shape: explode distinct shingles -> stop-shingle df cap ->
+    equi-self-join on shingle -> group by (a, b) counting common shingles
+    -> Jaccard from |A|,|B|,|A∩B|. The only shuffles are on the shingle
+    key and the pair key; the df cap bounds the worst shingle key's
+    fan-out at SHINGLE_DF_CAP^2.
+
+    The scan is repartitioned before the shingle projection: the fixture
+    is one small parquet file = one input split, which would serialize the
+    expensive expression work (13s single-task at sf0.1 -> ~1s across
+    cores). On real multi-file inputs the repartition is a no-op cost."""
+    docs = load_table(spark, sf_dir, "documents").repartition(default_parallelism())
+    return ngram_jaccard_pairs_for(docs)
 
 
 def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,7 +295,7 @@ ORACLES = {
         FROM documents GROUP BY md5(text) ORDER BY keep_id
     """,
     "dedup_ngram_jaccard_pairs": f"""
-        WITH sh AS (
+        WITH raw_sh AS (
             SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle FROM (
                 SELECT doc_id,
                        CASE WHEN len(words) >= {SHINGLE_WORDS}
@@ -283,6 +308,12 @@ ORACLES = {
                            regexp_split_to_array(lower(trim(text)), '\\s+') AS words
                     FROM documents
                 )
+            )
+        ), sh AS (
+            SELECT * FROM raw_sh
+            WHERE shingle NOT IN (
+                SELECT shingle FROM raw_sh
+                GROUP BY shingle HAVING count(*) > {SHINGLE_DF_CAP}
             )
         ), sizes AS (
             SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id

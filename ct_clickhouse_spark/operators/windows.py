@@ -171,6 +171,32 @@ def spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def spend_quartiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of global ntile(4): assign quartile buckets by
+    comparing against one-pass approx_percentile boundaries instead of a
+    single-partition total sort. Plan: a 1-row sketch aggregate,
+    broadcast, then an embarrassingly-parallel projection — no global
+    sort anywhere. Rows-only (sketch boundaries are engine-specific);
+    the exact win_ntile_quartiles remains as the small-data/parity twin.
+    Bucket populations differ from exact ntile only by the sketch error
+    around the three boundary values."""
+    cust = load_table(spark, sf_dir, "customer")
+    bounds = cust.agg(
+        F.expr(
+            "approx_percentile(c_acctbal, array(0.25, 0.5, 0.75), 10000)"
+        ).alias("b")
+    )
+    q = (
+        F.when(F.col("c_acctbal") <= F.col("b")[0], 1)
+        .when(F.col("c_acctbal") <= F.col("b")[1], 2)
+        .when(F.col("c_acctbal") <= F.col("b")[2], 3)
+        .otherwise(4)
+    )
+    return cust.crossJoin(F.broadcast(bounds)).select(
+        "c_custkey", "c_acctbal", q.alias("balance_quartile")
+    )
+
+
 FUNNEL_STEPS = ["view", "click", "purchase"]
 
 
@@ -272,6 +298,7 @@ QUERIES = {
     "evt_session_30m": session_windows,
     "evt_json_props": json_props_rollup,
     "win_ntile_quartiles": spend_quartiles,
+    "win_ntile_approx": spend_quartiles_approx,  # rows-only (sketch bounds)
     "evt_funnel_retention": funnel_retention,
 }
 

@@ -52,6 +52,45 @@ def test_minhash_lsh_recall_against_exact_jaccard(spark):
     assert recall >= 0.9, f"LSH recall {recall} too low ({len(exact)} exact pairs)"
 
 
+def test_stop_shingle_cap_bounds_hot_key_without_losing_near_dups(spark):
+    """A boilerplate shingle shared by every document must not generate
+    quadratic pairs (it is dropped by the df cap), while a planted
+    near-duplicate pair sharing many rare shingles must survive."""
+    boiler = "copyright footer text"  # one 3-gram shared by all docs
+    near_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(i, f"{boiler} unique{i} word{i} filler{i} pad{i}") for i in range(80)]
+    rows.append((1000, near_a))
+    rows.append((1001, near_a + " extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs_for(docs).collect()
+    }
+    # 80 docs share only the boilerplate shingle (df=80 > cap=50): without
+    # the cap they would form 80*79/2 pairs at jaccard ~0.2-1.0; with it
+    # they share nothing
+    assert (1000, 1001) in pairs, "planted near-dup lost by the shingle cap"
+    assert pairs[(1000, 1001)] >= 0.5
+    assert all(a == 1000 for a, _ in pairs), f"boilerplate pairs leaked: {pairs}"
+
+
+def test_approx_ntile_agrees_with_exact_quartiles(spark):
+    """The sketch-bounded quartile assignment must agree with exact global
+    ntile(4) for nearly every customer (disagreement only within sketch
+    error of the three boundaries)."""
+    exact = {
+        r.c_custkey: r.balance_quartile
+        for r in windows.spend_quartiles(spark, SF_DIR).collect()
+    }
+    approx = {
+        r.c_custkey: r.balance_quartile
+        for r in windows.spend_quartiles_approx(spark, SF_DIR).collect()
+    }
+    assert set(exact) == set(approx)
+    agree = sum(1 for k in exact if exact[k] == approx[k]) / len(exact)
+    assert agree >= 0.95, f"approx ntile agreement {agree:.3f}"
+
+
 def test_simhash_near_dups_have_close_hashes(spark):
     """Near-duplicate docs (exact jaccard >= 0.9) should have simhash
     hamming distance well below random (~16 for 32-bit)."""
