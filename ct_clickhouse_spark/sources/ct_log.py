@@ -15,13 +15,27 @@ Reference behavior being re-expressed (ingestion/ct_ingestor.py):
 - frozen log fully read -> worker exits               (:172-175) -> a
   partition simply stops producing once offset == tree_size
 
-Transport: the reference speaks HTTP to public CT logs. This container is
-offline, so the source reads a *recorded log directory* (option ``path``):
-one subdirectory per log containing ``sth.json`` ({"tree_size": N}) and
-``entries.jsonl`` (one {"leaf_input": base64} per line) — the exact wire
-format of get-sth/get-entries responses. An HTTP transport is the same
-class with fetch_sth/fetch_entries swapped to requests.get; the offset and
-partitioning logic — the part Spark cares about — is identical.
+Transport: the reference speaks HTTP to public CT logs
+(ct_ingestor.py:100-110: requests.get with a 10 s timeout against
+``<url>/ct/v1/get-sth`` and ``/ct/v1/get-entries?start=&end=``, where the
+server may clamp the returned batch). Both transports exist behind one
+seam (``_Transport``):
+- ``DirTransport`` (option ``path``): a *recorded log directory* — one
+  subdirectory per log containing ``sth.json`` ({"tree_size": N}) and
+  ``entries.jsonl`` (one {"leaf_input": base64} per line), the exact wire
+  format of the two endpoints. The offline-container default.
+- ``HttpTransport`` (option ``urls`` = "Name=https://log/...,..."): live
+  polling with stdlib urllib (timeouts, server-side batch clamping
+  honored by looping until the range is covered). Exercised in tests
+  against a local fixture server, including clamp and error paths.
+
+Eligibility: when option ``registry`` points at a log_list.json, the log
+set consulted by initialOffset/latestOffset is filtered through the same
+retired/usable/temporal-interval rules as sources/log_list.py (option
+``now`` pins the evaluation time) — the reference re-checks its registry
+filters daily (ct_ingestor.py:63-70); here every offset poll re-lists and
+re-filters, so a log retired mid-stream stops being ingested at the next
+micro-batch.
 
 Output schema: (log_name string, entry_index long, leaf_input binary).
 """
@@ -31,6 +45,7 @@ from __future__ import annotations
 import base64
 import json
 import os
+import urllib.request
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql.datasource import (
@@ -55,27 +70,104 @@ SCHEMA = StructType(
 )
 
 DEFAULT_BATCH = 512  # reference BATCH_SIZE (ct_ingestor.py:25)
+HTTP_TIMEOUT_SEC = 10.0  # reference timeout (ct_ingestor.py:102,108)
 
 
-def _discover_logs(path: str) -> list[str]:
-    """Log names = subdirectories with an sth.json (the reference filters
-    its log list to usable logs, ct_ingestor.py:77-97; recorded dirs are
-    usable by construction)."""
-    return sorted(
-        d
-        for d in os.listdir(path)
-        if os.path.isfile(os.path.join(path, d, "sth.json"))
-    )
+class DirTransport:
+    """Recorded-directory transport (offline default). Picklable — ships
+    to read() tasks as plain state."""
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def list_logs(self) -> list[str]:
+        return sorted(
+            d
+            for d in os.listdir(self.path)
+            if os.path.isfile(os.path.join(self.path, d, "sth.json"))
+        )
+
+    def fetch_sth(self, log: str) -> int:
+        with open(os.path.join(self.path, log, "sth.json")) as f:
+            return int(json.load(f)["tree_size"])
+
+    def fetch_entries(self, log: str, start: int, end: int) -> list[bytes]:
+        """Leaf inputs for [start, end) — recorded files never clamp."""
+        out: list[bytes] = []
+        with open(os.path.join(self.path, log, "entries.jsonl")) as f:
+            for idx, line in enumerate(f):
+                if idx >= end:
+                    break
+                if idx < start:
+                    continue
+                out.append(base64.b64decode(json.loads(line)["leaf_input"]))
+        return out
 
 
-def _tree_size(path: str, log: str) -> int:
-    with open(os.path.join(path, log, "sth.json")) as f:
-        return int(json.load(f)["tree_size"])
+class HttpTransport:
+    """Live RFC 6962 transport (reference ct_ingestor.py:100-110): get-sth
+    for the tree size, get-entries with an inclusive end index; the server
+    may clamp the batch — callers loop on the returned length. stdlib
+    urllib so the seam has no optional dependency; Spark's task retry is
+    the error-recovery layer (T6), so failures raise instead of spinning."""
+
+    def __init__(self, logs: dict[str, str], timeout: float = HTTP_TIMEOUT_SEC):
+        self.logs = dict(logs)  # name -> base url (no trailing slash)
+        self.timeout = timeout
+
+    def _get_json(self, url: str) -> dict:
+        with urllib.request.urlopen(url, timeout=self.timeout) as resp:
+            if resp.status != 200:
+                raise IOError(f"GET {url} -> HTTP {resp.status}")
+            return json.loads(resp.read().decode("utf-8"))
+
+    def list_logs(self) -> list[str]:
+        return sorted(self.logs)
+
+    def fetch_sth(self, log: str) -> int:
+        return int(self._get_json(f"{self.logs[log]}/ct/v1/get-sth")["tree_size"])
+
+    def fetch_entries(self, log: str, start: int, end: int) -> list[bytes]:
+        """One get-entries call for [start, end) (wire format is inclusive
+        end). Returns what the server sent — possibly fewer than asked."""
+        doc = self._get_json(
+            f"{self.logs[log]}/ct/v1/get-entries?start={start}&end={end - 1}"
+        )
+        entries = doc.get("entries", [])
+        if not entries:
+            raise IOError(f"{log}: get-entries [{start},{end}) returned no entries")
+        return [base64.b64decode(e["leaf_input"]) for e in entries]
+
+
+def _parse_urls_option(urls: str) -> dict[str, str]:
+    """'Name=https://a,Other=https://b' -> {name: url} (trailing / trimmed)."""
+    out: dict[str, str] = {}
+    for part in urls.split(","):
+        name, _, url = part.partition("=")
+        if not name.strip() or not url.strip():
+            raise ValueError(f"urls option: bad entry {part!r} (want Name=url)")
+        out[name.strip()] = url.strip().rstrip("/")
+    return out
+
+
+def _make_transport(options: dict):
+    path = options.get("path")
+    urls = options.get("urls")
+    if path and urls:
+        raise ValueError("ct_log source: give either 'path' or 'urls', not both")
+    if path:
+        return DirTransport(path)
+    if urls:
+        return HttpTransport(
+            _parse_urls_option(urls),
+            timeout=float(options.get("httptimeoutsec", HTTP_TIMEOUT_SEC)),
+        )
+    raise ValueError("ct_log source requires a 'path' (recorded dir) or 'urls' option")
 
 
 class CTLogPartition(InputPartition):
-    def __init__(self, path: str, log: str, start: int, end: int):
-        self.path = path
+    def __init__(self, transport, log: str, start: int, end: int):
+        self.transport = transport
         self.log = log
         self.start = start
         self.end = end
@@ -83,16 +175,29 @@ class CTLogPartition(InputPartition):
 
 class CTLogStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
-        self.path = options.get("path")
-        if not self.path:
-            raise ValueError("ct_log source requires a 'path' option")
+        self.transport = _make_transport(options)
         self.max_per_trigger = int(options.get("maxentriespertrigger", DEFAULT_BATCH))
+        self.registry = options.get("registry")
+        self.now = options.get("now")  # ISO ts for eligibility; None = wall clock
         self._committed: dict | None = None  # last offset Spark committed
+
+    def _logs(self) -> list[str]:
+        """Available logs, filtered through the registry's eligibility
+        rules when one is given (retired / not-usable-or-frozen / outside
+        temporal interval are excluded — ct_ingestor.py:77-97). Re-run on
+        every offset poll, so registry edits take effect next batch."""
+        logs = self.transport.list_logs()
+        if not self.registry:
+            return logs
+        from .log_list import eligible_log_names
+
+        eligible = eligible_log_names(self.registry, self.now)
+        return [log for log in logs if log in eligible]
 
     def initialOffset(self) -> dict:
         # offset 0 for every discovered log == the reference's fresh
         # offset files (ct_ingestor.py:26-38)
-        return {log: 0 for log in _discover_logs(self.path)}
+        return {log: 0 for log in self._logs()}
 
     def latestOffset(self) -> dict:
         """get-sth tree_size per log (ct_ingestor.py:102-105), paced by
@@ -100,7 +205,7 @@ class CTLogStreamReader(DataSourceStreamReader):
         must happen here, not in partitions(): the end offset returned is
         what Spark records for the batch, so clamping later would silently
         skip the clamped-off entries."""
-        sizes = {log: _tree_size(self.path, log) for log in _discover_logs(self.path)}
+        sizes = {log: self.transport.fetch_sth(log) for log in self._logs()}
         if self._committed is None:
             return sizes  # first batch (or restart): take all available
         return {
@@ -117,21 +222,24 @@ class CTLogStreamReader(DataSourceStreamReader):
             lo = start.get(log, 0)
             for chunk_lo in range(lo, hi, DEFAULT_BATCH):
                 parts.append(
-                    CTLogPartition(self.path, log, chunk_lo, min(chunk_lo + DEFAULT_BATCH, hi))
+                    CTLogPartition(
+                        self.transport, log, chunk_lo, min(chunk_lo + DEFAULT_BATCH, hi)
+                    )
                 )
         return parts
 
     def read(self, partition: CTLogPartition) -> Iterator[tuple]:
-        # get-entries [start, end) — recorded wire format
-        entries_file = os.path.join(partition.path, partition.log, "entries.jsonl")
-        with open(entries_file) as f:
-            for idx, line in enumerate(f):
-                if idx >= partition.end:
-                    break
-                if idx < partition.start:
-                    continue
-                leaf_b64 = json.loads(line)["leaf_input"]
-                yield (partition.log, idx, base64.b64decode(leaf_b64))
+        # get-entries [start, end); the server may clamp each response
+        # (HttpTransport), so loop until the range is covered — the
+        # reference advances its offset by len(entries) the same way
+        # (ct_ingestor.py:205-224). fetch_entries raising on an empty
+        # response bounds the loop.
+        cur = partition.start
+        while cur < partition.end:
+            batch = partition.transport.fetch_entries(partition.log, cur, partition.end)
+            for leaf in batch[: partition.end - cur]:
+                yield (partition.log, cur, leaf)
+                cur += 1
 
     def commit(self, end: dict) -> None:
         # the reference writes offset files here (ct_ingestor.py:224-226);

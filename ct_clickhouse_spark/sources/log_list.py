@@ -10,9 +10,17 @@ predicates — the nested operators[].logs[] arrays are double-exploded.
 
 `now` is a parameter (the reference hardwires wall-clock) so discovery is
 deterministic and testable.
+
+``eligible_log_names`` is the same rule set as a pure-Python function (no
+SparkSession) so the ct_log streaming source can consult it from inside
+initialOffset/latestOffset; a test pins the two implementations to each
+other on shared fixtures.
 """
 
 from __future__ import annotations
+
+import datetime
+import json
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -74,6 +82,44 @@ LOG_LIST_SCHEMA = StructType(
         )
     ]
 )
+
+
+def _parse_ts(s: str | None, default: datetime.datetime) -> datetime.datetime:
+    if not s:
+        return default
+    dt = datetime.datetime.fromisoformat(s.replace("Z", "+00:00"))
+    return dt.replace(tzinfo=None)
+
+
+def eligible_log_names(log_list_path: str, now: str | None = None) -> set[str]:
+    """Descriptions of eligible logs — discover_logs' rules, stdlib-only:
+    (a) not retired, (b) usable or frozen, (c) temporal interval contains
+    ``now`` (missing interval defaults open, ct_ingestor.py:86-87).
+    ``now=None`` uses wall clock (the reference's behavior)."""
+    with open(log_list_path) as f:
+        doc = json.load(f)
+    now_dt = (
+        datetime.datetime.now(datetime.timezone.utc).replace(tzinfo=None)
+        if now is None
+        else _parse_ts(now, datetime.datetime(1970, 1, 1))
+    )
+    out: set[str] = set()
+    for op in doc.get("operators", []) or []:
+        for log in op.get("logs", []) or []:
+            state = log.get("state") or {}
+            if state.get("retired") is not None:
+                continue
+            if state.get("usable") is None and state.get("frozen") is None:
+                continue
+            ti = log.get("temporal_interval") or {}
+            start = _parse_ts(ti.get("start_inclusive"), datetime.datetime(1970, 1, 1))
+            end = _parse_ts(
+                ti.get("end_exclusive"), datetime.datetime(9999, 12, 31, 23, 59, 59)
+            )
+            if not (start <= now_dt < end):
+                continue
+            out.add(log.get("description") or "unknown")
+    return out
 
 
 def discover_logs(spark: SparkSession, log_list_path: str, now: str) -> DataFrame:
