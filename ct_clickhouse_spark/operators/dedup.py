@@ -86,28 +86,37 @@ def _shingles(words_col):
     )
 
 
-def ngram_jaccard_pairs_for(docs: DataFrame) -> DataFrame:
-    """Near-duplicate pairs by exact word-3-gram Jaccard >= threshold over
-    an arbitrary (doc_id, text) frame — see doc_ngram_jaccard_pairs."""
-    # join on the 64-bit shingle hash, not the string: ~10x smaller shuffle
-    # and long-key compares (collision odds at 1e6 shingles: ~1e-8 — far
-    # below the comparison's float-rounding noise)
+def _kept_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh_h) pairs after the stop-shingle cap.
+
+    Joins on the 64-bit shingle hash, not the string: ~10x smaller shuffle
+    and long-key compares (collision odds at 1e6 shingles: ~1e-8 — far
+    below the comparison's float-rounding noise). The cap drops shingles
+    whose document frequency exceeds SHINGLE_DF_CAP before any self-join
+    (hot-key quadratic guard); the hot set is tiny by construction ->
+    broadcast anti-join."""
     raw_sh = docs.select(
         "doc_id",
         F.explode(
             F.transform(_shingles(_words(F.col("text"))), lambda s: F.xxhash64(s))
         ).alias("sh_h"),
     )
-    # stop-shingle cap: drop shingles whose document frequency exceeds
-    # SHINGLE_DF_CAP before the self-join (hot-key quadratic guard). The
-    # hot set is tiny by construction -> broadcast anti-join.
     hot = (
         raw_sh.groupBy("sh_h")
         .agg(F.count(F.lit(1)).alias("df"))
         .filter(F.col("df") > SHINGLE_DF_CAP)
         .select("sh_h")
     )
-    sh = raw_sh.join(F.broadcast(hot), "sh_h", "left_anti")
+    return raw_sh.join(F.broadcast(hot), "sh_h", "left_anti")
+
+
+def ngram_jaccard_pairs_for(docs: DataFrame) -> DataFrame:
+    """Near-duplicate pairs by exact word-3-gram Jaccard >= threshold over
+    an arbitrary (doc_id, text) frame — see doc_ngram_jaccard_pairs."""
+    return _pairs_from_shingles(_kept_shingles(docs))
+
+
+def _pairs_from_shingles(sh: DataFrame) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -132,6 +141,27 @@ def ngram_jaccard_pairs_for(docs: DataFrame) -> DataFrame:
     )
 
 
+# The kept-shingle and signature tables are consumed by several operators
+# (sizes + both self-join sides; signatures + banded pairs), and Spark
+# recomputes lazy lineage per consumer. They are persisted once per
+# (session, sf_dir) — the in-memory analog of materializing the shingle /
+# sketch table that a 100 TB pipeline would store physically (same
+# precedent as the cached cert_domains fact table, cert_domains.py).
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _kept_shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    sh = _SHINGLE_CACHE.get(key)
+    if sh is None:
+        docs = load_table(spark, sf_dir, "documents").repartition(
+            default_parallelism()
+        )
+        sh = _kept_shingles(docs).persist()
+        _SHINGLE_CACHE[key] = sh
+    return sh
+
+
 def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate pairs by exact word-3-gram Jaccard >= threshold.
 
@@ -145,17 +175,25 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one small parquet file = one input split, which would serialize the
     expensive expression work (13s single-task at sf0.1 -> ~1s across
     cores). On real multi-file inputs the repartition is a no-op cost."""
-    docs = load_table(spark, sf_dir, "documents").repartition(default_parallelism())
-    return ngram_jaccard_pairs_for(docs)
+    return _pairs_from_shingles(_kept_shingles_cached(spark, sf_dir))
+
+
+_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash signatures via explode + k min-aggregates.
+    """MinHash signatures via explode + k min-aggregates, persisted per
+    (session, sf_dir) — both the signature query and the banded-LSH pairs
+    consume it.
 
     This is the scale-correct shape: one explode of distinct shingles, then
     ``min(xxhash64(shingle, seed_i))`` per doc for k seeds — a single
     map-side-combinable hash aggregate, no O(k)-deep expression trees
     (a nested-transform formulation was 20x slower purely on codegen)."""
+    key = (id(spark), sf_dir)
+    sig = _SIG_CACHE.get(key)
+    if sig is not None:
+        return sig
     docs = load_table(spark, sf_dir, "documents").repartition(default_parallelism())
     # hash the shingle string ONCE, then derive the k family members by
     # hashing the resulting long with the seed — k string hashes per
@@ -166,9 +204,11 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(_shingles(_words(F.col("text"))), lambda s: F.xxhash64(s))
         ).alias("sh_h"),
     )
-    return sh.groupBy("doc_id").agg(
+    sig = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64("sh_h", F.lit(i))).alias(f"h{i}") for i in range(MINHASH_K)]
-    )
+    ).persist()
+    _SIG_CACHE[key] = sig
+    return sig
 
 
 def doc_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -180,58 +180,65 @@ LSH_BANDS = 4  # 4 bands x 4 bits
 
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN near-dup pairs: banded signature buckets generate candidates,
-    exact cosine verifies inside buckets only. At 100 TB the banded join
-    replaces the O(n^2) cross join with LSH_BANDS shuffles on small keys;
-    recall = 1-(1-p^4)^4 where p = 1 - angle/pi.
+    """ANN near-dup pairs: banded signature buckets, exact cosine verified
+    *inside each bucket* — the canonical LSH shape. Recall per pair is
+    1-(1-p^b)^bands with p = 1 - angle/pi.
 
-    Verification joins the (LSH-pruned, small) candidate set back to the
-    embeddings table on each side and computes the cosine with JVM
-    zip_with/aggregate expressions — two hash joins on vec_id, no driver
-    collect, no full-matrix broadcast anywhere in the plan."""
+    Plan: signatures -> explode into (band, bucket) keys -> ONE shuffle
+    grouping each bucket's vectors together -> a dense numpy kernel runs
+    the exact all-pairs cosine within the bucket (buckets are small by
+    construction; a hot bucket is bounded by its own membership, and the
+    band count bounds replication at LSH_BANDS rows per vector) ->
+    dropDuplicates on the pair key since a pair can collide in several
+    bands. No candidate self-join, no driver collect, no full-matrix
+    broadcast: this is strictly bucket-local work, which is what makes
+    LSH sub-quadratic at 100 TB."""
+    import numpy as np
+    import pandas as pd
+
     bits_per_band = LSH_BITS // LSH_BANDS
     sigs = lsh_signatures(spark, sf_dir)
     mask = (1 << bits_per_band) - 1
-    bands = sigs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.expr(
-                            f"CAST(shiftright(signature, {b * bits_per_band}) AS BIGINT) & {mask}"
-                        ).alias("bucket"),
-                    )
-                    for b in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", "bb.band", "bb.bucket")
-    a = bands.select(F.col("vec_id").alias("id_a"), "band", "bucket")
-    b = bands.select(F.col("vec_id").alias("id_b"), "band", "bucket")
-    cand = (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bands = (
+        sigs.join(emb, "vec_id")
+        .select(
+            "vec_id",
+            "embedding",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.expr(
+                                f"CAST(shiftright(signature, {b * bits_per_band}) AS BIGINT) & {mask}"
+                            ).alias("bucket"),
+                        )
+                        for b in range(LSH_BANDS)
+                    ]
+                )
+            ).alias("bb"),
+        )
+        .select("vec_id", "embedding", "bb.band", "bb.bucket")
     )
 
-    # exact-cosine verification: join the pruned candidates back to the
-    # embeddings table on each side; the dot product runs as JVM
-    # zip_with/aggregate expressions over the two fetched arrays
-    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"))
-    cos = _dot(F.col("emb_a"), F.col("emb_b")) / (
-        _norm(F.col("emb_a")) * _norm(F.col("emb_b"))
-    )
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+    def _bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return empty
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        sims = np.round(m @ m.T, 4)
+        keep = (sims >= PAIR_THRESHOLD) & (ids[:, None] < ids[None, :])
+        ai, bj = np.nonzero(keep)
+        return pd.DataFrame({"id_a": ids[ai], "id_b": ids[bj], "cosine": sims[ai, bj]})
+
     return (
-        cand.join(ea, "id_a")
-        .join(eb, "id_b")
-        .withColumn("cosine", F.round(cos, 4))
-        .filter(F.col("cosine") >= PAIR_THRESHOLD)
-        .select("id_a", "id_b", "cosine")
+        bands.groupBy("band", "bucket")
+        .applyInPandas(_bucket_pairs, "id_a long, id_b long, cosine double")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
