@@ -67,6 +67,7 @@ _ROWS_ONLY_PRIORITY = [
     "ref_stats_approx",
     "ref_table_sizes",
     "mm_decode_features",
+    "ref_topk_sketch",
     "ingest_parse_batch",
     "ingest_parse_summary",
 ]

@@ -108,6 +108,24 @@ def stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def base_domain_topk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``topK()`` analog: one-pass mergeable heavy-hitters
+    sketch (`approx_top_k`) over base_domain, exploded to (item, est_count)
+    rows. The exact twin is ref_tld_topk's count+TakeOrdered; the sketch
+    is the 100 TB path when the key cardinality dwarfs memory. Rows-only:
+    tie order among equal counts is engine-specific. A pytest pins the
+    sketch to the exact counts while cardinality < sketch capacity."""
+    cert = build_cert_domains(spark, sf_dir)
+    return (
+        cert.agg(F.expr("approx_top_k(base_domain, 10, 100000)").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("base_domain"),
+            F.col("e.count").alias("est_count"),
+        )
+    )
+
+
 def stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /stats with uniqCombined≈HLL++ (api/app.py:187-188) —
     approx_count_distinct; sketch estimates differ per engine, so rows-only."""
@@ -257,6 +275,7 @@ QUERIES = {
     "ref_tld_topk": tld_topk,
     "ref_stats": stats_exact,
     "ref_stats_approx": stats_approx,  # rows-only by design
+    "ref_topk_sketch": base_domain_topk_sketch,  # rows-only by design
     "ref_stream_page": stream_page,
     "ref_table_sizes": table_sizes,  # rows-only by design
     "ref_log_allowlist": log_allowlist,

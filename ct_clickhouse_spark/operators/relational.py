@@ -20,7 +20,7 @@ FP-addition-order noise far below the comparison granularity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -159,6 +159,95 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ps")[2] + 1e-6, 2).alias("p75"),
         )
     )
+
+
+QUANTILE_RANGE_PARTITIONS = 32
+
+
+def price_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated per-group percentiles WITHOUT buffering a group
+    in memory (Spark's `percentile` materializes each group's values; this
+    is the 100 TB-shape exact path — the sketch path is
+    rel_approx_quantiles).
+
+    Plan: range-partition on (group, value) -> per-partition row_number
+    gives an exact within-group rank after adding broadcast per-(partition,
+    group) prefix offsets (only one count per partition-group is ever
+    centralized) -> each percentile needs exactly the rows at ranks
+    floor/ceil of (n_g-1)*p, selected in-plan from broadcast literal maps
+    -> one tiny hash aggregate interpolates. Every stage is parallel; the
+    answer is independent of partition boundaries. Same oracle as
+    rel_price_quantiles (it is exact)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    ps = [0.25, 0.5, 0.75]
+    gcol, vcol = "l_returnflag", "l_extendedprice"
+
+    # localCheckpoint freezes the range-partition assignment: boundaries
+    # are SAMPLED per execution, so without materialization the counts job
+    # and the final job would disagree on _pid (see windows._global_rank).
+    ranged = (
+        li.repartitionByRange(QUANTILE_RANGE_PARTITIONS, gcol, vcol)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    cnt_rows = ranged.groupBy("_pid", gcol).agg(F.count(F.lit(1)).alias("n")).collect()
+    # per-group totals and per-(pid, group) prefix offsets
+    totals: dict[str, int] = {}
+    for r in sorted(cnt_rows, key=lambda r: (r[gcol], r._pid)):
+        totals[r[gcol]] = totals.get(r[gcol], 0) + r.n
+    offsets: dict[tuple[int, str], int] = {}
+    running: dict[str, int] = {}
+    for r in sorted(cnt_rows, key=lambda r: (r[gcol], r._pid)):
+        offsets[(r._pid, r[gcol])] = running.get(r[gcol], 0)
+        running[r[gcol]] = running.get(r[gcol], 0) + r.n
+
+    w = Window.partitionBy("_pid", gcol).orderBy(vcol)
+    off = F.create_map(
+        *[
+            x
+            for (pid, g), o in offsets.items()
+            for x in (F.concat_ws("|", F.lit(pid), F.lit(g)), F.lit(o))
+        ]
+    )[F.concat_ws("|", F.col("_pid"), F.col(gcol))]
+    ranked = ranged.withColumn("_rank", F.row_number().over(w) - 1 + off)
+
+    # driver-side (tiny): target ranks + interpolation fractions per group
+    lo_maps, hi_maps, fr_maps, needed = [], [], [], {}
+    for p in ps:
+        lo_m, hi_m, fr_m = {}, {}, {}
+        for g, n in totals.items():
+            pos = (n - 1) * p
+            lo, hi = int(pos // 1), min(int(pos // 1) + 1, n - 1)
+            lo_m[g], hi_m[g], fr_m[g] = lo, hi, pos - int(pos // 1)
+            needed.setdefault(g, set()).update((lo, hi))
+        lo_maps.append(lo_m)
+        hi_maps.append(hi_m)
+        fr_maps.append(fr_m)
+
+    def _lit_map(d: dict):
+        return F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
+
+    keep = F.array_contains(
+        F.create_map(
+            *[
+                x
+                for g, idxs in needed.items()
+                for x in (F.lit(g), F.array(*[F.lit(i) for i in sorted(idxs)]))
+            ]
+        )[F.col(gcol)],
+        F.col("_rank"),
+    )
+    picked = ranked.filter(keep)
+
+    aggs = []
+    for p, lo_m, hi_m, fr_m in zip(ps, lo_maps, hi_maps, fr_maps):
+        lo_v = F.min(F.when(F.col("_rank") == _lit_map(lo_m)[F.col(gcol)], F.col(vcol)))
+        hi_v = F.min(F.when(F.col("_rank") == _lit_map(hi_m)[F.col(gcol)], F.col(vcol)))
+        frac = _lit_map(fr_m)[F.col(gcol)]
+        aggs.append(
+            F.round(lo_v + frac * (hi_v - lo_v) + 1e-6, 2).alias(f"p{int(p * 100)}")
+        )
+    return picked.groupBy(F.col(gcol).alias("l_returnflag")).agg(*aggs)
 
 
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -355,6 +444,7 @@ QUERIES = {
     "rel_rollup_sales": rollup_sales,
     "rel_setops": setop_customers,
     "rel_price_quantiles": price_quantiles,
+    "rel_quantiles_distributed": price_quantiles_distributed,
     "rel_approx_quantiles": approx_quantiles,  # rows-only (sketch)
     "rel_conditional_agg": conditional_agg,
     "rel_having": nations_with_many_customers,
@@ -431,6 +521,13 @@ ORACLES = {
         ORDER BY setop, o_custkey
     """,
     "rel_price_quantiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25) + 0.000001, 2) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5) + 0.000001, 2) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75) + 0.000001, 2) AS p75
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    "rel_quantiles_distributed": """
         SELECT l_returnflag,
                round(quantile_cont(l_extendedprice, 0.25) + 0.000001, 2) AS p25,
                round(quantile_cont(l_extendedprice, 0.5) + 0.000001, 2) AS p50,

@@ -155,19 +155,88 @@ def json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(4): customer account-balance quartile buckets.
+NTILE_RANGE_PARTITIONS = 32
 
-    Exception to the partitioned-window rule above: exact global ntile
-    requires a total order (single-partition window). At 100 TB assign
-    buckets by comparing against approx_percentile boundaries instead —
-    same output schema, no global sort."""
+
+def _global_rank(df: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Exact 0-based global rank over a total order WITHOUT a
+    single-partition window: repartitionByRange on the order columns,
+    row_number within each (sorted, parallel) range partition, then add
+    the broadcast prefix-sum of partition counts. The only centralized
+    data is one count per partition. Ties must be broken by the caller's
+    order_cols (include a unique key).
+
+    The ranged frame is localCheckpoint'ed (eager): repartitionByRange
+    SAMPLES its boundaries per execution, so the counts job and the final
+    job would otherwise see different partition assignments and produce
+    colliding ranks (observed, not hypothetical). Materializing freezes
+    the assignment; a lost block then fails the query instead of silently
+    mis-ranking. At cluster scale this is a persisted/checkpointed
+    intermediate — the price of an exact global rank without a global
+    sort."""
+    pid = F.spark_partition_id()
+    ranged = (
+        df.repartitionByRange(NTILE_RANGE_PARTITIONS, *order_cols)
+        .withColumn("_pid", pid)
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r._pid: r.n
+        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    offset_col = F.create_map(
+        *[F.lit(x) for kv in offsets.items() for x in kv]
+    )[F.col("_pid")]
+    return (
+        ranged.withColumn("_rank", F.row_number().over(w) - 1 + offset_col)
+        .withColumn("_total", F.lit(acc))
+        .drop("_pid")
+    )
+
+
+def spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4): customer account-balance quartile buckets via the plain
+    window operator — the parity twin. Exact global ntile through a
+    window needs a total order = single-partition sort; the two scale
+    paths are spend_quartiles_distributed (exact, parallel) and
+    spend_quartiles_approx (sketch-bounded)."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.orderBy("c_acctbal", "c_custkey")
     return cust.select(
         "c_custkey",
         "c_acctbal",
         F.ntile(4).over(w).alias("balance_quartile"),
+    )
+
+
+def spend_quartiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(4) — EXACT, with no single-partition total sort. Global rank
+    comes from _global_rank (range partitions + per-partition row_number
+    + broadcast prefix offsets; only one count per partition is
+    centralized), then the exact ntile bucket formula: with q, r =
+    divmod(total, 4), the first r buckets take q+1 rows. Matches
+    Window.ntile(4) row-for-row (same DuckDB oracle as the window form)
+    while every stage stays parallel — range partition boundaries affect
+    task placement, never the answer."""
+    cust = load_table(spark, sf_dir, "customer")
+    ranked = _global_rank(
+        cust.select("c_custkey", "c_acctbal"), ["c_acctbal", "c_custkey"]
+    )
+    n = F.lit(4)
+    q = (F.col("_total") / n).cast("long")  # floor: base bucket size
+    r = F.col("_total") % n  # first r buckets take q+1 rows
+    big_span = (q + 1) * r  # rows covered by the larger buckets
+    bucket = (
+        F.when(F.col("_rank") < big_span, (F.col("_rank") / (q + 1)).cast("long") + 1)
+        .otherwise(r + ((F.col("_rank") - big_span) / q).cast("long") + 1)
+    )
+    return ranked.select(
+        "c_custkey", "c_acctbal", bucket.cast("int").alias("balance_quartile")
     )
 
 
@@ -298,6 +367,7 @@ QUERIES = {
     "evt_session_30m": session_windows,
     "evt_json_props": json_props_rollup,
     "win_ntile_quartiles": spend_quartiles,
+    "win_ntile_distributed": spend_quartiles_distributed,
     "win_ntile_approx": spend_quartiles_approx,  # rows-only (sketch bounds)
     "evt_funnel_retention": funnel_retention,
 }
@@ -401,6 +471,11 @@ ORACLES = {
         FROM events GROUP BY event_type
     """,
     "win_ntile_quartiles": """
+        SELECT c_custkey, c_acctbal,
+               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
+        FROM customer
+    """,
+    "win_ntile_distributed": """
         SELECT c_custkey, c_acctbal,
                ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
         FROM customer
