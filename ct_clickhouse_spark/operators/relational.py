@@ -170,80 +170,104 @@ def price_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the 100 TB-shape exact path — the sketch path is
     rel_approx_quantiles).
 
-    Plan: range-partition on (group, value) -> per-partition row_number
-    gives an exact within-group rank after adding broadcast per-(partition,
-    group) prefix offsets (only one count per partition-group is ever
-    centralized) -> each percentile needs exactly the rows at ranks
-    floor/ceil of (n_g-1)*p, selected in-plan from broadcast literal maps
-    -> one tiny hash aggregate interpolates. Every stage is parallel; the
-    answer is independent of partition boundaries. Same oracle as
-    rel_price_quantiles (it is exact)."""
-    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    Plan: range-partition on (group, value), localCheckpoint to freeze
+    the (sampled, per-execution) partition assignment, collect one count
+    per (partition, group) -> prefix offsets per group (tiny,
+    driver-side) -> ONE vectorized mapInPandas pass sorts each partition
+    locally, derives the exact within-group global rank from the closed-
+    over offsets, and emits only the rows sitting at the floor/ceil ranks
+    of (n_g-1)*p — at most 2·|ps| rows per group leave the executors ->
+    one tiny hash aggregate interpolates. No second shuffle, no global
+    sort, no group ever buffered whole; the answer is independent of
+    partition boundaries. Same oracle as rel_price_quantiles (exact)."""
+    import pandas as pd
+
+    from ..session import default_parallelism
+
+    # repartition first: the fixture table is one parquet file = one input
+    # split, which would serialize the range-sample and shuffle-write side
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_extendedprice")
+        .repartition(default_parallelism())
+    )
     ps = [0.25, 0.5, 0.75]
     gcol, vcol = "l_returnflag", "l_extendedprice"
 
-    # localCheckpoint freezes the range-partition assignment: boundaries
-    # are SAMPLED per execution, so without materialization the counts job
-    # and the final job would disagree on _pid (see windows._global_rank).
     ranged = (
         li.repartitionByRange(QUANTILE_RANGE_PARTITIONS, gcol, vcol)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
     cnt_rows = ranged.groupBy("_pid", gcol).agg(F.count(F.lit(1)).alias("n")).collect()
-    # per-group totals and per-(pid, group) prefix offsets
     totals: dict[str, int] = {}
-    for r in sorted(cnt_rows, key=lambda r: (r[gcol], r._pid)):
-        totals[r[gcol]] = totals.get(r[gcol], 0) + r.n
     offsets: dict[tuple[int, str], int] = {}
-    running: dict[str, int] = {}
     for r in sorted(cnt_rows, key=lambda r: (r[gcol], r._pid)):
-        offsets[(r._pid, r[gcol])] = running.get(r[gcol], 0)
-        running[r[gcol]] = running.get(r[gcol], 0) + r.n
-
-    w = Window.partitionBy("_pid", gcol).orderBy(vcol)
-    off = F.create_map(
-        *[
-            x
-            for (pid, g), o in offsets.items()
-            for x in (F.concat_ws("|", F.lit(pid), F.lit(g)), F.lit(o))
-        ]
-    )[F.concat_ws("|", F.col("_pid"), F.col(gcol))]
-    ranked = ranged.withColumn("_rank", F.row_number().over(w) - 1 + off)
+        offsets[(r._pid, r[gcol])] = totals.get(r[gcol], 0)
+        totals[r[gcol]] = totals.get(r[gcol], 0) + r.n
 
     # driver-side (tiny): target ranks + interpolation fractions per group
-    lo_maps, hi_maps, fr_maps, needed = [], [], [], {}
-    for p in ps:
-        lo_m, hi_m, fr_m = {}, {}, {}
-        for g, n in totals.items():
+    needed: dict[str, dict[int, None]] = {}
+    targets: dict[str, list[tuple[float, int, int, float]]] = {}
+    for g, n in totals.items():
+        for p in ps:
             pos = (n - 1) * p
-            lo, hi = int(pos // 1), min(int(pos // 1) + 1, n - 1)
-            lo_m[g], hi_m[g], fr_m[g] = lo, hi, pos - int(pos // 1)
-            needed.setdefault(g, set()).update((lo, hi))
-        lo_maps.append(lo_m)
-        hi_maps.append(hi_m)
-        fr_maps.append(fr_m)
+            lo, hi = int(pos), min(int(pos) + 1, n - 1)
+            targets.setdefault(g, []).append((p, lo, hi, pos - int(pos)))
+            needed.setdefault(g, {}).update({lo: None, hi: None})
+    needed_sets = {g: set(d) for g, d in needed.items()}
 
-    def _lit_map(d: dict):
-        return F.create_map(*[F.lit(x) for kv in d.items() for x in kv])
+    def _pick(batches):
+        # one iterator = one partition, but Arrow delivers it in multiple
+        # batches — concatenate before sorting or ranks break mid-partition
+        parts = [b for b in batches if not b.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pid = int(pdf["_pid"].iloc[0])
+        for g, grp in pdf.groupby(gcol, sort=False):
+            base = offsets.get((pid, g))
+            if base is None:
+                continue
+            want = needed_sets[g]
+            vals = grp[vcol].sort_values(ignore_index=True)
+            hits = [r - base for r in want if base <= r < base + len(vals)]
+            if hits:
+                yield pd.DataFrame(
+                    {
+                        gcol: g,
+                        "_rank": [h + base for h in hits],
+                        vcol: vals.iloc[hits].to_numpy(),
+                    }
+                )
 
-    keep = F.array_contains(
-        F.create_map(
-            *[
-                x
-                for g, idxs in needed.items()
-                for x in (F.lit(g), F.array(*[F.lit(i) for i in sorted(idxs)]))
-            ]
-        )[F.col(gcol)],
-        F.col("_rank"),
+    picked = ranged.mapInPandas(
+        _pick, f"{gcol} string, _rank long, {vcol} double"
     )
-    picked = ranked.filter(keep)
 
     aggs = []
-    for p, lo_m, hi_m, fr_m in zip(ps, lo_maps, hi_maps, fr_maps):
-        lo_v = F.min(F.when(F.col("_rank") == _lit_map(lo_m)[F.col(gcol)], F.col(vcol)))
-        hi_v = F.min(F.when(F.col("_rank") == _lit_map(hi_m)[F.col(gcol)], F.col(vcol)))
-        frac = _lit_map(fr_m)[F.col(gcol)]
+    for i, p in enumerate(ps):
+        lo_v = F.min(
+            F.when(
+                F.col("_rank")
+                == F.create_map(
+                    *[F.lit(x) for g, t in targets.items() for x in (g, t[i][1])]
+                )[F.col(gcol)],
+                F.col(vcol),
+            )
+        )
+        hi_v = F.min(
+            F.when(
+                F.col("_rank")
+                == F.create_map(
+                    *[F.lit(x) for g, t in targets.items() for x in (g, t[i][2])]
+                )[F.col(gcol)],
+                F.col(vcol),
+            )
+        )
+        frac = F.create_map(
+            *[F.lit(x) for g, t in targets.items() for x in (g, t[i][3])]
+        )[F.col(gcol)]
         aggs.append(
             F.round(lo_v + frac * (hi_v - lo_v) + 1e-6, 2).alias(f"p{int(p * 100)}")
         )
