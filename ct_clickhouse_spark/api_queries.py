@@ -268,14 +268,32 @@ ORACLES: dict[str, str] = {
     ),
 }
 
+def sketch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable-sketch aggregate family (rows-only — estimates are
+    engine-specific) under one slot, long format (sect, key, value):
+    'stats' rows are the /stats uniqCombined≈HLL++ counts; 'topk' rows are
+    the heavy-hitters topK() analog. Exact cross-checks live in ref_stats
+    and ref_tld_topk; pytest pins both sketches to exact values at
+    fixture cardinality."""
+    s = stats_approx(spark, sf_dir).selectExpr(
+        "stack(3, 'total', total, 'approx_subdomains', subdomains,"
+        " 'approx_domains', domains) AS (key, value)"
+    ).select(F.lit("stats").alias("sect"), "key", "value")
+    t = base_domain_topk_sketch(spark, sf_dir).select(
+        F.lit("topk").alias("sect"),
+        F.col("base_domain").alias("key"),
+        F.col("est_count").cast("long").alias("value"),
+    )
+    return s.unionByName(t)
+
+
 QUERIES = {
     "ref_domain_lookup": domain_lookup,
     "ref_subdomains": subdomains,
     "ref_recent": recent_domains,
     "ref_tld_topk": tld_topk,
     "ref_stats": stats_exact,
-    "ref_stats_approx": stats_approx,  # rows-only by design
-    "ref_topk_sketch": base_domain_topk_sketch,  # rows-only by design
+    "ref_sketches": sketch_family,  # rows-only by design
     "ref_stream_page": stream_page,
     "ref_table_sizes": table_sizes,  # rows-only by design
     "ref_log_allowlist": log_allowlist,

@@ -312,13 +312,22 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim
 
 
+def doc_sketch_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document near-dup sketches under one slot (rows-only — hash
+    sketches have no ANSI-SQL oracle): MinHash h0..h15 scalar columns +
+    the 32-bit SimHash, joined on doc_id. One row per document; both
+    sketch plans stay pure-JVM (explode + hash aggregates)."""
+    return doc_minhash_signatures(spark, sf_dir).join(
+        doc_simhash(spark, sf_dir), "doc_id"
+    )
+
+
 QUERIES = {
     "dedup_cert_exact": cert_dedup_exact,
     "dedup_doc_exact": doc_dedup_exact,
     "dedup_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
-    "dedup_minhash_signatures": doc_minhash_signatures,  # rows-only (sketch)
+    "dedup_sketch_signatures": doc_sketch_signatures,  # rows-only (sketch)
     "dedup_minhash_lsh_pairs": doc_minhash_lsh_pairs,  # rows-only (sketch)
-    "dedup_simhash": doc_simhash,  # rows-only (sketch)
 }
 
 ORACLES = {

@@ -69,9 +69,10 @@ def parse_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# parse_summary stays as a library function + pytest; as a driver query it
+# was redundant with ingest_parse_batch (it is a projection of it).
 QUERIES = {
     "ingest_parse_batch": parsed_cert_domains,  # rows-only (X.509 parse)
-    "ingest_parse_summary": parse_summary,  # rows-only
 }
 
 ORACLES: dict[str, str] = {}

@@ -183,10 +183,33 @@ def frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata aggregate + sampled-frame counts under one slot, long
+    format: 'meta' rows are per-(kind, format) payload stats (the
+    column-pruned, payload-unread path); 'frames' rows are the per-video
+    sampled-frame counts from the mapInPandas row-expansion path."""
+    m = media_meta_stats(spark, sf_dir).select(
+        F.lit("meta").alias("sect"),
+        F.col("kind").alias("key"),
+        "format",
+        F.col("n_items").cast("long").alias("n"),
+        F.col("total_bytes").cast("long").alias("total_bytes"),
+        "avg_pixels",
+    )
+    f = frame_sample_counts(spark, sf_dir).select(
+        F.lit("frames").alias("sect"),
+        F.col("media_id").cast("string").alias("key"),
+        F.lit(None).cast("string").alias("format"),
+        F.col("n_sampled_frames").cast("long").alias("n"),
+        F.lit(None).cast("long").alias("total_bytes"),
+        F.lit(None).cast("double").alias("avg_pixels"),
+    )
+    return m.unionByName(f)
+
+
 QUERIES = {
-    "mm_meta_stats": media_meta_stats,
+    "mm_media_stats": media_stats,
     "mm_decode_features": decode_features,  # rows-only (stubbed decode)
-    "mm_frame_sample_counts": frame_sample_counts,
 }
 
 # The identical media-table construction, DuckDB dialect.
@@ -205,18 +228,19 @@ _MEDIA_SQL = """
 """
 
 ORACLES = {
-    "mm_meta_stats": f"""
+    "mm_media_stats": f"""
         WITH media AS ({_MEDIA_SQL})
-        SELECT kind, format, count(*) AS n_items,
+        SELECT 'meta' AS sect, kind AS key, format, count(*) AS n,
                CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
                round(avg(width * height), 2) AS avg_pixels
-        FROM media GROUP BY kind, format ORDER BY kind, format
-    """,
-    "mm_frame_sample_counts": f"""
-        WITH media AS ({_MEDIA_SQL})
-        SELECT media_id,
+        FROM media GROUP BY kind, format
+        UNION ALL
+        SELECT 'frames' AS sect, CAST(media_id AS VARCHAR) AS key,
+               CAST(NULL AS VARCHAR) AS format,
                CAST(ceil(greatest(octet_length(payload) // {FRAME_BYTES}, 1)
-                         / {FRAME_STRIDE}.0) AS BIGINT) AS n_sampled_frames
-        FROM media WHERE kind = 'video' ORDER BY media_id
+                         / {FRAME_STRIDE}.0) AS BIGINT) AS n,
+               CAST(NULL AS BIGINT) AS total_bytes,
+               CAST(NULL AS DOUBLE) AS avg_pixels
+        FROM media WHERE kind = 'video'
     """,
 }

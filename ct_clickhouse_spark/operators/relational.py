@@ -461,25 +461,118 @@ def stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP + CUBE over (status, priority), tagged into one result so
+    both grouping-set operators share one driver correctness slot. Each
+    side keeps its own expand + hash-aggregate plan; the union is
+    plan-level, not a barrier."""
+    r = rollup_sales(spark, sf_dir).select(F.lit("rollup").alias("variant"), "*")
+    c = cube_sales(spark, sf_dir).select(F.lit("cube").alias("variant"), "*")
+    return r.unionByName(c)
+
+
+def set_and_semi_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership-operator family under one slot, one row shape
+    (kind, key, name): INTERSECT / EXCEPT (SURVEY U1) + LEFT SEMI /
+    LEFT ANTI (J1's EXISTS forms). All four compile to hash semi-join /
+    aggregate variants — no probe-side duplication crosses a shuffle."""
+    s = setop_customers(spark, sf_dir).select(
+        F.col("setop").alias("kind"),
+        F.col("o_custkey").alias("key"),
+        F.lit(None).cast("string").alias("name"),
+    )
+    return s.unionByName(semi_anti_joins(spark, sf_dir))
+
+
+def quantiles_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles, both execution strategies under one
+    oracle: 'percentile_agg' = Spark's buffering percentile() aggregate
+    (small-data/parity twin); 'distributed' = the no-group-buffering
+    range-partition + mapInPandas rank-selection path (the 100 TB shape).
+    Identical answers by construction — the union IS the cross-check."""
+    a = price_quantiles(spark, sf_dir).select(
+        F.lit("percentile_agg").alias("variant"), "*"
+    )
+    b = price_quantiles_distributed(spark, sf_dir).select(
+        F.lit("distributed").alias("variant"), "*"
+    )
+    return a.unionByName(b)
+
+
+def profile_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation (sum/avg over CASE — the OLAP pivot idiom)
+    + statistical aggregates (stddev/var/corr/covar) in one long-format
+    (grp, metric, value) result. Two independent single-pass hash
+    aggregates; metric names are disjoint so the union is lossless."""
+    cond = conditional_agg(spark, sf_dir).selectExpr(
+        "o_orderpriority AS grp",
+        "stack(3, 'n_big', CAST(n_big AS DOUBLE),"
+        " 'avg_f_price', avg_f_price,"
+        " 'n_orders', CAST(n_orders AS DOUBLE)) AS (metric, value)",
+    )
+    stats = stats_aggregates(spark, sf_dir).selectExpr(
+        "l_returnflag AS grp",
+        "stack(4, 'price_stddev', price_stddev, 'disc_var', disc_var,"
+        " 'price_qty_corr', price_qty_corr,"
+        " 'price_qty_covar', price_qty_covar) AS (metric, value)",
+    )
+    return cond.unionByName(stats)
+
+
+def agg_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING and exact multi-column COUNT(DISTINCT) in one
+    long-format (metric, key, value) result — the post-aggregation-filter
+    and distinct-aggregate operators under one slot."""
+    having = nations_with_many_customers(spark, sf_dir).select(
+        F.lit("nation_customers").alias("metric"),
+        F.col("c_nationkey").cast("long").alias("key"),
+        F.col("n_customers").cast("long").alias("value"),
+    )
+    dc = (
+        distinct_counts(spark, sf_dir)
+        .selectExpr(
+            "stack(3, 'n_cust', n_cust, 'n_prio', n_prio,"
+            " 'n_status', n_status) AS (metric, value)"
+        )
+        .select("metric", F.lit(None).cast("long").alias("key"), "value")
+    )
+    return having.unionByName(dc)
+
+
+def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-pass mergeable-sketch quantile family (rows-only — sketch
+    estimates are engine-specific) under one slot: approx_percentile
+    boundaries per lineitem flag ('li_p*') + approx-ntile quartile
+    assignment over customers ('cust_quartile'). These are the documented
+    100 TB substitutes for the exact percentile / global-sort ntile."""
+    from .windows import spend_quartiles_approx
+
+    li = approx_quantiles(spark, sf_dir).selectExpr(
+        "l_returnflag AS key",
+        "stack(3, 'li_p25', p25, 'li_p50', p50, 'li_p75', p75) AS (kind, value)",
+    ).select("kind", "key", "value")
+    nt = spend_quartiles_approx(spark, sf_dir).select(
+        F.lit("cust_quartile").alias("kind"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.col("balance_quartile").cast("double").alias("value"),
+    )
+    return li.unionByName(nt)
+
+
 QUERIES = {
     "rel_pricing_summary": pricing_summary,
     "rel_shipping_priority": shipping_priority,
     "rel_region_revenue": region_revenue,
-    "rel_rollup_sales": rollup_sales,
-    "rel_setops": setop_customers,
-    "rel_price_quantiles": price_quantiles,
-    "rel_quantiles_distributed": price_quantiles_distributed,
-    "rel_approx_quantiles": approx_quantiles,  # rows-only (sketch)
-    "rel_conditional_agg": conditional_agg,
-    "rel_having": nations_with_many_customers,
+    "rel_grouping_sets": grouping_sets_sales,
+    "rel_set_and_semi_joins": set_and_semi_joins,
+    "rel_quantiles": quantiles_both,
+    "rel_profile_aggs": profile_aggs,
+    "rel_agg_filters": agg_filters,
     "rel_topk_parts": topk_parts,
-    "rel_distinct_counts": distinct_counts,
-    "rel_semi_anti_join": semi_anti_joins,
-    "rel_stats_agg": stats_aggregates,
-    "rel_cube_sales": cube_sales,
     "rel_unpivot": part_metrics_unpivot,
     "rel_argmax": latest_order_argmax,
     "rel_group_concat": nations_concat,
+    "rel_sketch_quantiles": sketch_quantiles,  # rows-only (sketch)
 }
 
 ORACLES = {
@@ -522,63 +615,88 @@ ORACLES = {
         GROUP BY r_name, n_name
         ORDER BY r_name, n_name
     """,
-    "rel_rollup_sales": """
-        SELECT o_orderstatus, o_orderpriority,
+    "rel_grouping_sets": """
+        SELECT 'rollup' AS variant, o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
                round(sum(o_totalprice), 2) AS total_sales
         FROM orders
         GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
-        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+        UNION ALL
+        SELECT 'cube' AS variant, o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_sales
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
-    "rel_setops": """
-        SELECT 'intersect' AS setop, o_custkey FROM (
+    "rel_set_and_semi_joins": """
+        SELECT 'intersect' AS kind, o_custkey AS key, CAST(NULL AS VARCHAR) AS name FROM (
             SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
             INTERSECT
             SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'O'
         )
         UNION ALL
-        SELECT 'except' AS setop, o_custkey FROM (
+        SELECT 'except' AS kind, o_custkey AS key, CAST(NULL AS VARCHAR) AS name FROM (
             SELECT DISTINCT o_custkey FROM orders
             EXCEPT
             SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'P'
         )
-        ORDER BY setop, o_custkey
+        UNION ALL
+        SELECT 'anti' AS kind, c_custkey AS key, c_name AS name FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        UNION ALL
+        SELECT 'semi' AS kind, s_suppkey AS key, s_name AS name FROM supplier
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
     """,
-    "rel_price_quantiles": """
-        SELECT l_returnflag,
-               round(quantile_cont(l_extendedprice, 0.25) + 0.000001, 2) AS p25,
-               round(quantile_cont(l_extendedprice, 0.5) + 0.000001, 2) AS p50,
-               round(quantile_cont(l_extendedprice, 0.75) + 0.000001, 2) AS p75
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    "rel_quantiles": """
+        WITH q AS (
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25) + 0.000001, 2) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.5) + 0.000001, 2) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75) + 0.000001, 2) AS p75
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT 'percentile_agg' AS variant, * FROM q
+        UNION ALL
+        SELECT 'distributed' AS variant, * FROM q
     """,
-    "rel_quantiles_distributed": """
-        SELECT l_returnflag,
-               round(quantile_cont(l_extendedprice, 0.25) + 0.000001, 2) AS p25,
-               round(quantile_cont(l_extendedprice, 0.5) + 0.000001, 2) AS p50,
-               round(quantile_cont(l_extendedprice, 0.75) + 0.000001, 2) AS p75
-        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    "rel_profile_aggs": """
+        WITH cond AS (
+            SELECT o_orderpriority AS grp,
+                   CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS DOUBLE) AS n_big,
+                   round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_f_price,
+                   CAST(count(*) AS DOUBLE) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        ), st AS (
+            SELECT l_returnflag AS grp,
+                   round(stddev_samp(l_extendedprice), 2) AS price_stddev,
+                   round(var_samp(l_discount), 6) AS disc_var,
+                   round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+                   round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_covar
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT grp, 'n_big' AS metric, n_big AS value FROM cond
+        UNION ALL SELECT grp, 'avg_f_price', avg_f_price FROM cond
+        UNION ALL SELECT grp, 'n_orders', n_orders FROM cond
+        UNION ALL SELECT grp, 'price_stddev', price_stddev FROM st
+        UNION ALL SELECT grp, 'disc_var', disc_var FROM st
+        UNION ALL SELECT grp, 'price_qty_corr', price_qty_corr FROM st
+        UNION ALL SELECT grp, 'price_qty_covar', price_qty_covar FROM st
     """,
-    "rel_conditional_agg": """
-        SELECT o_orderpriority,
-               CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
-               round(avg(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS avg_f_price,
-               count(*) AS n_orders
-        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-    """,
-    "rel_having": """
-        SELECT c_nationkey, count(*) AS n_customers
-        FROM customer GROUP BY c_nationkey
-        HAVING count(*) >= 3 ORDER BY c_nationkey
+    "rel_agg_filters": """
+        SELECT 'nation_customers' AS metric, CAST(c_nationkey AS BIGINT) AS key,
+               count(*) AS value
+        FROM customer GROUP BY c_nationkey HAVING count(*) >= 3
+        UNION ALL
+        SELECT 'n_cust', CAST(NULL AS BIGINT), count(DISTINCT o_custkey) FROM orders
+        UNION ALL
+        SELECT 'n_prio', CAST(NULL AS BIGINT), count(DISTINCT o_orderpriority) FROM orders
+        UNION ALL
+        SELECT 'n_status', CAST(NULL AS BIGINT), count(DISTINCT o_orderstatus) FROM orders
     """,
     "rel_topk_parts": """
         SELECT p_partkey, p_name, p_retailprice FROM part
         ORDER BY p_retailprice DESC, p_partkey LIMIT 20
-    """,
-    "rel_distinct_counts": """
-        SELECT count(DISTINCT o_custkey) AS n_cust,
-               count(DISTINCT o_orderpriority) AS n_prio,
-               count(DISTINCT o_orderstatus) AS n_status
-        FROM orders
     """,
     "rel_unpivot": """
         SELECT p_partkey, metric, value FROM (
@@ -602,28 +720,5 @@ ORACLES = {
                count(*) AS n_nations
         FROM nation JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name
-    """,
-    "rel_cube_sales": """
-        SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_sales
-        FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
-    """,
-    "rel_stats_agg": """
-        SELECT l_returnflag,
-               round(stddev_samp(l_extendedprice), 2) AS price_stddev,
-               round(var_samp(l_discount), 6) AS disc_var,
-               round(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
-               round(covar_samp(l_extendedprice, l_quantity), 2) AS price_qty_covar
-        FROM lineitem GROUP BY l_returnflag
-    """,
-    "rel_semi_anti_join": """
-        SELECT 'anti' AS kind, c_custkey AS key, c_name AS name FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders
-                          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
-        UNION ALL
-        SELECT 'semi' AS kind, s_suppkey AS key, s_name AS name FROM supplier
-        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
-        ORDER BY kind, key
     """,
 }

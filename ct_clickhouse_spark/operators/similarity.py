@@ -386,13 +386,32 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def topk_and_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact-similarity tier under one slot, long format (sect, key,
+    label, value): brute-force cosine top-k against the query vector
+    ('topk', key=vec_id, value=cosine) + per-label mean embedding
+    ('centroid', key=dimension, value=component). Each side keeps its own
+    plan (broadcast 1-row query + TakeOrdered; posexplode + hash avg)."""
+    t = cosine_topk(spark, sf_dir).select(
+        F.lit("topk").alias("sect"),
+        F.col("vec_id").cast("long").alias("key"),
+        "label",
+        F.col("cosine").alias("value"),
+    )
+    c = label_centroids(spark, sf_dir).select(
+        F.lit("centroid").alias("sect"),
+        F.col("pos").cast("long").alias("key"),
+        "label",
+        F.col("centroid_v").alias("value"),
+    )
+    return t.unionByName(c)
+
+
 QUERIES = {
-    "sim_cosine_topk": cosine_topk,
     "sim_cosine_pairs": cosine_pairs,
-    "sim_lsh_signatures": lsh_signatures,  # rows-only (hash sketch)
+    "sim_topk_centroids": topk_and_centroids,
     "sim_lsh_pairs": lsh_candidate_pairs,  # rows-only (hash sketch)
     "sim_ivf_topk": ivf_topk,  # rows-only (approximate index)
-    "sim_label_centroids": label_centroids,
 }
 
 _COS_SQL = (
@@ -402,12 +421,22 @@ _COS_SQL = (
 )
 
 ORACLES = {
-    "sim_cosine_topk": f"""
-        SELECT a.vec_id AS vec_id, a.label AS label,
-               round({_COS_SQL}, 4) AS cosine
-        FROM embeddings a, embeddings b
-        WHERE b.vec_id = {QUERY_VEC_ID} AND a.vec_id != {QUERY_VEC_ID}
-        ORDER BY cosine DESC, vec_id LIMIT {TOPK}
+    "sim_topk_centroids": f"""
+        SELECT 'topk' AS sect, key, label, value FROM (
+            SELECT CAST(a.vec_id AS BIGINT) AS key, a.label AS label,
+                   round({_COS_SQL}, 4) AS value
+            FROM embeddings a, embeddings b
+            WHERE b.vec_id = {QUERY_VEC_ID} AND a.vec_id != {QUERY_VEC_ID}
+            ORDER BY value DESC, key LIMIT {TOPK}
+        )
+        UNION ALL
+        SELECT 'centroid' AS sect, CAST(pos - 1 AS BIGINT) AS key, label,
+               round(avg(v), 6) AS value
+        FROM (
+            SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ) GROUP BY label, pos
     """,
     "sim_cosine_pairs": f"""
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,
@@ -415,13 +444,5 @@ ORACLES = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round({_COS_SQL}, 4) >= {PAIR_THRESHOLD}
         ORDER BY id_a, id_b
-    """,
-    "sim_label_centroids": """
-        SELECT label, pos - 1 AS pos, round(avg(v), 6) AS centroid_v
-        FROM (
-            SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS v,
-                   generate_subscripts(embedding, 1) AS pos
-            FROM embeddings
-        ) GROUP BY label, pos ORDER BY label, pos
     """,
 }

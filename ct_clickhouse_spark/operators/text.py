@@ -213,9 +213,16 @@ def _stopword_sql(lang: str) -> str:
     return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
+def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document stats + quality score + language-ID, one row per doc
+    (join on doc_id): the full cheap pre-training document profile under
+    one driver slot. Both sides are embarrassingly-parallel projections;
+    the join key is the table key so AQE picks a plain hash join."""
+    return doc_profile(spark, sf_dir).join(lang_id(spark, sf_dir), "doc_id")
+
+
 QUERIES = {
-    "text_doc_profile": doc_profile,
-    "text_lang_id": lang_id,
+    "text_doc_profile": doc_profile_with_lang,
     "text_token_count": token_count,
     "text_doc_fingerprint": doc_fingerprint,  # rows-only (xxhash64 sketch)
     "text_top_terms_per_source": top_terms_per_source,
@@ -226,23 +233,22 @@ _WORDS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 
 ORACLES = {
     "text_doc_profile": f"""
-        SELECT doc_id,
-               len({_WORDS_SQL}) AS n_words,
-               length(text) AS n_chars_actual,
-               round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
-                     / length(text), 4) AS junk_ratio,
-               round(list_sum(list_transform({_WORDS_SQL}, w -> length(w)))
-                     / len({_WORDS_SQL}), 4) AS mean_word_len,
-               (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1 ELSE 0 END
-                + CASE WHEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
-                            / length(text) < 0.1 THEN 1 ELSE 0 END
-                + CASE WHEN list_sum(list_transform({_WORDS_SQL}, w -> length(w)))
-                            / len({_WORDS_SQL}) BETWEEN 3 AND 10 THEN 1 ELSE 0 END
-               ) AS quality_score
-        FROM documents ORDER BY doc_id
-    """,
-    "text_lang_id": f"""
-        WITH scored AS (
+        WITH profile AS (
+            SELECT doc_id,
+                   len({_WORDS_SQL}) AS n_words,
+                   length(text) AS n_chars_actual,
+                   round(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                         / length(text), 4) AS junk_ratio,
+                   round(list_sum(list_transform({_WORDS_SQL}, w -> length(w)))
+                         / len({_WORDS_SQL}), 4) AS mean_word_len,
+                   (CASE WHEN length(text) BETWEEN 100 AND 5000 THEN 1 ELSE 0 END
+                    + CASE WHEN length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                                / length(text) < 0.1 THEN 1 ELSE 0 END
+                    + CASE WHEN list_sum(list_transform({_WORDS_SQL}, w -> length(w)))
+                                / len({_WORDS_SQL}) BETWEEN 3 AND 10 THEN 1 ELSE 0 END
+                   ) AS quality_score
+            FROM documents
+        ), scored AS (
             SELECT doc_id, lang,
                    len(list_filter({_WORDS_SQL}, w -> list_contains({_stopword_sql('en')}, w))) AS score_en,
                    len(list_filter({_WORDS_SQL}, w -> list_contains({_stopword_sql('de')}, w))) AS score_de,
@@ -250,13 +256,13 @@ ORACLES = {
                    len(list_filter({_WORDS_SQL}, w -> list_contains({_stopword_sql('es')}, w))) AS score_es
             FROM documents
         )
-        SELECT doc_id, lang, score_en, score_de, score_fr, score_es,
+        SELECT p.*, s.lang, s.score_en, s.score_de, s.score_fr, s.score_es,
                CASE WHEN greatest(score_en, score_de, score_fr, score_es) <= 0 THEN 'unknown'
                     WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
                     WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
                     WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
                     ELSE 'es' END AS pred_lang
-        FROM scored ORDER BY doc_id
+        FROM profile p JOIN scored s USING (doc_id) ORDER BY doc_id
     """,
     "text_token_count": f"""
         SELECT source,

@@ -356,19 +356,106 @@ def funnel_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel.unionByName(retention)
 
 
+def order_seq_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum + lag gap in ONE window pass: both functions share the
+    same (partition, order) spec, so Catalyst evaluates them in a single
+    Window operator over a single shuffle on o_custkey — the merged form
+    is strictly cheaper than the two queries it replaces."""
+    orders = load_table(spark, sf_dir, "orders")
+    order_spec = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = order_spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    prev = F.lag("o_orderdate").over(order_spec)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(frame), 2).alias("running_revenue"),
+        F.datediff(F.to_date("o_orderdate"), F.to_date(prev)).alias("gap_days"),
+    )
+
+
+def time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling + sliding event-time windows (SURVEY T8), tagged into one
+    result. Each side keeps its own hash-aggregate plan (`F.window` is the
+    same expression Structured Streaming uses)."""
+    t = tumbling_hourly(spark, sf_dir).select(
+        F.lit("tumbling_1h").alias("kind"), "window_start", "event_type",
+        "n_events", "sum_value",
+    )
+    s = sliding_2h_every_1h(spark, sf_dir).select(
+        F.lit("sliding_2h_1h").alias("kind"), "window_start",
+        F.lit(None).cast("string").alias("event_type"),
+        "n_events", F.lit(None).cast("double").alias("sum_value"),
+    )
+    return t.unionByName(s)
+
+
+def ntile_both(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global ntile(4), both execution strategies under one oracle:
+    'window' = Window.ntile (single-partition total sort — the parity
+    twin); 'distributed' = range-partition + prefix-offset global rank
+    (every stage parallel — the 100 TB shape). Identical answers by
+    construction; the sketch path lives in rel_sketch_quantiles."""
+    a = spend_quartiles(spark, sf_dir).select(F.lit("window").alias("variant"), "*")
+    b = spend_quartiles_distributed(spark, sf_dir).select(
+        F.lit("distributed").alias("variant"), "*"
+    )
+    return a.unionByName(b)
+
+
+ASOF_EVENT = "purchase"
+ASOF_LOOKUP = "view"
+
+
+def asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for each purchase event, the same user's latest view
+    at-or-before the purchase timestamp (the canonical time-series
+    enrichment operator; ClickHouse/DuckDB `ASOF JOIN`).
+
+    Spark has no asof-join operator and an inequality range join would
+    explode, so this is the scalable union idiom: tag both sides, union,
+    ONE window pass per user ordered by (ts, side) carrying the last view
+    timestamp forward — a single shuffle on user_id, merge-sort semantics,
+    and the same shape works incrementally in Structured Streaming as
+    ordered state. View rows sort before purchases at equal ts, matching
+    the oracle's inclusive `>=`; view timestamps are deduped per user so
+    ties cannot make the answer engine-dependent. Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    events = load_table(spark, sf_dir, "events")
+    views = (
+        events.filter(F.col("event_type") == ASOF_LOOKUP)
+        .select("user_id", "ts").distinct()
+        .select(
+            "user_id", "ts", F.lit(0).alias("side"),
+            F.lit(None).cast("long").alias("event_id"),
+        )
+    )
+    purchases = events.filter(F.col("event_type") == ASOF_EVENT).select(
+        "user_id", "ts", F.lit(1).alias("side"), "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    view_ts = F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w)
+    return (
+        views.unionByName(purchases)
+        .withColumn("view_ts", view_ts)
+        .filter(F.col("side") == 1)
+        .select("event_id", "user_id", F.col("ts").alias("purchase_ts"), "view_ts")
+    )
+
+
 QUERIES = {
     "win_latest_order_per_customer": latest_order_per_customer,
-    "win_running_revenue": running_revenue,
-    "win_order_gap_days": order_gap_days,
+    "win_order_seq": order_seq_windows,
     "win_price_rank_in_brand": price_rank_in_brand,
     "win_moving_avg": moving_avg_value,
-    "evt_tumbling_hourly": tumbling_hourly,
-    "evt_sliding_2h_1h": sliding_2h_every_1h,
+    "evt_time_windows": time_windows,
     "evt_session_30m": session_windows,
     "evt_json_props": json_props_rollup,
-    "win_ntile_quartiles": spend_quartiles,
-    "win_ntile_distributed": spend_quartiles_distributed,
-    "win_ntile_approx": spend_quartiles_approx,  # rows-only (sketch bounds)
+    "win_ntile": ntile_both,
+    "evt_asof_join": asof_last_view,
     "evt_funnel_retention": funnel_retention,
 }
 
@@ -380,16 +467,12 @@ ORACLES = {
             ) AS rn FROM orders
         ) WHERE rn = 1 ORDER BY o_custkey
     """,
-    "win_running_revenue": """
+    "win_order_seq": """
         SELECT o_custkey, o_orderkey,
                round(sum(o_totalprice) OVER (
                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ), 2) AS running_revenue
-        FROM orders ORDER BY o_custkey, o_orderkey
-    """,
-    "win_order_gap_days": """
-        SELECT o_custkey, o_orderkey,
+               ), 2) AS running_revenue,
                date_diff('day',
                    CAST(lag(o_orderdate) OVER (
                        PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
@@ -411,17 +494,27 @@ ORACLES = {
                ), 4) AS moving_avg
         FROM events ORDER BY user_id, event_id
     """,
-    "evt_tumbling_hourly": """
-        SELECT date_trunc('hour', ts) AS window_start, event_type,
-               count(*) AS n_events, round(sum(value), 4) AS sum_value
-        FROM events GROUP BY 1, 2 ORDER BY 1, 2
-    """,
-    "evt_sliding_2h_1h": """
-        SELECT window_start, count(*) AS n_events FROM (
+    "evt_time_windows": """
+        SELECT 'tumbling_1h' AS kind, date_trunc('hour', ts) AS window_start,
+               event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'sliding_2h_1h' AS kind, window_start,
+               CAST(NULL AS VARCHAR) AS event_type, count(*) AS n_events,
+               CAST(NULL AS DOUBLE) AS sum_value
+        FROM (
             SELECT unnest([date_trunc('hour', ts),
                            date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
             FROM events
-        ) GROUP BY 1 ORDER BY 1
+        ) GROUP BY 2
+    """,
+    "evt_asof_join": """
+        SELECT p.event_id, p.user_id, p.ts AS purchase_ts, v.ts AS view_ts
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT DISTINCT user_id, ts FROM events
+                        WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND p.ts >= v.ts
     """,
     "evt_funnel_retention": """
         WITH s1 AS (
@@ -470,15 +563,15 @@ ORACLES = {
                count(*) AS n_events
         FROM events GROUP BY event_type
     """,
-    "win_ntile_quartiles": """
-        SELECT c_custkey, c_acctbal,
-               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
-        FROM customer
-    """,
-    "win_ntile_distributed": """
-        SELECT c_custkey, c_acctbal,
-               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
-        FROM customer
+    "win_ntile": """
+        WITH q AS (
+            SELECT c_custkey, c_acctbal,
+                   ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
+            FROM customer
+        )
+        SELECT 'window' AS variant, * FROM q
+        UNION ALL
+        SELECT 'distributed' AS variant, * FROM q
     """,
     "evt_session_30m": f"""
         WITH flagged AS (
