@@ -49,15 +49,14 @@ def _modules():
 
 
 # The round driver records a correctness row only for the FIRST 50 entries
-# of queries(). The surface is consolidated to EXACTLY 50 queries (40
-# oracle-backed + 10 rows-only-by-nature) so every declared query — and
+# of queries(). The surface is consolidated to EXACTLY 50 queries (41
+# oracle-backed + 9 rows-only-by-nature) so every declared query — and
 # with it every SURVEY §2 / north-star operator — gets a CORRECTNESS row.
 # Oracle-backed entries are emitted first, then rows-only in this order:
 _ROWS_ONLY_PRIORITY = [
     "dedup_sketch_signatures",  # scalar h0..h15 + simhash (r1 array-cell err fixed)
-    "sim_lsh_pairs",
+    "dedup_lsh_pairs",  # both LSH families (minhash + hyperplane) one slot
     "sim_ivf_topk",
-    "dedup_minhash_lsh_pairs",
     "rel_sketch_quantiles",
     "text_doc_fingerprint",
     "ref_sketches",

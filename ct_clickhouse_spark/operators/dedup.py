@@ -322,12 +322,38 @@ def doc_sketch_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def lsh_pairs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both sub-quadratic LSH candidate-pair families under one rows-only
+    slot (sketch-derived pairs have no ANSI-SQL oracle; each family is
+    recall-tested against its exact counterpart in tests/test_operators.py):
+    banded MinHash-LSH over document shingles (family='minhash',
+    score=estimated Jaccard) and banded random-hyperplane LSH over
+    embeddings (family='hyperplane', score=exact cosine verified
+    bucket-locally). Each side keeps its own bucket-local physical plan;
+    the union is only the reporting shape."""
+    from .similarity import lsh_candidate_pairs
+
+    mh = doc_minhash_lsh_pairs(spark, sf_dir).select(
+        F.lit("minhash").alias("family"),
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        F.col("est_jaccard").alias("score"),
+    )
+    hp = lsh_candidate_pairs(spark, sf_dir).select(
+        F.lit("hyperplane").alias("family"),
+        "id_a",
+        "id_b",
+        F.col("cosine").alias("score"),
+    )
+    return mh.unionByName(hp)
+
+
 QUERIES = {
     "dedup_cert_exact": cert_dedup_exact,
     "dedup_doc_exact": doc_dedup_exact,
     "dedup_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "dedup_sketch_signatures": doc_sketch_signatures,  # rows-only (sketch)
-    "dedup_minhash_lsh_pairs": doc_minhash_lsh_pairs,  # rows-only (sketch)
+    "dedup_lsh_pairs": lsh_pairs_all,  # rows-only (both LSH families)
 }
 
 ORACLES = {

@@ -386,6 +386,62 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_dedup_groups(
+    spark: SparkSession, sf_dir: str, max_iters: int = 10
+) -> DataFrame:
+    """Embedding-cosine near-duplicate dedup (the last of the dedup family:
+    exact / Jaccard / MinHash-LSH / SimHash / embedding-cosine): pick one
+    canonical keeper per group of mutually-near vectors.
+
+    Near-dup pairs come from the block-tiled exact GEMM (cosine_pairs;
+    swap in lsh_candidate_pairs at scale for the sub-quadratic tier).
+    Groups are the connected components of the pair graph, found by
+    iterative min-label propagation: each round every vector takes the
+    smallest label among itself and its neighbors — one join + one hash
+    aggregate per round, converging in O(component diameter) rounds.
+    Every round is fully distributed (bounded shuffles, localCheckpoint
+    cuts lineage); only the scalar changed-count reaches the driver for
+    loop control — the standard Spark shape for iterative graph
+    algorithms. Returns (vec_id, canonical_id, is_keeper); keeper =
+    component minimum, so dedup = filter(is_keeper)."""
+    pairs = cosine_pairs(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("id"))
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(labels, edges.id_b == labels.id)
+            .groupBy("id_a")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        proposed = (
+            labels.join(nbr_min, labels.id == nbr_min.id_a, "left")
+            .select(
+                labels.id,
+                F.col("label").alias("old_label"),
+                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = proposed.filter(F.col("label") != F.col("old_label")).count()
+        labels = proposed.select("id", "label")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        F.col("label").alias("canonical_id"),
+        (F.col("id") == F.col("label")).alias("is_keeper"),
+    )
+
+
 def topk_and_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact-similarity tier under one slot, long format (sect, key,
     label, value): brute-force cosine top-k against the query vector
@@ -410,7 +466,7 @@ def topk_and_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sim_cosine_pairs": cosine_pairs,
     "sim_topk_centroids": topk_and_centroids,
-    "sim_lsh_pairs": lsh_candidate_pairs,  # rows-only (hash sketch)
+    "dedup_embedding_groups": embedding_dedup_groups,
     "sim_ivf_topk": ivf_topk,  # rows-only (approximate index)
 }
 
@@ -444,5 +500,26 @@ ORACLES = {
         FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         WHERE round({_COS_SQL}, 4) >= {PAIR_THRESHOLD}
         ORDER BY id_a, id_b
+    """,
+    # Connected components ARE ANSI-SQL-expressible: reach(id, r) is the
+    # transitive closure of the symmetric near-dup edge set (min-label
+    # propagation's fixpoint), so min(r) per id is the component minimum —
+    # exactly the Spark loop's converged label.
+    "dedup_embedding_groups": f"""
+        WITH RECURSIVE pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE round({_COS_SQL}, 4) >= {PAIR_THRESHOLD}
+        ), edges AS (
+            SELECT id_a, id_b FROM pairs
+            UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM pairs
+        ), reach(id, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.id_a, reach.r FROM edges e JOIN reach ON e.id_b = reach.id
+        )
+        SELECT id AS vec_id, min(r) AS canonical_id,
+               (id = min(r)) AS is_keeper
+        FROM reach GROUP BY id ORDER BY vec_id
     """,
 }

@@ -136,6 +136,39 @@ def test_ivf_topk_recall_against_brute_force(spark):
             assert abs(r.cosine - exact_map[r.vec_id]) < 1e-9
 
 
+def test_embedding_dedup_components_match_union_find(spark):
+    """Label-propagation canonical groups == exact connected components of
+    the cosine-pair graph (reference union-find over the collected pairs),
+    and keepers are the component minima."""
+    pairs = [
+        (r.id_a, r.id_b)
+        for r in similarity.cosine_pairs(spark, SF_DIR).collect()
+    ]
+    assert pairs, "fixture should contain near-dup embedding pairs"
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    got = {
+        r.vec_id: (r.canonical_id, r.is_keeper)
+        for r in similarity.embedding_dedup_groups(spark, SF_DIR).collect()
+    }
+    assert len(got) == 500  # one row per vector
+    expected_roots = {v: find(v) for v in parent}
+    for vec_id, (canon, keeper) in got.items():
+        assert canon == expected_roots.get(vec_id, vec_id)
+        assert keeper == (canon == vec_id)
+
+
 def test_lang_id_prefers_english_on_stopworded_text(spark):
     rows = text.lang_id(spark, SF_DIR).collect()
     # fixture text contains 'the'/'a' (english stopwords) -> no row should
