@@ -214,11 +214,40 @@ def _stopword_sql(lang: str) -> str:
 
 
 def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document stats + quality score + language-ID, one row per doc
-    (join on doc_id): the full cheap pre-training document profile under
-    one driver slot. Both sides are embarrassingly-parallel projections;
-    the join key is the table key so AQE picks a plain hash join."""
-    return doc_profile(spark, sf_dir).join(lang_id(spark, sf_dir), "doc_id")
+    """Per-document stats + quality score + language-ID, one row per doc:
+    the full cheap pre-training document profile under one driver slot.
+    Fused into a single projection over ONE scan — both halves are
+    embarrassingly-parallel expressions over the same row, so a join on
+    doc_id (two scans + a shuffle) would be pure overhead."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = _words(F.col("text"))
+    n_chars = F.length("text")
+    junk_ratio = F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")) / n_chars
+    mean_wl = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / F.size(words)
+    score = (
+        F.when((n_chars >= 100) & (n_chars <= 5000), 1).otherwise(0)
+        + F.when(junk_ratio < 0.1, 1).otherwise(0)
+        + F.when((mean_wl >= 3) & (mean_wl <= 10), 1).otherwise(0)
+    )
+    scores = {
+        lang: F.size(F.filter(words, lambda w: w.isin(sw))).alias(f"score_{lang}")
+        for lang, sw in STOPWORDS.items()
+    }
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.size(words).alias("n_words"),
+        n_chars.alias("n_chars_actual"),
+        F.round(junk_ratio, 4).alias("junk_ratio"),
+        F.round(mean_wl, 4).alias("mean_word_len"),
+        score.alias("quality_score"),
+        *scores.values(),
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in STOPWORDS])
+    pred = F.when(best <= 0, F.lit("unknown"))
+    for lang in STOPWORDS:  # first-match-wins tie break, fixed lang order
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.withColumn("pred_lang", pred)
 
 
 QUERIES = {
