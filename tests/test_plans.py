@@ -81,3 +81,15 @@ def test_topk_plans_take_ordered(spark):
 def test_aggregation_uses_wholestage_codegen(spark):
     df = relational.pricing_summary(spark, SF_DIR)
     assert plans.wholestage_codegen_spans(df) >= 1
+
+
+def test_asof_join_is_window_not_range_join(spark):
+    """The AS-OF join must plan as union + one Window pass on user_id —
+    never a nested-loop/cartesian range join (the O(|A|·|B|) per-key
+    explosion the union idiom exists to avoid)."""
+    from ct_clickhouse_spark.operators import windows
+
+    plan = plans.executed_plan(windows.asof_last_view(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan[:1500]
+    assert plan.count("Window") == 1, plan[:1500]
+    assert "hashpartitioning(user_id" in plan, plan[:1500]
