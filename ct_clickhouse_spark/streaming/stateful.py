@@ -21,6 +21,7 @@ from pyspark.sql.types import (
     LongType,
     StructField,
     StructType,
+    TimestampType,
 )
 
 OUTPUT_SCHEMA = StructType(
@@ -57,5 +58,72 @@ def running_user_totals(events: DataFrame) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ASOF_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("purchase_ts", TimestampType()),
+        StructField("view_ts", TimestampType()),
+    ]
+)
+
+ASOF_STATE_SCHEMA = StructType([StructField("last_view_ts", TimestampType())])
+
+
+def streaming_asof_last_view(events: DataFrame) -> DataFrame:
+    """Streaming AS-OF join — the incremental twin of
+    ``operators.windows.asof_last_view``: per purchase, the same user's
+    latest view at-or-before it. State per user is ONE timestamp (the
+    last view seen), so state size is bounded by user cardinality, never
+    stream length.
+
+    Rows are processed in (ts, side) order within each micro-batch (views
+    before purchases at equal ts, matching the batch operator's inclusive
+    semantics); across batches the operator assumes in-order arrival per
+    key — the property the source's ordered per-log chunks provide. For
+    out-of-order sources, buffer within the watermark horizon first
+    (withWatermark + a sort inside the batch) — the state shape is
+    unchanged.
+
+    ``events`` must be unbounded with (event_id long, user_id long,
+    ts timestamp, event_type string).
+    """
+    import pandas as pd
+
+    def _update(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        last = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdf_iter), ignore_index=True)
+        pdf["_side"] = (pdf["event_type"] != "view").astype("int64")
+        pdf = pdf.sort_values(["ts", "_side"], ignore_index=True)
+        out = {"event_id": [], "purchase_ts": [], "view_ts": []}
+        for ts, side, event_id in zip(pdf["ts"], pdf["_side"], pdf["event_id"]):
+            if side == 0:
+                last = ts
+            else:
+                out["event_id"].append(event_id)
+                out["purchase_ts"].append(ts)
+                out["view_ts"].append(last)
+        if last is not None:
+            state.update((last,))
+        if out["event_id"]:
+            yield pd.DataFrame(
+                {
+                    "event_id": out["event_id"],
+                    "user_id": user_id,
+                    "purchase_ts": out["purchase_ts"],
+                    "view_ts": out["view_ts"],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update,
+        outputStructType=ASOF_OUTPUT_SCHEMA,
+        stateStructType=ASOF_STATE_SCHEMA,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
