@@ -71,9 +71,8 @@ def _words(col):
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
-def _shingles(words_col):
-    """Word SHINGLE_WORDS-grams as an array; distinct per document."""
-    n = SHINGLE_WORDS
+def _shingles(words_col, n: int = SHINGLE_WORDS):
+    """Word n-grams as an array; distinct per document."""
     idx = F.sequence(F.lit(0), F.size(words_col) - n)
     grams = F.transform(
         idx,

@@ -33,6 +33,7 @@ STOPWORDS = {
 # BPE-ish tokenizer regex: letter runs, single digits, or single symbols.
 TOKEN_RE = "[a-z]+|[0-9]|[^a-z0-9\\s]"
 FP_WINDOW = 16  # character k-gram width for the rolling fingerprint
+DECONTAM_NGRAM = 8  # long n-grams: only real shared passages match
 
 
 def _words(col):
@@ -190,21 +191,64 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _split_col(doc_id_col):
+    """Deterministic content-keyed split bucket: first hex char of
+    md5(doc_id), 0-b -> train (12/16), c-f -> test. Hash-of-stable-key so
+    the split survives re-runs, re-partitioning, and engine changes."""
+    first_hex = F.substring(F.md5(doc_id_col.cast("string")), 1, 1)
+    return F.when(first_hex < "c", "train").otherwise("test")
+
+
 def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic content-keyed train/test split — the standard
-    LLM-pipeline idiom: bucket by a hash of the stable document key so the
-    split survives re-runs, re-partitioning, and engine changes. Split on
-    the first hex char of md5(doc_id): 0-b -> train (12/16), c-f -> test.
-    Reported per (split, lang) so stratification skew is visible."""
-    docs = load_table(spark, sf_dir, "documents")
-    first_hex = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-    split = F.when(first_hex < "c", "train").otherwise("test")
+    """Deterministic train/test split + cross-split decontamination —
+    the two standard LLM-pipeline hygiene ops in one result.
+
+    Split: md5-bucket on doc_id (see _split_col), reported per
+    (split, lang) so stratification skew is visible.
+
+    Decontamination: `n_leaky_docs` counts docs sharing at least one
+    word-DECONTAM_NGRAM-gram with any doc of the OTHER split — the
+    benchmark-contamination check, run train-vs-test. Long n-grams (8,
+    vs the dedup tier's 3) because short shingles over a small
+    vocabulary collide everywhere and the signal saturates; 8-grams
+    only match real shared passages. Plan: explode hashed n-grams,
+    derive each row's split from its doc_id, one hash aggregate marks
+    n-grams seen in both splits, one semi-join + distinct finds leaky
+    docs. No self-join: cost is linear in n-gram rows at any scale."""
+    from .dedup import _shingles, _words as _dedup_words
+
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        default_parallelism()
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                _shingles(_dedup_words(F.col("text")), DECONTAM_NGRAM),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("sh_h"),
+    ).withColumn("split", _split_col(F.col("doc_id")))
+    leaky_sh = (
+        sh.groupBy("sh_h")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") == 2)
+        .select("sh_h")
+    )
+    leaky_docs = (
+        sh.join(leaky_sh, "sh_h", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_leaky", F.lit(1))
+    )
     return (
-        docs.withColumn("split", split)
+        docs.withColumn("split", _split_col(F.col("doc_id")))
+        .join(leaky_docs, "doc_id", "left")
         .groupBy("split", "lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length("text")).alias("total_chars"),
+            F.coalesce(F.sum("is_leaky"), F.lit(0)).alias("n_leaky_docs"),
         )
     )
 
@@ -300,13 +344,40 @@ ORACLES = {
                count(*) AS n_docs
         FROM documents GROUP BY source ORDER BY source
     """,
-    "text_train_test_split": """
-        SELECT CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+    "text_train_test_split": f"""
+        WITH sh AS (
+            SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'c'
+                        THEN 'train' ELSE 'test' END AS split
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN len(words) >= {DECONTAM_NGRAM}
+                            THEN list_transform(
+                                range(1, len(words) - {DECONTAM_NGRAM - 2}),
+                                i -> concat_ws(' ', words[i], words[i+1], words[i+2], words[i+3], words[i+4], words[i+5], words[i+6], words[i+7]))
+                            ELSE [] END AS sh_list
+                FROM (
+                    SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+                    FROM documents
+                )
+            )
+        ), leaky_docs AS (
+            SELECT DISTINCT doc_id FROM sh
+            WHERE shingle IN (
+                SELECT shingle FROM sh
+                GROUP BY shingle HAVING count(DISTINCT split) = 2
+            )
+        )
+        SELECT CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'c'
                     THEN 'train' ELSE 'test' END AS split,
-               lang,
+               d.lang,
                count(*) AS n_docs,
-               CAST(sum(length(text)) AS BIGINT) AS total_chars
-        FROM documents GROUP BY 1, 2
+               CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+               CAST(sum(CASE WHEN l.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_leaky_docs
+        FROM documents d LEFT JOIN leaky_docs l ON d.doc_id = l.doc_id
+        GROUP BY 1, 2
     """,
     "text_top_terms_per_source": f"""
         WITH words AS (

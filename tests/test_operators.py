@@ -169,6 +169,22 @@ def test_embedding_dedup_components_match_union_find(spark):
         assert keeper == (canon == vec_id)
 
 
+def test_train_test_split_decontamination_detects_cross_split_leaks(spark):
+    """The 8-gram leakage check must flag the planted near-dup docs that
+    straddle the md5 split — nonzero on BOTH sides (a leaky n-gram is by
+    definition present in each split), never exceeding the group size."""
+    rows = text.train_test_split(spark, SF_DIR).collect()
+    assert all(0 <= r.n_leaky_docs <= r.n_docs for r in rows)
+    by_split: dict[str, int] = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_leaky_docs
+    assert by_split.get("train", 0) > 0, "no leaky train docs — vacuous check"
+    assert by_split.get("test", 0) > 0, "no leaky test docs — vacuous check"
+    # saturation guard: the old 3-gram version flagged ~100% of docs
+    total_docs = sum(r.n_docs for r in rows)
+    assert sum(by_split.values()) < total_docs / 2
+
+
 def test_lang_id_prefers_english_on_stopworded_text(spark):
     rows = text.lang_id(spark, SF_DIR).collect()
     # fixture text contains 'the'/'a' (english stopwords) -> no row should
