@@ -405,15 +405,27 @@ def embedding_dedup_groups(
     algorithms. Returns (vec_id, canonical_id, is_keeper); keeper =
     component minimum, so dedup = filter(is_keeper)."""
     pairs = cosine_pairs(spark, sf_dir).select("id_a", "id_b")
+    ids = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("id")
+    )
+    labels = label_propagate(ids, pairs, max_iters=max_iters)
+    return labels.select(
+        F.col("id").alias("vec_id"),
+        F.col("label").alias("canonical_id"),
+        (F.col("id") == F.col("label")).alias("is_keeper"),
+    )
+
+
+def label_propagate(ids: DataFrame, pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+    """Distributed connected components by iterative min-label propagation
+    (the core of embedding_dedup_groups, reusable over any edge source —
+    GEMM pairs, LSH candidates, jaccard pairs). ``ids``: one `id` column;
+    ``pairs``: undirected edges (id_a, id_b). Returns (id, label) with
+    label = component minimum."""
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).localCheckpoint(eager=True)
-    labels = (
-        load_table(spark, sf_dir, "embeddings")
-        .select(F.col("vec_id").alias("id"))
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
-    )
+    labels = ids.withColumn("label", F.col("id")).localCheckpoint(eager=True)
     for _ in range(max_iters):
         nbr_min = (
             edges.join(labels, edges.id_b == labels.id)
@@ -435,11 +447,7 @@ def embedding_dedup_groups(
         labels = proposed.select("id", "label")
         if changed == 0:
             break
-    return labels.select(
-        F.col("id").alias("vec_id"),
-        F.col("label").alias("canonical_id"),
-        (F.col("id") == F.col("label")).alias("is_keeper"),
-    )
+    return labels
 
 
 def topk_and_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

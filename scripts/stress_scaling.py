@@ -112,6 +112,51 @@ def main() -> None:
             F.count(F.lit(1))
         ).collect())
 
+        # LSH signature pipeline on multiplied embeddings — the linear
+        # O(n·d·bits) 100 TB similarity path (candidate-pair volume is a
+        # data-density property that synthetic replication distorts, so
+        # only the signature computation is timed)
+        from ct_clickhouse_spark.operators.similarity import (
+            _hyperplanes,
+            label_propagate,
+        )
+
+        emb = multiplied(spark, "embeddings", ["vec_id"], k)
+        comps = emb.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+        )
+        hp = _hyperplanes(spark)
+        timed("lsh_signatures", k, lambda: comps.join(F.broadcast(hp), "pos")
+            .groupBy("vec_id", "bit")
+            .agg(F.sum(F.col("v") * F.col("sign")).alias("dot"))
+            .groupBy("vec_id")
+            .agg(F.sum(F.when(F.col("dot") > 0, 1).otherwise(0)))
+            .agg(F.count(F.lit(1)))
+            .collect())
+
+        # connected-components label propagation over linearly replicated
+        # edges (k independent copies of the near-dup pair graph: edges,
+        # nodes, and components all scale k x, diameter constant)
+        from ct_clickhouse_spark.operators.similarity import cosine_pairs
+
+        base_pairs = cosine_pairs(spark, SF_DIR).select("id_a", "id_b")
+        pair_parts = []
+        for i in range(k):
+            pair_parts.append(
+                base_pairs.select(
+                    (F.col("id_a") + F.lit(i * 100_000_000)).alias("id_a"),
+                    (F.col("id_b") + F.lit(i * 100_000_000)).alias("id_b"),
+                )
+            )
+        pairs_k = pair_parts[0]
+        for p in pair_parts[1:]:
+            pairs_k = pairs_k.unionAll(p)
+        ids_k = emb.select(F.col("vec_id").alias("id"))
+        timed("label_propagation", k, lambda: label_propagate(ids_k, pairs_k)
+            .agg(F.count_distinct("label"))
+            .collect())
+
     print(json.dumps({"multipliers": ks, "seconds": results}))
     spark.stop()
 
