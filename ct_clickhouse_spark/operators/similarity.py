@@ -387,7 +387,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def embedding_dedup_groups(
-    spark: SparkSession, sf_dir: str, max_iters: int = 10
+    spark: SparkSession, sf_dir: str, max_iters: int | None = None
 ) -> DataFrame:
     """Embedding-cosine near-duplicate dedup (the last of the dedup family:
     exact / Jaccard / MinHash-LSH / SimHash / embedding-cosine): pick one
@@ -416,17 +416,26 @@ def embedding_dedup_groups(
     )
 
 
-def label_propagate(ids: DataFrame, pairs: DataFrame, max_iters: int = 10) -> DataFrame:
+def label_propagate(
+    ids: DataFrame, pairs: DataFrame, max_iters: int | None = None
+) -> DataFrame:
     """Distributed connected components by iterative min-label propagation
     (the core of embedding_dedup_groups, reusable over any edge source —
     GEMM pairs, LSH candidates, jaccard pairs). ``ids``: one `id` column;
     ``pairs``: undirected edges (id_a, id_b). Returns (id, label) with
-    label = component minimum."""
+    label = component minimum.
+
+    Runs to convergence by default — min-label propagation needs up to
+    component-diameter rounds, so a fixed iteration cap silently
+    mis-labels long-chain graphs. ``max_iters`` is an optional safety
+    bound for callers that know their graphs are dense (near-dup
+    clusters converge in 3-5 rounds)."""
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).localCheckpoint(eager=True)
     labels = ids.withColumn("label", F.col("id")).localCheckpoint(eager=True)
-    for _ in range(max_iters):
+    rounds = 0
+    while True:
         nbr_min = (
             edges.join(labels, edges.id_b == labels.id)
             .groupBy("id_a")
@@ -445,7 +454,8 @@ def label_propagate(ids: DataFrame, pairs: DataFrame, max_iters: int = 10) -> Da
         )
         changed = proposed.filter(F.col("label") != F.col("old_label")).count()
         labels = proposed.select("id", "label")
-        if changed == 0:
+        rounds += 1
+        if changed == 0 or (max_iters is not None and rounds >= max_iters):
             break
     return labels
 

@@ -185,6 +185,54 @@ def test_train_test_split_decontamination_detects_cross_split_leaks(spark):
     assert sum(by_split.values()) < total_docs / 2
 
 
+def _union_find_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent = list(range(n_nodes))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min-of-component normalization needs a second pass after all unions
+    return {v: find(v) for v in range(n_nodes)}
+
+
+def test_label_propagate_matches_union_find_on_random_and_chain_graphs(spark):
+    """label_propagate == exact union-find on seeded random graphs AND a
+    long path graph — the path's diameter (39) exceeds any small fixed
+    iteration cap, pinning the run-to-convergence default."""
+    import random
+
+    cases = []
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        n = 100
+        cases.append(
+            (n, [(rng.randrange(n), rng.randrange(n)) for _ in range(80)])
+        )
+    # path graph with the HIGH end as the min label's far side: node 0 at
+    # one end must propagate 39 hops
+    cases.append((40, [(i, i + 1) for i in range(39)]))
+
+    for n, raw_edges in cases:
+        edges = [(a, b) for a, b in raw_edges if a != b]
+        want = _union_find_components(n, edges)
+        ids = spark.range(n).select("id")
+        pairs = spark.createDataFrame(
+            [(min(a, b), max(a, b)) for a, b in edges], "id_a long, id_b long"
+        )
+        got = {
+            r.id: r.label
+            for r in similarity.label_propagate(ids, pairs).collect()
+        }
+        assert got == want
+
+
 def test_lang_id_prefers_english_on_stopworded_text(spark):
     rows = text.lang_id(spark, SF_DIR).collect()
     # fixture text contains 'the'/'a' (english stopwords) -> no row should
