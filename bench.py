@@ -33,6 +33,11 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         try:
+            # collect garbage between queries: accumulated broadcast/shuffle
+            # state from earlier queries otherwise triggers JVM GC pauses
+            # mid-measurement (observed as random 2-4x single-query outliers
+            # in the 50-query session)
+            spark.sparkContext._jvm.System.gc()
             fn(spark, SF_DIR).collect()  # warm-up (also builds temp views)
             samples = []
             for _ in range(RUNS):

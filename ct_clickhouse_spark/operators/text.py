@@ -215,28 +215,42 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     derive each row's split from its doc_id, one hash aggregate marks
     n-grams seen in both splits, one semi-join + distinct finds leaky
     docs. No self-join: cost is linear in n-gram rows at any scale."""
-    from .dedup import _shingles, _words as _dedup_words
+    from .dedup import _words as _dedup_words
 
     docs = load_table(spark, sf_dir, "documents").repartition(
         default_parallelism()
     )
-    sh = docs.select(
-        "doc_id",
-        F.explode(
+    # n-gram keys are internal to this query (only counts cross engines),
+    # so hash the 8 words directly with multi-arg xxhash64 — no
+    # intermediate string concat. The explode has exactly ONE consumer: a
+    # window over sh_h flags rows whose n-gram appears under both splits
+    # (min != max split), then distinct doc_ids — one shuffle on the
+    # n-gram key, no second aggregate-and-join pass over the n-grams.
+    from pyspark.sql import Window
+
+    n = DECONTAM_NGRAM
+    words = _dedup_words(F.col("text"))
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    gram_hashes = F.when(
+        F.size(words) >= n,
+        F.array_distinct(
             F.transform(
-                _shingles(_dedup_words(F.col("text")), DECONTAM_NGRAM),
-                lambda s: F.xxhash64(s),
+                idx,
+                lambda i: F.xxhash64(
+                    *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+                ),
             )
-        ).alias("sh_h"),
-    ).withColumn("split", _split_col(F.col("doc_id")))
-    leaky_sh = (
-        sh.groupBy("sh_h")
-        .agg(F.countDistinct("split").alias("n_splits"))
-        .filter(F.col("n_splits") == 2)
-        .select("sh_h")
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    sh = docs.select("doc_id", F.explode(gram_hashes).alias("sh_h")).withColumn(
+        "split", _split_col(F.col("doc_id"))
     )
+    w = Window.partitionBy("sh_h")
     leaky_docs = (
-        sh.join(leaky_sh, "sh_h", "semi")
+        sh.withColumn(
+            "leaky", F.min("split").over(w) != F.max("split").over(w)
+        )
+        .filter(F.col("leaky"))
         .select("doc_id")
         .distinct()
         .withColumn("is_leaky", F.lit(1))
