@@ -421,15 +421,27 @@ def asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties cannot make the answer engine-dependent. Oracle: DuckDB's native
     ASOF LEFT JOIN."""
     events = load_table(spark, sf_dir, "events")
-    views = (
-        events.filter(F.col("event_type") == ASOF_LOOKUP)
-        .select("user_id", "ts").distinct()
-        .select(
-            "user_id", "ts", F.lit(0).alias("side"),
-            F.lit(None).cast("long").alias("event_id"),
-        )
-    )
+    views = events.filter(F.col("event_type") == ASOF_LOOKUP).select("user_id", "ts")
     purchases = events.filter(F.col("event_type") == ASOF_EVENT).select(
+        "user_id", "ts", "event_id"
+    )
+    return asof_join(views, purchases)
+
+
+def asof_join(views: DataFrame, purchases: DataFrame) -> DataFrame:
+    """The reusable AS-OF core over arbitrary frames: for each row of
+    ``purchases`` (user_id, ts, event_id), the latest ``views`` (user_id,
+    ts) row at-or-before it. Union idiom (see asof_last_view): one window
+    pass per user, a single shuffle, no range-join explosion. Equal-ts
+    views sort before purchases (inclusive >=); view timestamps are
+    deduped per user so ties cannot make the answer engine-dependent."""
+    tagged_views = views.distinct().select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    tagged_purchases = purchases.select(
         "user_id", "ts", F.lit(1).alias("side"), "event_id"
     )
     w = (
@@ -439,7 +451,7 @@ def asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     view_ts = F.last(F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True).over(w)
     return (
-        views.unionByName(purchases)
+        tagged_views.unionByName(tagged_purchases)
         .withColumn("view_ts", view_ts)
         .filter(F.col("side") == 1)
         .select("event_id", "user_id", F.col("ts").alias("purchase_ts"), "view_ts")

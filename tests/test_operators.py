@@ -185,6 +185,39 @@ def test_train_test_split_decontamination_detects_cross_split_leaks(spark):
     assert sum(by_split.values()) < total_docs / 2
 
 
+def test_asof_join_matches_bruteforce_on_random_streams_with_ties(spark):
+    """asof_join == per-purchase max(view_ts <= purchase_ts) on seeded
+    random streams over a SMALL timestamp domain — forcing equal-ts
+    view/purchase collisions, the inclusive-boundary case, and users
+    with purchases before any view (null view_ts)."""
+    import random
+
+    rng = random.Random(41)
+    n_users, ts_domain = 8, 12
+    views = [
+        (rng.randrange(n_users), rng.randrange(ts_domain)) for _ in range(60)
+    ]
+    purchases = [
+        (rng.randrange(n_users), rng.randrange(ts_domain), eid)
+        for eid in range(80)
+    ]
+    vdf = spark.createDataFrame(views, "user_id long, ts long")
+    pdf = spark.createDataFrame(purchases, "user_id long, ts long, event_id long")
+    got = {
+        r.event_id: r.view_ts for r in windows.asof_join(vdf, pdf).collect()
+    }
+    want = {}
+    for u, ts, eid in purchases:
+        eligible = [vts for vu, vts in views if vu == u and vts <= ts]
+        want[eid] = max(eligible) if eligible else None
+    assert got == want
+    assert None in got.values(), "no purchase-before-any-view case — vacuous"
+    collisions = [
+        eid for u, ts, eid in purchases if (u, ts) in set(views)
+    ]
+    assert collisions, "no equal-ts collision case — vacuous"
+
+
 def _union_find_components(n_nodes: int, edges: list[tuple[int, int]]) -> dict[int, int]:
     parent = list(range(n_nodes))
 
