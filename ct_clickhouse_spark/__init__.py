@@ -16,3 +16,46 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+# Frame-level operator API: the reusable operators that take DataFrames
+# (not fixture paths), for use on a caller's own tables. Lazily imported
+# (PEP 562) so `import ct_clickhouse_spark` stays light.
+_FRAME_API = {
+    "asof_join": ("ct_clickhouse_spark.operators.windows", "asof_join"),
+    "label_propagate": (
+        "ct_clickhouse_spark.operators.similarity",
+        "label_propagate",
+    ),
+    "ngram_jaccard_pairs_for": (
+        "ct_clickhouse_spark.operators.dedup",
+        "ngram_jaccard_pairs_for",
+    ),
+    "salted_join": ("ct_clickhouse_spark.operators.relational", "salted_join"),
+    "running_user_totals": (
+        "ct_clickhouse_spark.streaming.stateful",
+        "running_user_totals",
+    ),
+    "streaming_asof_last_view": (
+        "ct_clickhouse_spark.streaming.stateful",
+        "streaming_asof_last_view",
+    ),
+    "compact_parquet": (
+        "ct_clickhouse_spark.plans.maintenance",
+        "compact_parquet",
+    ),
+    "register_tables": ("ct_clickhouse_spark.catalog", "register_tables"),
+}
+
+
+def __getattr__(name: str):
+    try:
+        module, attr = _FRAME_API[name]
+    except KeyError:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(module), attr)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_FRAME_API))
