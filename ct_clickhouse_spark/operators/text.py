@@ -34,6 +34,7 @@ STOPWORDS = {
 TOKEN_RE = "[a-z]+|[0-9]|[^a-z0-9\\s]"
 FP_WINDOW = 16  # character k-gram width for the rolling fingerprint
 DECONTAM_NGRAM = 8  # long n-grams: only real shared passages match
+DECONTAM_DF_CAP = 50  # n-grams in more docs than this are boilerplate, not leaks
 
 
 def _words(col):
@@ -214,7 +215,14 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     only match real shared passages. Plan: explode hashed n-grams,
     derive each row's split from its doc_id, one hash aggregate marks
     n-grams seen in both splits, one semi-join + distinct finds leaky
-    docs. No self-join: cost is linear in n-gram rows at any scale."""
+    docs. No self-join: cost is linear in n-gram rows at any scale.
+
+    n-grams with document frequency above DECONTAM_DF_CAP are excluded
+    (computed in the SAME window pass, zero extra cost): semantically,
+    corpus-wide boilerplate (license headers, navigation chrome) is not
+    contamination; physically, a hot n-gram key would otherwise be an
+    unsplittable skewed window partition at 100 TB — the same guard as
+    the dedup tier's stop-shingle cap."""
     from .dedup import _words as _dedup_words
 
     docs = load_table(spark, sf_dir, "documents").repartition(
@@ -248,7 +256,9 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("sh_h")
     leaky_docs = (
         sh.withColumn(
-            "leaky", F.min("split").over(w) != F.max("split").over(w)
+            "leaky",
+            (F.min("split").over(w) != F.max("split").over(w))
+            & (F.count(F.lit(1)).over(w) <= DECONTAM_DF_CAP),
         )
         .filter(F.col("leaky"))
         .select("doc_id")
@@ -380,7 +390,9 @@ ORACLES = {
             SELECT DISTINCT doc_id FROM sh
             WHERE shingle IN (
                 SELECT shingle FROM sh
-                GROUP BY shingle HAVING count(DISTINCT split) = 2
+                GROUP BY shingle
+                HAVING count(DISTINCT split) = 2
+                   AND count(*) <= {DECONTAM_DF_CAP}
             )
         )
         SELECT CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'c'
