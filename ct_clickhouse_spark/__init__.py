@@ -44,6 +44,8 @@ _FRAME_API = {
         "compact_parquet",
     ),
     "register_tables": ("ct_clickhouse_spark.catalog", "register_tables"),
+    "hash_sample": ("ct_clickhouse_spark.operators.sampling", "hash_sample"),
+    "mix_sources": ("ct_clickhouse_spark.operators.sampling", "mix_sources"),
 }
 
 

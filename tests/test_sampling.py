@@ -1,0 +1,79 @@
+"""Deterministic sampling/mixing: stability under repartitioning, seed
+independence, proportion accuracy, and single-scan plans."""
+
+from __future__ import annotations
+
+import pytest
+
+from ct_clickhouse_spark.catalog import load_table
+from ct_clickhouse_spark.operators import sampling
+from tests.conftest import SF_DIR
+
+
+def _ids(df):
+    return {r.doc_id for r in df.select("doc_id").collect()}
+
+
+def test_hash_sample_deterministic_and_partition_invariant(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = _ids(sampling.hash_sample(docs, "doc_id", 0.3))
+    b = _ids(sampling.hash_sample(docs.repartition(7), "doc_id", 0.3))
+    assert a == b  # same rows regardless of physical layout
+    # fraction lands near target (xxhash64 uniformity over 500 docs)
+    n = docs.count()
+    assert abs(len(a) / n - 0.3) < 0.08
+
+
+def test_hash_sample_is_nested_by_fraction(spark):
+    """Bucket selection makes samples NESTED: the 10% sample is a subset
+    of the 30% sample — the property that lets a pipeline scale a corpus
+    up without invalidating work done on the smaller cut."""
+    docs = load_table(spark, SF_DIR, "documents")
+    small = _ids(sampling.hash_sample(docs, "doc_id", 0.1))
+    large = _ids(sampling.hash_sample(docs, "doc_id", 0.3))
+    assert small <= large
+
+
+def test_hash_sample_seeds_are_independent(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = _ids(sampling.hash_sample(docs, "doc_id", 0.3, seed=1))
+    b = _ids(sampling.hash_sample(docs, "doc_id", 0.3, seed=2))
+    assert a != b
+    # overlap near the independent expectation (~9% of docs), not ~30%
+    n = docs.count()
+    assert len(a & b) / n < 0.2
+
+
+def test_mix_sources_proportions_and_drop(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    sources = [r.source for r in docs.select("source").distinct().collect()]
+    assert len(sources) >= 2
+    keep_all, keep_half, drop = sources[0], sources[1], sources[2:]
+    mixed = sampling.mix_sources(
+        docs, {keep_all: 1.0, keep_half: 0.5}, key="doc_id"
+    )
+    counts = {r.source: r.n for r in mixed.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    totals = {r.source: r.n for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    assert counts.get(keep_all) == totals[keep_all]  # weight 1.0 keeps all
+    assert 0.3 < counts.get(keep_half, 0) / totals[keep_half] < 0.7
+    for src in drop:  # absent from the map -> dropped
+        assert src not in counts
+
+
+def test_mix_sources_single_scan_no_join(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = (
+        sampling.mix_sources(docs, {"web": 0.5, "wiki": 1.0})
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in plan and "Exchange" not in plan, plan[:1200]
+
+
+def test_hash_sample_rejects_bad_fraction(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError):
+        sampling.hash_sample(docs, "doc_id", 1.5)
+    with pytest.raises(ValueError):
+        sampling.mix_sources(docs, {"web": -0.1})
