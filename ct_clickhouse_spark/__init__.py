@@ -45,6 +45,7 @@ _FRAME_API = {
     ),
     "register_tables": ("ct_clickhouse_spark.catalog", "register_tables"),
     "hash_sample": ("ct_clickhouse_spark.operators.sampling", "hash_sample"),
+    "redact_pii": ("ct_clickhouse_spark.operators.text", "redact_pii"),
     "mix_sources": ("ct_clickhouse_spark.operators.sampling", "mix_sources"),
 }
 

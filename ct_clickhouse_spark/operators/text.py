@@ -277,6 +277,34 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns for redaction — the standard pre-training scrub pass.
+# Deliberately conservative/deterministic (no locale heuristics): emails,
+# IPv4 literals, and international-ish phone numbers.
+PII_PATTERNS = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IP": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "PHONE": r"\+?\d[\d\s().-]{7,}\d",
+}
+
+
+def redact_pii(df: DataFrame, col: str = "text") -> DataFrame:
+    """PII redaction (frame-level library op): replace emails, IPv4
+    literals, and phone-like digit runs in ``col`` with [TYPE] tokens,
+    and report per-row counts per type. Pure JVM regexp expressions in
+    one projection — no shuffle, no Python, linear at any scale. Pattern
+    order matters: emails first (their domains would otherwise be
+    mangled by later passes), then IPs (dotted digits would match the
+    phone pattern), then phones."""
+    out = df
+    redacted = F.col(col)
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name.lower()}", F.size(F.regexp_extract_all(redacted, F.lit(pat), 0))
+        )
+        redacted = F.regexp_replace(redacted, pat, f"[{name}]")
+    return out.withColumn(col, redacted)
+
+
 def _stopword_sql(lang: str) -> str:
     return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 

@@ -266,6 +266,24 @@ def test_label_propagate_matches_union_find_on_random_and_chain_graphs(spark):
         assert got == want
 
 
+def test_redact_pii_replaces_and_counts(spark):
+    rows = [
+        (1, "mail me at jane.doe+x@example.co.uk or call +1 (555) 123-4567"),
+        (2, "server at 192.168.0.1 and 10.0.0.255, no pii otherwise"),
+        (3, "clean text with numbers 42 and the year 2024"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r for r in text.redact_pii(df).collect()}
+    assert "[EMAIL]" in got[1].text and "example.co.uk" not in got[1].text
+    assert "[PHONE]" in got[1].text and "555" not in got[1].text
+    assert (got[1].n_email, got[1].n_phone) == (1, 1)
+    assert got[2].text.count("[IP]") == 2 and got[2].n_ip == 2
+    # IPs must not be double-matched by the phone pattern
+    assert "[PHONE]" not in got[2].text
+    assert got[3].text == rows[2][1]  # untouched
+    assert (got[3].n_email, got[3].n_ip, got[3].n_phone) == (0, 0, 0)
+
+
 def test_lang_id_prefers_english_on_stopworded_text(spark):
     rows = text.lang_id(spark, SF_DIR).collect()
     # fixture text contains 'the'/'a' (english stopwords) -> no row should
