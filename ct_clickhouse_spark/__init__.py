@@ -47,6 +47,7 @@ _FRAME_API = {
     "hash_sample": ("ct_clickhouse_spark.operators.sampling", "hash_sample"),
     "redact_pii": ("ct_clickhouse_spark.operators.text", "redact_pii"),
     "mix_sources": ("ct_clickhouse_spark.operators.sampling", "mix_sources"),
+    "pack_documents": ("ct_clickhouse_spark.operators.sampling", "pack_documents"),
 }
 
 

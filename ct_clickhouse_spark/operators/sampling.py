@@ -59,3 +59,59 @@ def mix_sources(
     bucket = F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(BUCKETS))
     threshold = (frac_map[F.col(source_col)] * BUCKETS).cast("long")
     return df.filter(threshold.isNotNull() & (bucket < threshold))
+
+
+def pack_documents(
+    df: DataFrame, key: str, size_col: str, max_size: int
+) -> DataFrame:
+    """Sequence packing — group documents into training-sequence bins of
+    at most ``max_size`` units (tokens/chars per ``size_col``), the
+    standard pretraining batching op.
+
+    Packing is PER PARTITION (first-fit-decreasing inside each Arrow
+    batch group): globally optimal bin packing is NP-hard and inherently
+    serial, so every distributed implementation packs locally — waste is
+    bounded by one underfull bin per partition, negligible when
+    partitions hold thousands of docs. Bin ids are (partition, seq)
+    pairs encoded as one long, so they are unique across the cluster
+    without coordination. Oversized docs (> max_size) get a singleton
+    bin rather than being dropped — the caller decides truncation.
+
+    Returns (key, size, bin_id, bin_fill) — one row per input doc."""
+    import pandas as pd
+
+    from pyspark.sql import functions as _F
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(pdf["_pid"].iloc[0])
+        order = pdf.sort_values(size_col, ascending=False, ignore_index=True)
+        bins: list[int] = []  # remaining capacity per bin
+        assign: list[int] = []
+        for sz in order[size_col]:
+            placed = None
+            for i, cap in enumerate(bins):
+                if sz <= cap:
+                    placed = i
+                    break
+            if placed is None:
+                bins.append(max_size)
+                placed = len(bins) - 1
+            bins[placed] -= min(int(sz), max_size)
+            assign.append(placed)
+        order["bin_id"] = [pid * 1_000_000_000 + b for b in assign]
+        fills = order.groupby("bin_id")[size_col].transform("sum")
+        return pd.DataFrame(
+            {
+                key: order[key],
+                "size": order[size_col],
+                "bin_id": order["bin_id"],
+                "bin_fill": fills,
+            }
+        )
+
+    tagged = df.select(key, size_col).withColumn(
+        "_pid", _F.spark_partition_id()
+    )
+    return tagged.groupBy("_pid").applyInPandas(
+        _pack, f"{key} long, size long, bin_id long, bin_fill long"
+    )

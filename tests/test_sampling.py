@@ -71,6 +71,29 @@ def test_mix_sources_single_scan_no_join(spark):
     assert "Join" not in plan and "Exchange" not in plan, plan[:1200]
 
 
+def test_pack_documents_bins_respect_capacity(spark):
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, SF_DIR, "documents").withColumn(
+        "n_chars", F.length("text")
+    )
+    max_size = 2000
+    packed = sampling.pack_documents(docs, "doc_id", "n_chars", max_size)
+    rows = packed.collect()
+    assert len(rows) == docs.count()  # every doc packed exactly once
+    assert len({r.doc_id for r in rows}) == len(rows)
+    by_bin: dict[int, int] = {}
+    for r in rows:
+        by_bin[r.bin_id] = by_bin.get(r.bin_id, 0) + r.size
+        assert r.bin_fill <= max_size or r.size > max_size  # oversize singleton
+    for b, fill in by_bin.items():
+        sizes = [r.size for r in rows if r.bin_id == b]
+        if len(sizes) > 1:  # multi-doc bins always respect capacity
+            assert fill <= max_size
+    # packing actually packs: far fewer bins than docs
+    assert len(by_bin) < len(rows) / 2
+
+
 def test_hash_sample_rejects_bad_fraction(spark):
     docs = load_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError):
