@@ -11,8 +11,6 @@ end-to-end. Rows-only: certificate parsing has no ANSI-SQL oracle.
 
 from __future__ import annotations
 
-import base64
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -29,27 +27,37 @@ FIXTURE_DIR = os.path.join(
 )
 
 
-def _raw_entries(spark: SparkSession, log_dir: str = FIXTURE_DIR) -> DataFrame:
+def _raw_entries_distributed(
+    spark: SparkSession, log_dir: str = FIXTURE_DIR
+) -> DataFrame:
     """Recorded get-entries wire format -> (log_name, entry_index,
-    leaf_input binary) — the batch twin of the ct_log source's read()."""
-    rows = []
-    for log in sorted(os.listdir(log_dir)):
-        entries = os.path.join(log_dir, log, "entries.jsonl")
-        if not os.path.isfile(entries):
-            continue
-        with open(entries) as f:
-            for idx, line in enumerate(f):
-                rows.append((log, idx, base64.b64decode(json.loads(line)["leaf_input"])))
-    return spark.createDataFrame(
-        rows, "log_name string, entry_index long, leaf_input binary"
+    leaf_input binary) — the batch twin of the ct_log source's read(),
+    as a DISTRIBUTED text scan (one split per file, and per HDFS block
+    at scale): log_name from the file path, leaf decoded with JVM
+    expressions — no driver-side file loop, no createDataFrame of
+    materialized rows. entry_index is null: a global line number is not
+    available to a parallel scan, and nothing downstream of the parse
+    uses it (dedup is by fingerprint/domain); the streaming source is
+    the component that tracks real offsets."""
+    lines = spark.read.text(os.path.join(log_dir, "*", "entries.jsonl"))
+    return lines.select(
+        F.regexp_extract(
+            F.input_file_name(), r".*/([^/]+)/entries\.jsonl", 1
+        ).alias("log_name"),
+        F.lit(None).cast("long").alias("entry_index"),
+        F.unbase64(F.get_json_object("value", "$.leaf_input")).alias(
+            "leaf_input"
+        ),
     )
 
 
 def parsed_cert_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full ingest chain in batch: parse -> explode -> base_domain ->
     dedup by (fingerprint, domain). sf_dir is unused (fixture-driven) but
-    kept for the queries() signature."""
-    parsed = parse_entries(_raw_entries(spark))
+    kept for the queries() signature. Input comes from the distributed
+    text scan (_raw_entries_distributed) — the whole chain is
+    executor-side end to end."""
+    parsed = parse_entries(_raw_entries_distributed(spark))
     return (
         parsed.withColumn("domain", F.explode("domains"))
         .withColumn("base_domain", base_domain_udf(F.col("domain")))
