@@ -213,9 +213,10 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the dedup tier's 3) because short shingles over a small
     vocabulary collide everywhere and the signal saturates; 8-grams
     only match real shared passages. Plan: explode hashed n-grams,
-    derive each row's split from its doc_id, one hash aggregate marks
-    n-grams seen in both splits, one semi-join + distinct finds leaky
-    docs. No self-join: cost is linear in n-gram rows at any scale.
+    derive each row's split from its doc_id, one window over the n-gram
+    key flags rows whose n-gram appears under both splits (min split !=
+    max split), then distinct doc_ids. No self-join, no second pass:
+    cost is linear in n-gram rows at any scale.
 
     n-grams with document frequency above DECONTAM_DF_CAP are excluded
     (computed in the SAME window pass, zero extra cost): semantically,
