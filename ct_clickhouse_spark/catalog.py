@@ -143,30 +143,66 @@ def table_path(sf_dir: str, name: str) -> str:
 # DataFrame-lineage cache: repeated load_table calls re-list files and
 # re-read footers on the driver (~50-100 ms each), which dominates small
 # interactive queries. The cached object is just the immutable logical
-# plan — no data is pinned.
-_DF_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+# plan — no data is pinned. Keyed on the JVM application id (stable for a
+# session's lifetime, never reused within a JVM) rather than ``id(spark)``,
+# which CPython can recycle after GC and alias a fresh session.
+_DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _session_key(spark: SparkSession) -> str:
+    try:
+        return spark.sparkContext.applicationId
+    except Exception:  # pragma: no cover - connect-only sessions
+        return f"id:{id(spark)}"
+
+
+def _read_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read ``events`` robustly against physical-type drift of ``ts``.
+
+    Fixture regenerations have shipped ``ts`` both as TIMESTAMP(MICROS)
+    (reads natively) and TIMESTAMP(NANOS) (Spark's vectorized reader
+    rejects it unless nanos are surfaced as long). Branch on what the file
+    actually contains instead of assuming either: try the plain read first;
+    only on a nanos rejection flip the legacy conf, re-read, and
+    floor-convert nanos->micros (DuckDB's truncation semantics)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType as _Long
+
+    try:
+        df = spark.read.parquet(path)
+        nanos_as_long = isinstance(df.schema["ts"].dataType, _Long)
+    except Exception:
+        # Plain read rejected the footer (TIMESTAMP(NANOS) without the
+        # legacy conf). Retry with nanos surfaced as long.
+        nanos_as_long = True
+        df = None
+    if df is None:
+        # The conf must stay set for the lifetime of this plan (it is
+        # consulted again at scan execution), so we only touch it on the
+        # legacy-nanos path and do not restore it.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
+    if nanos_as_long:
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table; fails fast on schema drift instead of inferring.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS) parquet, which Spark's
-    reader rejects; we read nanos as long and floor-convert to microseconds
-    (exactly what DuckDB's ns->us truncation does), keeping the scan native
-    and vectorized."""
-    key = (id(spark), sf_dir, name)
+    ``events`` gets a physical-type-aware read (see ``_read_events``); all
+    other tables read natively and are validated against the declared
+    StructType."""
+    key = (_session_key(spark), sf_dir, name)
     cached = _DF_CACHE.get(key)
     if cached is not None:
         return cached
     if name == "events":
-        from pyspark.sql import functions as F
-
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
-        df = df.withColumn(
-            "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
-        ).select(*[f.name for f in SCHEMAS[name].fields])
+        df = _read_events(spark, table_path(sf_dir, name))
+        df = df.select(*[f.name for f in SCHEMAS[name].fields])
     else:
         df = spark.read.parquet(table_path(sf_dir, name))
     expected = SCHEMAS[name]

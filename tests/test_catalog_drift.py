@@ -1,0 +1,73 @@
+"""Schema-drift canary: every fixture table x every sf dir must round-trip
+through ``load_table`` to the declared StructType.
+
+Round 2 regression class: the driver regenerated fixtures and ``events.ts``
+changed physical type (TIMESTAMP(NANOS) -> TIMESTAMP(MICROS)), which a
+type-assuming loader turned into 6 oracle ERRORs. This test reads each
+fixture's *physical* parquet schema with pyarrow and then asserts the
+loader normalizes it to the catalog's logical schema, so any future fixture
+regeneration that shifts a physical type fails here before the driver runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from ct_clickhouse_spark.catalog import SCHEMAS, load_table, table_path
+
+SF_DIRS = [
+    d
+    for d in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    )
+    if os.path.isdir(d)
+]
+
+
+def _physical_schema(path: str):
+    if os.path.isdir(path):
+        # Directory-style parquet: any one footer carries the file schema.
+        part = next(
+            os.path.join(path, f) for f in sorted(os.listdir(path)) if f.endswith(".parquet")
+        )
+        return pq.read_schema(part)
+    return pq.read_schema(path)
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+@pytest.mark.parametrize("name", sorted(SCHEMAS))
+def test_load_table_roundtrips_physical_schema(spark, sf_dir, name):
+    path = table_path(sf_dir, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not present at {sf_dir}")
+    # Physical read must succeed (guards corrupt/renamed fixtures)...
+    physical = _physical_schema(path)
+    assert physical.names, f"empty physical schema for {name} at {sf_dir}"
+    # ...and the loader must normalize whatever is on disk to the declared
+    # logical schema (load_table itself raises ValueError on drift).
+    df = load_table(spark, sf_dir, name)
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    want = {f.name: f.dataType.simpleString() for f in SCHEMAS[name].fields}
+    assert got == want
+
+
+@pytest.mark.parametrize("sf_dir", SF_DIRS)
+def test_events_ts_is_usable_timestamp(spark, sf_dir):
+    """The exact round-2 failure: ts must be an actual timestamp that
+    supports interval arithmetic after loading, whatever the file stored."""
+    from pyspark.sql import functions as F
+
+    events = load_table(spark, sf_dir, "events")
+    row = (
+        events.select(
+            F.min("ts").alias("lo"),
+            F.max(F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert row.lo is not None and row.hi is not None and row.hi > row.lo
