@@ -239,11 +239,19 @@ def frame_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RESIZE_TARGET = 64  # driver-slot resize target (square)
+
+
 def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Metadata aggregate + sampled-frame counts under one slot, long
-    format: 'meta' rows are per-(kind, format) payload stats (the
-    column-pruned, payload-unread path); 'frames' rows are the per-video
-    sampled-frame counts from the mapInPandas row-expansion path."""
+    """Metadata aggregate + sampled-frame counts + resize output stats
+    under one slot, long format: 'meta' rows are per-(kind, format)
+    payload stats (the column-pruned, payload-unread path); 'frames' rows
+    are the per-video sampled-frame counts from the mapInPandas
+    row-expansion path; 'resize' rows aggregate the REAL ``resize_media``
+    kernel output per image format — n images, total output bytes, and
+    output pixel count all come from the resized payloads themselves, so
+    the oracle's closed-form expectation (count x target^2 bytes)
+    verifies the kernel produced exactly target x target bytes per row."""
     m = media_meta_stats(spark, sf_dir).select(
         F.lit("meta").alias("sect"),
         F.col("kind").alias("key"),
@@ -260,7 +268,29 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("total_bytes"),
         F.lit(None).cast("double").alias("avg_pixels"),
     )
-    return m.unionByName(f)
+    # image format is a pure function of media_id (see build_media), so
+    # re-derive it instead of joining back to the media table.
+    fmt = F.when(F.col("media_id") % 2 == 0, "png").otherwise("jpeg")
+    r = (
+        resize_media(spark, sf_dir, RESIZE_TARGET, RESIZE_TARGET)
+        .select(fmt.alias("format"), F.length("payload").alias("out_bytes"),
+                (F.col("width") * F.col("height")).alias("out_pixels"))
+        .groupBy("format")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("out_bytes").alias("total_bytes"),
+            F.round(F.avg("out_pixels"), 2).alias("avg_pixels"),
+        )
+        .select(
+            F.lit("resize").alias("sect"),
+            F.col("format").alias("key"),
+            "format",
+            F.col("n").cast("long").alias("n"),
+            F.col("total_bytes").cast("long").alias("total_bytes"),
+            "avg_pixels",
+        )
+    )
+    return m.unionByName(f).unionByName(r)
 
 
 QUERIES = {
@@ -298,5 +328,10 @@ ORACLES = {
                CAST(NULL AS BIGINT) AS total_bytes,
                CAST(NULL AS DOUBLE) AS avg_pixels
         FROM media WHERE kind = 'video'
+        UNION ALL
+        SELECT 'resize' AS sect, format AS key, format, count(*) AS n,
+               CAST(count(*) * {RESIZE_TARGET} * {RESIZE_TARGET} AS BIGINT) AS total_bytes,
+               CAST({RESIZE_TARGET} * {RESIZE_TARGET} AS DOUBLE) AS avg_pixels
+        FROM media WHERE kind = 'image' GROUP BY format
     """,
 }

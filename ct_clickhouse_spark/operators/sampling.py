@@ -22,14 +22,41 @@ from pyspark.sql import functions as F
 # hash-bucket resolution: fractions snap to 1/BUCKETS granularity
 BUCKETS = 1_000_000
 
+# md5 mode: fractions snap to 1/16^HEX_WIDTH via fixed-width lowercase hex
+# prefixes, where lexicographic order == numeric order — the same idiom as
+# the train/test split in operators/text.py, portable to any engine with md5.
+HEX_WIDTH = 8
 
-def hash_sample(df: DataFrame, key: str, fraction: float, seed: int = 0) -> DataFrame:
+
+def _hex_threshold(fraction: float) -> str:
+    """Fixed-width hex threshold for ``bucket_hex < threshold``. 'g' sorts
+    after every hex digit, so fraction>=1 keeps everything."""
+    if fraction >= 1.0:
+        return "g"
+    return format(int(round(fraction * 16**HEX_WIDTH)), f"0{HEX_WIDTH}x")
+
+
+def _bucket_hex(key: str, seed: int):
+    return F.substring(
+        F.md5(F.concat(F.col(key).cast("string"), F.lit(f"#{seed}"))), 1, HEX_WIDTH
+    )
+
+
+def hash_sample(
+    df: DataFrame, key: str, fraction: float, seed: int = 0, method: str = "xxhash64"
+) -> DataFrame:
     """Keep a deterministic ``fraction`` of rows, selected by hash bucket
     of ``key``: the same row set survives re-runs, repartitioning, and
     cluster-size changes. ``seed`` picks an independent sample (it salts
-    the hash), so disjoint studies don't reuse the same rows."""
+    the hash), so disjoint studies don't reuse the same rows.
+
+    ``method``: 'xxhash64' (default, fastest — JVM-native) or 'md5'
+    (cross-engine-stable: the selected row SET is reproducible in any
+    engine with md5, which is what lets the driver oracle check it)."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    if method == "md5":
+        return df.filter(_bucket_hex(key, seed) < _hex_threshold(fraction))
     bucket = F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(BUCKETS))
     return df.filter(bucket < int(round(fraction * BUCKETS)))
 
@@ -40,6 +67,7 @@ def mix_sources(
     key: str = "doc_id",
     source_col: str = "source",
     seed: int = 0,
+    method: str = "xxhash64",
 ) -> DataFrame:
     """Source mixing — the pretraining data-mixing operator: keep a
     per-source deterministic fraction of rows. ``weights`` maps source
@@ -49,10 +77,19 @@ def mix_sources(
     One scan, one filter: the per-source fraction is looked up from a
     literal map column, so the plan stays a narrow projection with no
     join, no shuffle, and no per-source pass. At 100 TB this is the
-    difference between one scan and |sources| scans."""
+    difference between one scan and |sources| scans.
+
+    ``method`` as in ``hash_sample``: 'md5' makes the kept row set
+    engine-portable for differential checking."""
     for src, frac in weights.items():
         if not 0.0 <= frac <= 1.0:
             raise ValueError(f"weight for {src!r} must be in [0, 1], got {frac}")
+    if method == "md5":
+        thr_map = F.create_map(
+            *[F.lit(x) for src, frac in weights.items() for x in (src, _hex_threshold(frac))]
+        )
+        threshold = thr_map[F.col(source_col)]
+        return df.filter(threshold.isNotNull() & (_bucket_hex(key, seed) < threshold))
     frac_map = F.create_map(
         *[F.lit(x) for src, frac in weights.items() for x in (src, float(frac))]
     )
@@ -62,29 +99,44 @@ def mix_sources(
 
 
 def pack_documents(
-    df: DataFrame, key: str, size_col: str, max_size: int
+    df: DataFrame, key: str, size_col: str, max_size: int, group_col: str | None = None
 ) -> DataFrame:
     """Sequence packing — group documents into training-sequence bins of
     at most ``max_size`` units (tokens/chars per ``size_col``), the
     standard pretraining batching op.
 
-    Packing is PER PARTITION (first-fit-decreasing inside each Arrow
-    batch group): globally optimal bin packing is NP-hard and inherently
+    Packing is PER GROUP (first-fit-decreasing inside each Arrow batch
+    group): globally optimal bin packing is NP-hard and inherently
     serial, so every distributed implementation packs locally — waste is
-    bounded by one underfull bin per partition, negligible when
-    partitions hold thousands of docs. Bin ids are (partition, seq)
-    pairs encoded as one long, so they are unique across the cluster
-    without coordination. Oversized docs (> max_size) get a singleton
-    bin rather than being dropped — the caller decides truncation.
+    bounded by one underfull bin per group, negligible when groups hold
+    thousands of docs. The default group is the physical partition
+    (fastest: zero shuffle); passing ``group_col`` packs within a logical
+    column instead (e.g. source/domain — bins never mix sources, and the
+    result is DETERMINISTIC because FFD order is (size desc, key asc)
+    within a content-defined group, not a scan-order partition). Bin ids
+    are (group, seq) pairs encoded as one long, so they are unique across
+    the cluster without coordination. Oversized docs (> max_size) get a
+    singleton bin rather than being dropped — the caller decides
+    truncation.
 
     Returns (key, size, bin_id, bin_fill) — one row per input doc."""
+    import hashlib
+
     import pandas as pd
 
     from pyspark.sql import functions as _F
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pid = int(pdf["_pid"].iloc[0])
-        order = pdf.sort_values(size_col, ascending=False, ignore_index=True)
+        if group_col is None:
+            pid = int(pdf["_pid"].iloc[0])
+        else:
+            # Stable 30-bit group tag -> disjoint bin-id ranges without
+            # coordination (1e9 bins per group headroom below).
+            raw = str(pdf[group_col].iloc[0]).encode("utf-8")
+            pid = int.from_bytes(hashlib.md5(raw).digest()[:4], "big") >> 2
+        order = pdf.sort_values(
+            [size_col, key], ascending=[False, True], ignore_index=True
+        )
         bins: list[int] = []  # remaining capacity per bin
         assign: list[int] = []
         for sz in order[size_col]:
@@ -100,15 +152,25 @@ def pack_documents(
             assign.append(placed)
         order["bin_id"] = [pid * 1_000_000_000 + b for b in assign]
         fills = order.groupby("bin_id")[size_col].transform("sum")
-        return pd.DataFrame(
-            {
-                key: order[key],
-                "size": order[size_col],
-                "bin_id": order["bin_id"],
-                "bin_fill": fills,
-            }
-        )
+        cols = {
+            key: order[key],
+            "size": order[size_col],
+            "bin_id": order["bin_id"],
+            "bin_fill": fills,
+        }
+        if group_col is not None:
+            cols = {group_col: order[group_col], **cols}
+        return pd.DataFrame(cols)
 
+    if group_col is not None:
+        return (
+            df.select(group_col, key, size_col)
+            .groupBy(group_col)
+            .applyInPandas(
+                _pack,
+                f"{group_col} string, {key} long, size long, bin_id long, bin_fill long",
+            )
+        )
     tagged = df.select(key, size_col).withColumn(
         "_pid", _F.spark_partition_id()
     )

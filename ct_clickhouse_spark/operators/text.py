@@ -88,10 +88,35 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Corpus-mixing recipe for the driver slot: per-source keep fractions
+# (sources absent from the map are dropped). Values chosen to exercise
+# 1.0 (keep-all), mid fractions, and implicit drop in one query.
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+SAMPLE_FRACTION = 0.25
+
+
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting: whitespace tokens + BPE-ish regex tokens per doc,
-    and corpus totals per source."""
+    """Token counting + deterministic sampling/mixing under one slot,
+    long format by ``tag``:
+
+    - 'all': whitespace + BPE-ish regex token totals per source.
+    - 'sample_25': the same totals over ``hash_sample`` (md5 mode,
+      fraction 0.25) — the content-keyed corpus subsample.
+    - 'mix': the same totals over ``mix_sources`` (md5 mode,
+      MIX_WEIGHTS) — the per-source data-mixing operator.
+
+    ONE scan feeds all three tags: membership in each variant is a
+    boolean flag computed in the same projection as the token counts,
+    rows explode only their applicable tags, and a single hash aggregate
+    produces every (tag, source) group. At 100 TB this is one pass over
+    the text column instead of three."""
+    from .sampling import _bucket_hex, _hex_threshold
+
     docs = load_table(spark, sf_dir, "documents")
+    bucket = _bucket_hex("doc_id", 0)
+    mix_thr = F.create_map(
+        *[F.lit(x) for s, w in MIX_WEIGHTS.items() for x in (s, _hex_threshold(w))]
+    )[F.col("source")]
     per_doc = docs.select(
         "doc_id",
         "source",
@@ -99,9 +124,19 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_RE), 0)).alias(
             "re_tokens"
         ),
+        F.array_compact(
+            F.array(
+                F.lit("all"),
+                F.when(bucket < _hex_threshold(SAMPLE_FRACTION), "sample_25"),
+                F.when(mix_thr.isNotNull() & (bucket < mix_thr), "mix"),
+            )
+        ).alias("tags"),
     )
     return (
-        per_doc.groupBy("source")
+        per_doc.select(
+            "source", "ws_tokens", "re_tokens", F.explode("tags").alias("tag")
+        )
+        .groupBy("tag", "source")
         .agg(
             F.sum("ws_tokens").alias("total_ws_tokens"),
             F.sum("re_tokens").alias("total_re_tokens"),
@@ -154,6 +189,42 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "text")
         .mapInPandas(_fp, "doc_id long, fp_min long, fp_max long")
     )
+
+
+PACK_MAX = 2000  # bin capacity (chars) for the driver packing slot
+
+
+def fingerprint_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only slot, long format by ``sect``: the rolling-hash content
+    fingerprints ('fp' rows, one per doc) plus a per-source sequence-
+    packing summary ('pack' rows) from ``pack_documents`` grouped by
+    source — grouped mode is deterministic (FFD over (size desc, key
+    asc) within a content-defined group), so the row count and values
+    are stable across runs and partitionings."""
+    from .sampling import pack_documents
+
+    fp = doc_fingerprint(spark, sf_dir).select(
+        F.lit("fp").alias("sect"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("fp_min").alias("v1"),
+        F.col("fp_max").alias("v2"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    packed = pack_documents(docs, "doc_id", "n_chars", PACK_MAX, group_col="source")
+    pk = (
+        packed.groupBy("source")
+        .agg(
+            F.countDistinct("bin_id").alias("n_bins"),
+            F.max("bin_fill").alias("max_fill"),
+        )
+        .select(
+            F.lit("pack").alias("sect"),
+            F.col("source").alias("key"),
+            F.col("n_bins").cast("long").alias("v1"),
+            F.col("max_fill").cast("long").alias("v2"),
+        )
+    )
+    return fp.unionByName(pk)
 
 
 TOP_TERMS = 3
@@ -311,12 +382,19 @@ def _stopword_sql(lang: str) -> str:
 
 
 def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document stats + quality score + language-ID, one row per doc:
-    the full cheap pre-training document profile under one driver slot.
-    Fused into a single projection over ONE scan — both halves are
-    embarrassingly-parallel expressions over the same row, so a join on
-    doc_id (two scans + a shuffle) would be pure overhead."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Per-document stats + quality score + language-ID + PII redaction
+    profile, one row per doc: the full cheap pre-training document pass
+    under one driver slot. Fused into a single projection over ONE scan —
+    every half is an embarrassingly-parallel expression over the same
+    row, so a join on doc_id (two scans + a shuffle) would be pure
+    overhead. The PII columns (n_email/n_ip/n_phone/redacted_chars) come
+    from the real ``redact_pii`` operator applied to a copy of the text
+    column, so its sequential replace semantics (emails scrubbed before
+    IP matching, IPs before phone matching) are what the oracle checks."""
+    docs = redact_pii(
+        load_table(spark, sf_dir, "documents").withColumn("rtext", F.col("text")),
+        col="rtext",
+    ).withColumn("redacted_chars", F.length("rtext"))
     words = _words(F.col("text"))
     n_chars = F.length("text")
     junk_ratio = F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")) / n_chars
@@ -338,6 +416,10 @@ def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(junk_ratio, 4).alias("junk_ratio"),
         F.round(mean_wl, 4).alias("mean_word_len"),
         score.alias("quality_score"),
+        "n_email",
+        "n_ip",
+        "n_phone",
+        "redacted_chars",
         *scores.values(),
     )
     best = F.greatest(*[F.col(f"score_{lang}") for lang in STOPWORDS])
@@ -350,12 +432,23 @@ def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_doc_profile": doc_profile_with_lang,
     "text_token_count": token_count,
-    "text_doc_fingerprint": doc_fingerprint,  # rows-only (xxhash64 sketch)
+    "text_doc_fingerprint": fingerprint_and_pack,  # rows-only (hash sketch + pack)
     "text_top_terms_per_source": top_terms_per_source,
     "text_train_test_split": train_test_split,
 }
 
 _WORDS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+# Sequential-redaction oracle chain: each pattern counts against the text
+# already scrubbed by the previous ones — redact_pii's exact semantics.
+_T1 = f"regexp_replace(text, '{PII_PATTERNS['EMAIL']}', '[EMAIL]', 'g')"
+_T2 = f"regexp_replace({_T1}, '{PII_PATTERNS['IP']}', '[IP]', 'g')"
+_T3 = f"regexp_replace({_T2}, '{PII_PATTERNS['PHONE']}', '[PHONE]', 'g')"
+_PII_COLS_SQL = f"""
+                   len(regexp_extract_all(text, '{PII_PATTERNS['EMAIL']}')) AS n_email,
+                   len(regexp_extract_all({_T1}, '{PII_PATTERNS['IP']}')) AS n_ip,
+                   len(regexp_extract_all({_T2}, '{PII_PATTERNS['PHONE']}')) AS n_phone,
+                   length({_T3}) AS redacted_chars"""
 
 ORACLES = {
     "text_doc_profile": f"""
@@ -372,7 +465,7 @@ ORACLES = {
                                 / length(text) < 0.1 THEN 1 ELSE 0 END
                     + CASE WHEN list_sum(list_transform({_WORDS_SQL}, w -> length(w)))
                                 / len({_WORDS_SQL}) BETWEEN 3 AND 10 THEN 1 ELSE 0 END
-                   ) AS quality_score
+                   ) AS quality_score,{_PII_COLS_SQL}
             FROM documents
         ), scored AS (
             SELECT doc_id, lang,
@@ -391,11 +484,26 @@ ORACLES = {
         FROM profile p JOIN scored s USING (doc_id) ORDER BY doc_id
     """,
     "text_token_count": f"""
-        SELECT source,
-               CAST(sum(len({_WORDS_SQL})) AS BIGINT) AS total_ws_tokens,
-               CAST(sum(len(regexp_extract_all(lower(text), '{TOKEN_RE}'))) AS BIGINT) AS total_re_tokens,
+        WITH per_doc AS (
+            SELECT source,
+                   len({_WORDS_SQL}) AS ws,
+                   len(regexp_extract_all(lower(text), '{TOKEN_RE}')) AS re_t,
+                   substr(md5(CAST(doc_id AS VARCHAR) || '#0'), 1, 8) AS bh
+            FROM documents
+        ), tagged AS (
+            SELECT 'all' AS tag, source, ws, re_t FROM per_doc
+            UNION ALL
+            SELECT 'sample_25', source, ws, re_t FROM per_doc
+            WHERE bh < '{{sample_thr}}'
+            UNION ALL
+            SELECT 'mix', source, ws, re_t FROM per_doc
+            WHERE bh < CASE source {{mix_cases}} END
+        )
+        SELECT tag, source,
+               CAST(sum(ws) AS BIGINT) AS total_ws_tokens,
+               CAST(sum(re_t) AS BIGINT) AS total_re_tokens,
                count(*) AS n_docs
-        FROM documents GROUP BY source ORDER BY source
+        FROM tagged GROUP BY tag, source ORDER BY tag, source
     """,
     "text_train_test_split": f"""
         WITH sh AS (
@@ -451,3 +559,20 @@ ORACLES = {
         ORDER BY source, term_rank
     """,
 }
+
+
+def _fill_sampling_thresholds() -> None:
+    """Substitute the md5-hex keep thresholds into the token-count oracle
+    from the same _hex_threshold the Spark side uses — one source of truth
+    for the fraction->threshold rounding."""
+    from .sampling import _hex_threshold
+
+    ORACLES["text_token_count"] = ORACLES["text_token_count"].format(
+        sample_thr=_hex_threshold(SAMPLE_FRACTION),
+        mix_cases=" ".join(
+            f"WHEN '{s}' THEN '{_hex_threshold(w)}'" for s, w in MIX_WEIGHTS.items()
+        ),
+    )
+
+
+_fill_sampling_thresholds()

@@ -94,6 +94,68 @@ def test_pack_documents_bins_respect_capacity(spark):
     assert len(by_bin) < len(rows) / 2
 
 
+def test_hash_sample_md5_mode_same_properties(spark):
+    """md5 mode keeps the operator contract: deterministic, partition-
+    invariant, nested by fraction, near-target proportions."""
+    docs = load_table(spark, SF_DIR, "documents")
+    a = _ids(sampling.hash_sample(docs, "doc_id", 0.3, method="md5"))
+    b = _ids(sampling.hash_sample(docs.repartition(7), "doc_id", 0.3, method="md5"))
+    assert a == b
+    small = _ids(sampling.hash_sample(docs, "doc_id", 0.1, method="md5"))
+    assert small <= a
+    n = docs.count()
+    assert abs(len(a) / n - 0.3) < 0.08
+
+
+def test_token_count_tags_match_operators(spark):
+    """The driver slot's tagged union must agree with actually running
+    the sampling operators: tag='sample_25' == hash_sample(md5, 0.25),
+    tag='mix' == mix_sources(md5, MIX_WEIGHTS) — same rows, same totals."""
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.operators import text
+
+    docs = load_table(spark, SF_DIR, "documents")
+    tagged = {
+        (r.tag, r.source): r.n_docs
+        for r in text.token_count(spark, SF_DIR).collect()
+    }
+    sample = sampling.hash_sample(
+        docs, "doc_id", text.SAMPLE_FRACTION, method="md5"
+    )
+    for r in sample.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect():
+        assert tagged.get(("sample_25", r.source)) == r.n
+    mixed = sampling.mix_sources(docs, text.MIX_WEIGHTS, key="doc_id", method="md5")
+    mix_counts = {
+        r.source: r.n
+        for r in mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert mix_counts == {
+        src: n for (tag, src), n in tagged.items() if tag == "mix"
+    }
+
+
+def test_pack_documents_grouped_is_deterministic(spark):
+    """group_col mode: identical output regardless of physical layout
+    (FFD order is content-defined), bins never mix groups."""
+    docs = load_table(spark, SF_DIR, "documents")
+    a = sorted(
+        map(tuple, sampling.pack_documents(
+            docs, "doc_id", "n_chars", 2000, group_col="source"
+        ).collect())
+    )
+    b = sorted(
+        map(tuple, sampling.pack_documents(
+            docs.repartition(7), "doc_id", "n_chars", 2000, group_col="source"
+        ).collect())
+    )
+    assert a == b
+    by_bin: dict[int, set[str]] = {}
+    for src, _doc, _size, bin_id, _fill in a:
+        by_bin.setdefault(bin_id, set()).add(src)
+    assert all(len(srcs) == 1 for srcs in by_bin.values())
+
+
 def test_hash_sample_rejects_bad_fraction(spark):
     docs = load_table(spark, SF_DIR, "documents")
     with pytest.raises(ValueError):
