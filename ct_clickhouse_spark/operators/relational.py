@@ -486,12 +486,15 @@ def set_and_semi_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def quantiles_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact per-group percentiles, both execution strategies under one
-    oracle: 'percentile_agg' = Spark's buffering percentile() aggregate
-    (small-data/parity twin); 'distributed' = the no-group-buffering
-    range-partition + mapInPandas rank-selection path (the 100 TB shape).
-    Identical answers by construction — the union IS the cross-check."""
+    oracle: 'exact_smalldata' = Spark's buffering percentile() aggregate
+    — SMALL-DATA ONLY (each group's values are materialized in one
+    aggregation buffer; at 100x it would dominate or OOM — filter
+    variant != 'exact_smalldata' in production); 'distributed' = the
+    no-group-buffering range-partition + mapInPandas rank-selection path,
+    the production path at scale. Identical answers by construction — the
+    union IS the cross-check."""
     a = price_quantiles(spark, sf_dir).select(
-        F.lit("percentile_agg").alias("variant"), "*"
+        F.lit("exact_smalldata").alias("variant"), "*"
     )
     b = price_quantiles_distributed(spark, sf_dir).select(
         F.lit("distributed").alias("variant"), "*"
@@ -656,7 +659,7 @@ ORACLES = {
                    round(quantile_cont(l_extendedprice, 0.75) + 0.000001, 2) AS p75
             FROM lineitem GROUP BY l_returnflag
         )
-        SELECT 'percentile_agg' AS variant, * FROM q
+        SELECT 'exact_smalldata' AS variant, * FROM q
         UNION ALL
         SELECT 'distributed' AS variant, * FROM q
     """,

@@ -391,11 +391,16 @@ def time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ntile_both(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact global ntile(4), both execution strategies under one oracle:
-    'window' = Window.ntile (single-partition total sort — the parity
-    twin); 'distributed' = range-partition + prefix-offset global rank
-    (every stage parallel — the 100 TB shape). Identical answers by
-    construction; the sketch path lives in rel_sketch_quantiles."""
-    a = spend_quartiles(spark, sf_dir).select(F.lit("window").alias("variant"), "*")
+    'exact_smalldata' = Window.ntile — SMALL-DATA ONLY (an empty
+    partitionBy forces a single-partition total sort; at 100x one task
+    sorts the world — filter variant != 'exact_smalldata' in
+    production); 'distributed' = range-partition + prefix-offset global
+    rank (every stage parallel), the production path at scale. Identical
+    answers by construction; the sketch path lives in
+    rel_sketch_quantiles."""
+    a = spend_quartiles(spark, sf_dir).select(
+        F.lit("exact_smalldata").alias("variant"), "*"
+    )
     b = spend_quartiles_distributed(spark, sf_dir).select(
         F.lit("distributed").alias("variant"), "*"
     )
@@ -581,7 +586,7 @@ ORACLES = {
                    ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
             FROM customer
         )
-        SELECT 'window' AS variant, * FROM q
+        SELECT 'exact_smalldata' AS variant, * FROM q
         UNION ALL
         SELECT 'distributed' AS variant, * FROM q
     """,

@@ -173,26 +173,49 @@ class CTLogPartition(InputPartition):
         self.end = end
 
 
+# Reference re-fetches its log list on a 24 h cache (ct_ingestor.py:49-72).
+REGISTRY_TTL_SEC = 86400.0
+
+
 class CTLogStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.transport = _make_transport(options)
         self.max_per_trigger = int(options.get("maxentriespertrigger", DEFAULT_BATCH))
         self.registry = options.get("registry")
         self.now = options.get("now")  # ISO ts for eligibility; None = wall clock
+        self.registry_ttl = float(options.get("registryttlsec", REGISTRY_TTL_SEC))
+        self._eligible_cache: tuple[float, set[str]] | None = None
         self._committed: dict | None = None  # last offset Spark committed
+
+    def _eligible(self) -> set[str]:
+        """Eligible-log set from the registry document, re-read on a TTL
+        (reference: 24 h log-list cache, ct_ingestor.py:49-72). The
+        document parse is the cached part; ``registryttlsec=0`` re-reads
+        on every offset poll so registry edits take effect next batch."""
+        import time
+
+        now = time.monotonic()
+        if (
+            self._eligible_cache is not None
+            and now - self._eligible_cache[0] < self.registry_ttl
+        ):
+            return self._eligible_cache[1]
+        from .log_list import eligible_log_names
+
+        eligible = eligible_log_names(self.registry, self.now)
+        self._eligible_cache = (now, eligible)
+        return eligible
 
     def _logs(self) -> list[str]:
         """Available logs, filtered through the registry's eligibility
         rules when one is given (retired / not-usable-or-frozen / outside
-        temporal interval are excluded — ct_ingestor.py:77-97). Re-run on
-        every offset poll, so registry edits take effect next batch."""
+        temporal interval are excluded — ct_ingestor.py:77-97).
+        Eligibility is consulted on every offset poll; the registry
+        document itself refreshes per ``registryttlsec``."""
         logs = self.transport.list_logs()
         if not self.registry:
             return logs
-        from .log_list import eligible_log_names
-
-        eligible = eligible_log_names(self.registry, self.now)
-        return [log for log in logs if log in eligible]
+        return [log for log in logs if log in self._eligible()]
 
     def initialOffset(self) -> dict:
         # offset 0 for every discovered log == the reference's fresh

@@ -210,6 +210,46 @@ def test_registry_filters_live_discovery(recorded_dir, registry):
     assert "Retired Log" in set(bare.initialOffset())
 
 
+def test_registry_ttl_refresh(recorded_dir, registry):
+    """TTL semantics of the registry document (reference: 24 h log-list
+    cache): with registryttlsec=0 an on-disk registry update is honored
+    at the very next offset poll (the newly-retired log drops out); with
+    a large TTL the cached document keeps serving."""
+    from ct_clickhouse_spark.sources.ct_log import CTLogStreamReader
+
+    def retire_http_test_log():
+        doc = json.loads(open(registry).read())
+        doc["operators"][0]["logs"][0]["state"] = {
+            "retired": {"timestamp": "2024-06-01T00:00:00Z"}
+        }
+        with open(registry, "w") as f:
+            json.dump(doc, f)
+
+    fresh = CTLogStreamReader(
+        {
+            "path": recorded_dir,
+            "registry": registry,
+            "now": "2024-06-15T00:00:00Z",
+            "registryttlsec": "0",
+        }
+    )
+    assert set(fresh.latestOffset()) == {"Http Test Log"}
+    cached = CTLogStreamReader(
+        {
+            "path": recorded_dir,
+            "registry": registry,
+            "now": "2024-06-15T00:00:00Z",
+            "registryttlsec": "3600",
+        }
+    )
+    assert set(cached.latestOffset()) == {"Http Test Log"}
+    retire_http_test_log()
+    # ttl=0: next poll re-reads the document and drops the log
+    assert set(fresh.latestOffset()) == set()
+    # ttl=1h: the stale cache keeps serving until the TTL lapses
+    assert set(cached.latestOffset()) == {"Http Test Log"}
+
+
 def test_eligible_log_names_matches_dataframe_discovery(spark, tmp_path):
     """The stdlib eligibility rules and the DataFrame discover_logs must
     agree on the same registry document."""
