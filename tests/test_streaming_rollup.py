@@ -1,0 +1,114 @@
+"""Incremental rollup (continuous aggregate): the maintained table must
+equal the batch aggregate of all finalized windows, across micro-batches
+AND across a stream restart from checkpoint; a replayed write must not
+duplicate or clobber other windows (partition-overwrite idempotency)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from ct_clickhouse_spark.catalog import load_table
+from ct_clickhouse_spark.streaming.rollup import (
+    batch_rollup_reference,
+    read_rollup,
+    start_rollup,
+)
+from tests.conftest import SF_DIR
+
+SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _stream(spark, src):
+    return (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("ts", "event_type", "value")
+    )
+
+
+@pytest.fixture()
+def rollup_env(spark, tmp_path):
+    src = str(tmp_path / "src")
+    events = load_table(spark, SF_DIR, "events").orderBy("ts", "event_id")
+    n = events.count()
+    first = events.limit(n // 2)
+    rest = events.subtract(first)
+    first.coalesce(1).write.parquet(src + "/chunk=0")
+    rest.coalesce(1).write.parquet(src + "/chunk=1")
+    # sentinel far past everything: advances the watermark so every real
+    # window finalizes; its own (unfinalized) window never emits
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    sentinel_ts = max_ts + datetime.timedelta(hours=12)
+    spark.createDataFrame(
+        [(10**9, sentinel_ts, 0, "sentinel", 0.0, "{}")], SCHEMA
+    ).coalesce(1).write.parquet(src + "/chunk=2")
+    return src, events, str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+
+
+def test_rollup_converges_to_batch_and_survives_restart(spark, rollup_env):
+    src, events, rollup_path, ckpt = rollup_env
+
+    # phase 1: one availableNow run over all three chunks (3 triggers)
+    q = start_rollup(spark, _stream(spark, src), rollup_path, ckpt)
+    q.awaitTermination(240)
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in read_rollup(spark, rollup_path).collect()
+    }
+    want = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in batch_rollup_reference(
+            events.select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+        ).collect()
+    }
+    assert got == want  # every real window finalized, exactly once, exact values
+
+    # phase 2: restart from the same checkpoint with no new data — the
+    # table must be unchanged (no duplicate windows, no clobbered ones)
+    q2 = start_rollup(spark, _stream(spark, src), rollup_path, ckpt)
+    q2.awaitTermination(240)
+    again = {
+        (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6))
+        for r in read_rollup(spark, rollup_path).collect()
+    }
+    assert again == got
+
+
+def test_rollup_replay_is_idempotent_per_window(spark, rollup_env):
+    """Simulate the foreachBatch retry path directly: writing the same
+    finalized-window batch twice leaves exactly one copy, and writing a
+    later window does not disturb earlier ones."""
+    _src, _events, rollup_path, _ckpt = rollup_env
+    rows1 = [("2024-01-01 00:00:00", "2024010100", "click", 10, 1.0, 0.1, 0.9)]
+    rows2 = [("2024-01-01 01:00:00", "2024010101", "click", 7, 2.0, 0.2, 0.8)]
+    schema = (
+        "window_start string, window_id string, event_type string, "
+        "n_events long, sum_value double, min_value double, max_value double"
+    )
+
+    def write(rows):
+        (
+            spark.createDataFrame(rows, schema)
+            .withColumn("window_start", F.col("window_start").cast("timestamp"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("window_id")
+            .parquet(rollup_path)
+        )
+
+    write(rows1)
+    write(rows1)  # replay of the same window
+    write(rows2)  # a later window
+    out = read_rollup(spark, rollup_path)
+    assert out.count() == 2
+    assert {r.window_id for r in out.collect()} == {"2024010100", "2024010101"}
