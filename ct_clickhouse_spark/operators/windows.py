@@ -373,10 +373,59 @@ def order_seq_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# range-join section: per event_type, RANGE_JOIN_WINDOWS maintenance-style
+# windows of RANGE_JOIN_LEN_MIN minutes, spaced RANGE_JOIN_SPACING_H hours
+# from the day-truncated corpus start — closed-form so the oracle can
+# rebuild the identical interval set.
+RANGE_JOIN_WINDOWS = 3
+RANGE_JOIN_SPACING_H = 8
+RANGE_JOIN_LEN_MIN = 90
+
+
+def range_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events-in-interval counts via the bucketed range join
+    (operators/rangejoin.py): hash join on (time bucket, event_type) +
+    residual filter — no nested-loop join, unlike the naive ts BETWEEN
+    start AND end formulation Catalyst would plan."""
+    from .rangejoin import interval_join
+
+    events = load_table(spark, sf_dir, "events")
+    base = events.agg(F.date_trunc("day", F.min("ts")).alias("base"))
+    iv = (
+        events.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(base))
+        .withColumn(
+            "k", F.explode(F.sequence(F.lit(0), F.lit(RANGE_JOIN_WINDOWS - 1)))
+        )
+        .select(
+            "event_type",
+            F.expr(
+                f"base + make_interval(0, 0, 0, 0, k * {RANGE_JOIN_SPACING_H}, 0, 0)"
+            ).alias("start"),
+        )
+        .withColumn(
+            "end",
+            F.expr(f"start + make_interval(0, 0, 0, 0, 0, {RANGE_JOIN_LEN_MIN}, 0)"),
+        )
+    )
+    joined = interval_join(
+        events.select("ts", "event_type"),
+        iv,
+        ts_col="ts",
+        bucket="1 hour",
+        extra_key="event_type",
+    )
+    return joined.groupBy(
+        F.col("start").alias("window_start"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
 def time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling + sliding event-time windows (SURVEY T8), tagged into one
-    result. Each side keeps its own hash-aggregate plan (`F.window` is the
-    same expression Structured Streaming uses)."""
+    """Tumbling + sliding event-time windows (SURVEY T8) + the range-join
+    section, tagged into one result. Each side keeps its own plan
+    (`F.window` is the same expression Structured Streaming uses; the
+    range join is the bucket-equality idiom)."""
     t = tumbling_hourly(spark, sf_dir).select(
         F.lit("tumbling_1h").alias("kind"), "window_start", "event_type",
         "n_events", "sum_value",
@@ -386,7 +435,11 @@ def time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("event_type"),
         "n_events", F.lit(None).cast("double").alias("sum_value"),
     )
-    return t.unionByName(s)
+    r = range_join_counts(spark, sf_dir).select(
+        F.lit("range_join").alias("kind"), "window_start", "event_type",
+        "n_events", F.lit(None).cast("double").alias("sum_value"),
+    )
+    return t.unionByName(s).unionByName(r)
 
 
 def ntile_both(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -524,6 +577,21 @@ ORACLES = {
                            date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS window_start
             FROM events
         ) GROUP BY 2
+        UNION ALL
+        SELECT 'range_join' AS kind, i.start AS window_start, i.event_type,
+               count(*) AS n_events, CAST(NULL AS DOUBLE) AS sum_value
+        FROM events e JOIN (
+            SELECT et.event_type,
+                   b.base + (INTERVAL 8 HOUR) * g.k AS start,
+                   b.base + (INTERVAL 8 HOUR) * g.k
+                          + INTERVAL 90 MINUTE AS iv_end
+            FROM (SELECT DISTINCT event_type FROM events) et
+            CROSS JOIN (SELECT date_trunc('day', min(ts)) AS base
+                        FROM events) b
+            CROSS JOIN generate_series(0, 2) g(k)
+        ) i ON e.event_type = i.event_type
+           AND e.ts >= i.start AND e.ts < i.iv_end
+        GROUP BY 2, 3
     """,
     "evt_asof_join": """
         SELECT p.event_id, p.user_id, p.ts AS purchase_ts, v.ts AS view_ts
