@@ -1,0 +1,124 @@
+"""Bloom-filter pre-join pruning: drop fact rows that cannot match a
+selective dimension BEFORE the join shuffle.
+
+At 100 TB the dominant cost of a shuffle fact-dim join with a filtered
+dim is moving fact rows that will not survive the join. Catalyst already
+handles two special cases — literal predicates are inferred across the
+join (InferFiltersFromConstraints), and a broadcastable dim avoids the
+fact shuffle entirely — but a dim that is selective yet too large to
+broadcast raw, filtered by a non-inferable predicate, leaves the fact
+side shuffling everything. A Bloom filter over the dim keys is the
+standard fix (the same structure Spark's runtime row-level filtering
+injects when its thresholds align; here it is an explicit, composable
+operator that does not depend on optimizer heuristics).
+
+Spark-first construction, no driver-side key materialization:
+- k bit positions per key from ``xxhash64(key, seed_i) % m`` — JVM
+  expressions, identical on build and probe sides by construction.
+- Build: explode positions -> one hash aggregate ``bit_or`` per 64-bit
+  word. The aggregate output is AT MOST m/64 rows (the sketch size,
+  independent of dim cardinality) — only the sketch reaches the driver,
+  like the k centroids in operators/similarity.py.
+- Probe: the word array is embedded as a literal array column and tested
+  with element_at/shiftright/& — whole-stage-codegen JVM expressions, so
+  the filter sits directly on the fact scan, before any Exchange.
+
+False positives only (a set bit can collide, a clear bit cannot), so the
+downstream equality join returns IDENTICAL rows to the unpruned join;
+~0.8% false positives at 10 bits/key with k=7.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BITS_PER_ITEM = 10
+N_HASHES = 7  # ~= (bits/item) * ln 2, the optimal hash count
+MAX_LITERAL_WORDS = 2_000_000  # 16 MB literal ceiling; beyond this, use a
+# broadcast semi-join on the key set instead — at that sketch size the
+# key set itself is usually broadcastable.
+
+
+def _positions(key: str, m_bits: int) -> list[Column]:
+    return [
+        F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(m_bits))
+        for seed in range(N_HASHES)
+    ]
+
+
+# PySpark's shiftleft/shiftright only take Python-int shift amounts, so
+# single-bit masks come from a 64-entry literal lookup instead (bit 63 is
+# the sign bit: the only 64-bit value with it set alone is -2^63).
+_BIT_MASKS = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+
+
+def _mask_at(bit_idx: Column) -> Column:
+    return F.element_at(
+        F.array(*[F.lit(m) for m in _BIT_MASKS]), bit_idx.cast("int") + 1
+    )
+
+
+def build_bloom(dim: DataFrame, key: str, expected_items: int) -> list[int]:
+    """The dim keys' Bloom bitmap as 64-bit words (python ints). Collect
+    is bounded by the sketch size m/64, never by dim cardinality."""
+    m_bits = ((expected_items * BITS_PER_ITEM + 63) // 64) * 64
+    n_words = m_bits // 64
+    if n_words > MAX_LITERAL_WORDS:
+        raise ValueError(
+            f"sketch of {n_words} words exceeds the literal ceiling; "
+            "use a broadcast semi-join for dims this large"
+        )
+    pos = F.explode(F.array(*_positions(key, m_bits))).alias("pos")
+    words = (
+        dim.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("long").alias("w"),
+            _mask_at(F.pmod(F.col("pos"), F.lit(64))).alias("mask"),
+        )
+        .groupBy("w")
+        .agg(F.bit_or("mask").alias("bits"))
+        .collect()
+    )
+    bitmap = [0] * n_words
+    for r in words:
+        bitmap[int(r.w)] = int(r.bits)
+    return bitmap
+
+
+def might_contain(bitmap: list[int], key: str) -> Column:
+    """JVM membership predicate against the literal word array: true iff
+    every one of the k positions has its bit set."""
+    m_bits = len(bitmap) * 64
+    arr = F.array(*[F.lit(w) for w in bitmap])
+    checks = []
+    for p in _positions(key, m_bits):
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        mask = _mask_at(F.pmod(p, F.lit(64)))
+        checks.append(word.bitwiseAND(mask) != 0)
+    return reduce(lambda a, b: a & b, checks)
+
+
+def bloom_prune(
+    fact: DataFrame, dim: DataFrame, key: str, expected_items: int
+) -> DataFrame:
+    """Filter ``fact`` to rows whose ``key`` might be in ``dim``'s key
+    set. Sound (keeps every true match); complete up to the Bloom
+    false-positive rate, which the join's own equality removes."""
+    bitmap = build_bloom(dim, key, expected_items)
+    return fact.filter(might_contain(bitmap, key))
+
+
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    expected_items: int,
+    how: str = "inner",
+) -> DataFrame:
+    """``fact JOIN dim ON key`` with the fact side Bloom-pruned first.
+    Row-identical to the plain join; the plan shuffles only the surviving
+    sliver of the fact side."""
+    return bloom_prune(fact, dim, key, expected_items).join(dim, key, how)

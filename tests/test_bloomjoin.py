@@ -1,0 +1,65 @@
+"""Bloom pre-join pruning: row-identical results to the plain join, real
+row reduction before the shuffle, and soundness (no true match lost)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ct_clickhouse_spark.catalog import load_table
+from ct_clickhouse_spark.operators.bloomjoin import bloom_prune, bloom_pruned_join
+from tests.conftest import SF_DIR
+
+
+N_EXPECTED = 200
+
+
+def _selective_dim(spark):
+    # ~2% of customers
+    cust = load_table(spark, SF_DIR, "customer")
+    return cust.filter(F.col("c_custkey") % 50 == 0).select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+
+
+def test_bloom_pruned_join_identical_to_plain_join(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    dim = _selective_dim(spark)
+    got = bloom_pruned_join(orders, dim, "o_custkey", N_EXPECTED)
+    want = orders.join(dim, "o_custkey")
+    assert got.count() == want.count() > 0
+    g = {tuple(r) for r in got.select("o_orderkey", "c_name").collect()}
+    w = {tuple(r) for r in want.select("o_orderkey", "c_name").collect()}
+    assert g == w
+
+
+def test_bloom_prune_is_sound_and_selective(spark):
+    orders = load_table(spark, SF_DIR, "orders")
+    dim = _selective_dim(spark)
+    pruned = bloom_prune(orders, dim, "o_custkey", N_EXPECTED)
+    n_all = orders.count()
+    n_pruned = pruned.count()
+    n_true = orders.join(dim.select("o_custkey"), "o_custkey", "left_semi").count()
+    # sound: every true match survives
+    assert n_pruned >= n_true
+    # selective: the pruned side is close to the true match set, far from
+    # the full fact table (2% dim + ~1% fp target; allow generous slack)
+    assert n_pruned < 0.2 * n_all
+    assert n_pruned <= n_true + max(50, int(0.05 * n_all))
+
+
+def test_bloom_prune_filters_before_exchange(spark):
+    """The point at scale: might_contain must apply below the join's
+    shuffle, so pruned rows never enter the Exchange."""
+    orders = load_table(spark, SF_DIR, "orders")
+    dim = _selective_dim(spark)
+    plan = (
+        bloom_pruned_join(orders, dim, "o_custkey", N_EXPECTED)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the membership predicate compiles to pure expressions (element_at
+    # mask lookups + & over xxhash64 positions) inside a Filter on the
+    # fact scan — no UDF, no nested-loop, and it evaluates below the join
+    assert "element_at" in plan and "xxhash64" in plan
+    assert "Filter" in plan and "NestedLoop" not in plan and "BatchEvalPython" not in plan
