@@ -48,6 +48,19 @@ _FRAME_API = {
     "redact_pii": ("ct_clickhouse_spark.operators.text", "redact_pii"),
     "mix_sources": ("ct_clickhouse_spark.operators.sampling", "mix_sources"),
     "pack_documents": ("ct_clickhouse_spark.operators.sampling", "pack_documents"),
+    "interval_join": ("ct_clickhouse_spark.operators.rangejoin", "interval_join"),
+    "bloom_prune": ("ct_clickhouse_spark.operators.bloomjoin", "bloom_prune"),
+    "bloom_pruned_join": (
+        "ct_clickhouse_spark.operators.bloomjoin",
+        "bloom_pruned_join",
+    ),
+    "with_zorder_key": (
+        "ct_clickhouse_spark.plans.clustering",
+        "with_zorder_key",
+    ),
+    "zorder_write": ("ct_clickhouse_spark.plans.clustering", "zorder_write"),
+    "hourly_rollup": ("ct_clickhouse_spark.streaming.rollup", "hourly_rollup"),
+    "start_rollup": ("ct_clickhouse_spark.streaming.rollup", "start_rollup"),
 }
 
 

@@ -50,6 +50,10 @@ def main() -> None:
 
     def timed(tag: str, k: int, fn):
         fn()  # warm
+        # same protocol as bench.py: gc outside the timed window, or the
+        # accumulated session state lands multi-second stalls inside
+        # random measurements (observed 36s vs 10s for the same op)
+        spark.sparkContext._jvm.System.gc()
         t0 = time.time()
         fn()
         results.setdefault(tag, {})[k] = round(time.time() - t0, 2)
@@ -156,6 +160,41 @@ def main() -> None:
         timed("label_propagation", k, lambda: label_propagate(ids_k, pairs_k)
             .agg(F.count_distinct("label"))
             .collect())
+
+        # range join (round 3): events x k against per-type maintenance
+        # windows — candidate volume scales with events, never N*M
+        import datetime
+
+        from ct_clickhouse_spark.operators.rangejoin import interval_join
+
+        events_k = multiplied(spark, "events", ["event_id", "user_id"], k)
+        b0 = events_k.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).collect()[0]
+        span = (b0.hi - b0.lo).total_seconds()
+        types = [r.event_type for r in events_k.select("event_type").distinct().collect()]
+        iv_rows = [
+            (et, b0.lo + datetime.timedelta(seconds=span * j / 6.0),
+             b0.lo + datetime.timedelta(seconds=span * j / 6.0, minutes=90))
+            for et in types
+            for j in range(6)
+        ]
+        iv = spark.createDataFrame(
+            iv_rows, "event_type string, start timestamp_ntz, end timestamp_ntz"
+        )
+        timed("range_join", k, lambda: interval_join(
+            events_k.select("ts", "event_type"), iv, extra_key="event_type"
+        ).agg(F.count(F.lit(1))).collect())
+
+        # bloom pre-join pruning (round 3): sketch build is one tiny agg
+        # over the dim; probe is a codegen filter over the fact scan
+        from ct_clickhouse_spark.operators.bloomjoin import bloom_pruned_join
+
+        cust_k = multiplied(spark, "customer", ["c_custkey"], k)
+        dim_k = cust_k.filter(F.col("c_custkey") % 50 == 0).select(
+            F.col("c_custkey").alias("o_custkey")
+        )
+        timed("bloom_pruned_join", k, lambda: bloom_pruned_join(
+            orders, dim_k, "o_custkey", expected_items=max(2000 * k, 2000)
+        ).agg(F.count(F.lit(1))).collect())
 
     print(json.dumps({"multipliers": ks, "seconds": results}))
     spark.stop()
