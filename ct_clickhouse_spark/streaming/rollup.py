@@ -43,27 +43,62 @@ ROLLUP_WINDOW = "1 hour"
 ROLLUP_WATERMARK = "2 hours"
 
 
+def _rollup_aggs() -> list:
+    """The mergeable-aggregate set. Everything here re-aggregates across
+    windows without touching raw events: count/sum/min/max algebraically,
+    distinct users via a DataSketches HLL sketch column (binary,
+    hll_union_agg-mergeable) — the reason a rollup can answer 'distinct
+    users over an arbitrary range' without a raw re-scan, which a plain
+    per-window COUNT(DISTINCT) number cannot (it does not add)."""
+    return [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.expr("hll_sketch_agg(user_id)").alias("users_sketch"),
+    ]
+
+
+_ROLLUP_COLS = [
+    "event_type",
+    "n_events",
+    "sum_value",
+    "min_value",
+    "max_value",
+    "users_sketch",
+]
+
+
 def hourly_rollup(events: DataFrame, watermark: str = ROLLUP_WATERMARK) -> DataFrame:
-    """Finalized per-(hour, event_type) aggregate of an events stream:
-    n events, value sum/min/max — the mergeable-aggregate set. ``events``
-    needs (ts TIMESTAMP, event_type, value)."""
+    """Finalized per-(hour, event_type) aggregate of an events stream.
+    ``events`` needs (ts TIMESTAMP, user_id, event_type, value)."""
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", ROLLUP_WINDOW).alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
+        .agg(*_rollup_aggs())
         .select(
             F.col("w.start").alias("window_start"),
             F.date_format("w.start", "yyyyMMddHH").alias("window_id"),
-            "event_type",
-            "n_events",
-            "sum_value",
-            "min_value",
-            "max_value",
+            *_ROLLUP_COLS,
+        )
+    )
+
+
+def distinct_users_over(
+    rollup: DataFrame, start, end, by_type: bool = False
+) -> DataFrame:
+    """Distinct-user estimate for [start, end) FROM THE ROLLUP ALONE:
+    merge the per-window sketches with hll_union_agg and estimate. No
+    raw-event scan; cost is proportional to the number of rollup rows in
+    range. This is what the sketch column buys — per-window exact
+    distinct counts cannot be combined (users repeat across hours)."""
+    keys = ["event_type"] if by_type else []
+    in_range = rollup.filter(
+        (F.col("window_start") >= F.lit(start)) & (F.col("window_start") < F.lit(end))
+    )
+    return in_range.groupBy(*keys).agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(users_sketch))").alias(
+            "approx_distinct_users"
         )
     )
 
@@ -116,19 +151,10 @@ def batch_rollup_reference(events: DataFrame) -> DataFrame:
     backfill path when bootstrapping a rollup from historical data."""
     return (
         events.groupBy(F.window("ts", ROLLUP_WINDOW).alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-        )
+        .agg(*_rollup_aggs())
         .select(
             F.col("w.start").alias("window_start"),
             F.date_format("w.start", "yyyyMMddHH").alias("window_id"),
-            "event_type",
-            "n_events",
-            "sum_value",
-            "min_value",
-            "max_value",
+            *_ROLLUP_COLS,
         )
     )

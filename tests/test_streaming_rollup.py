@@ -31,7 +31,7 @@ def _stream(spark, src):
         .option("maxFilesPerTrigger", 1)
         .parquet(src + "/chunk=*")
         .withColumn("ts", F.col("ts").cast("timestamp"))
-        .select("ts", "event_type", "value")
+        .select("ts", "user_id", "event_type", "value")
     )
 
 
@@ -68,7 +68,10 @@ def test_rollup_converges_to_batch_and_survives_restart(spark, rollup_env):
     want = {
         (r.window_start, r.event_type): (r.n_events, round(r.sum_value, 6))
         for r in batch_rollup_reference(
-            events.select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+            events.select(
+                F.col("ts").cast("timestamp").alias("ts"),
+                "user_id", "event_type", "value",
+            )
         ).collect()
     }
     assert got == want  # every real window finalized, exactly once, exact values
@@ -89,11 +92,12 @@ def test_rollup_replay_is_idempotent_per_window(spark, rollup_env):
     finalized-window batch twice leaves exactly one copy, and writing a
     later window does not disturb earlier ones."""
     _src, _events, rollup_path, _ckpt = rollup_env
-    rows1 = [("2024-01-01 00:00:00", "2024010100", "click", 10, 1.0, 0.1, 0.9)]
-    rows2 = [("2024-01-01 01:00:00", "2024010101", "click", 7, 2.0, 0.2, 0.8)]
+    rows1 = [("2024-01-01 00:00:00", "2024010100", "click", 10, 1.0, 0.1, 0.9, None)]
+    rows2 = [("2024-01-01 01:00:00", "2024010101", "click", 7, 2.0, 0.2, 0.8, None)]
     schema = (
         "window_start string, window_id string, event_type string, "
-        "n_events long, sum_value double, min_value double, max_value double"
+        "n_events long, sum_value double, min_value double, max_value double, "
+        "users_sketch binary"
     )
 
     def write(rows):
@@ -112,3 +116,40 @@ def test_rollup_replay_is_idempotent_per_window(spark, rollup_env):
     out = read_rollup(spark, rollup_path)
     assert out.count() == 2
     assert {r.window_id for r in out.collect()} == {"2024010100", "2024010101"}
+
+
+def test_rollup_sketches_answer_range_distinct_without_raw_scan(spark):
+    """The sketch column's reason to exist: distinct users over an
+    arbitrary window range, computed from the rollup alone, must track
+    the exact distinct count over the raw events — while the per-window
+    counts can NOT be summed to get it (users repeat across hours)."""
+    from ct_clickhouse_spark.streaming.rollup import (
+        batch_rollup_reference,
+        distinct_users_over,
+    )
+
+    events = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            F.col("ts").cast("timestamp").alias("ts"),
+            "user_id", "event_type", "value",
+        )
+    )
+    rollup = batch_rollup_reference(events)
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = lo + (hi - lo) / 2
+    est = distinct_users_over(rollup, lo, mid).collect()[0].approx_distinct_users
+    exact = (
+        events.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(mid)))
+        .select("user_id").distinct().count()
+    )
+    assert exact > 0
+    assert abs(est - exact) / exact < 0.05  # HLL lgK=12: ~1.6% rse
+    # and the naive sum of per-window distinct counts would NOT work:
+    per_window_users = (
+        events.filter((F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(mid)))
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.countDistinct("user_id").alias("d"))
+        .agg(F.sum("d")).collect()[0][0]
+    )
+    assert per_window_users > exact  # repeats across hours make the sum wrong
