@@ -373,6 +373,96 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_build(spark: SparkSession, sf_dir: str, index_path: str) -> None:
+    """Materialize the IVF index: train the coarse quantizer once, then
+    write (a) the k centroids and (b) every vector under its assigned
+    cluster as a Hive PARTITION column. This is the piece ivf_topk's
+    per-call shape lacks at scale: with assignments on disk, a probe is
+    PARTITION PRUNING — the scan physically reads IVF_PROBES/IVF_CLUSTERS
+    of the corpus and nothing else, and training cost is paid once, not
+    per query."""
+    import numpy as np
+    import pandas as pd
+
+    cents = _ivf_centroids(spark, sf_dir)
+    (
+        spark.createDataFrame(
+            [(i, [float(x) for x in cents[i]]) for i in range(len(cents))],
+            "cluster int, centroid array<double>",
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(index_path + "/centroids")
+    )
+    bc = spark.sparkContext.broadcast(cents)
+
+    def _assign(batches):
+        c = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            out = pdf[["vec_id", "label", "embedding"]].copy()
+            out["cluster"] = np.argmax(m @ c.T, axis=1).astype("int32")
+            yield out
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    (
+        emb.mapInPandas(
+            _assign, "vec_id long, label int, embedding array<float>, cluster int"
+        )
+        .write.mode("overwrite")
+        .partitionBy("cluster")
+        .parquet(index_path + "/vectors")
+    )
+
+
+def ivf_probe(
+    spark: SparkSession, index_path: str, query_vec, k: int = TOPK
+) -> DataFrame:
+    """Top-k over the persisted IVF index: rank centroids on the driver
+    (k rows), then scan ONLY the probed cluster partitions (the filter on
+    the partition column prunes at planning time — verify PartitionFilters
+    in .explain) and run exact cosine there."""
+    import numpy as np
+    import pandas as pd
+
+    cents_rows = spark.read.parquet(index_path + "/centroids").orderBy("cluster").collect()
+    cents = np.array([r.centroid for r in cents_rows], dtype=np.float64)
+    q = np.array(query_vec, dtype=np.float64)
+    q /= np.linalg.norm(q)
+    probe = [int(c) for c in np.argsort(-(cents @ q))[:IVF_PROBES]]
+    bq = spark.sparkContext.broadcast(q)
+
+    def _score(batches):
+        qv = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "cosine": np.round(m @ qv, 4),
+                }
+            )
+
+    vectors = spark.read.parquet(index_path + "/vectors").filter(
+        F.col("cluster").isin(probe)
+    )
+    return (
+        vectors.select("vec_id", "label", "embedding")
+        .mapInPandas(_score, "vec_id long, label int, cosine double")
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components: posexplode + avg per (label, pos) —
     the building block of IVF coarse quantization."""
