@@ -56,6 +56,49 @@ def test_load_table_roundtrips_physical_schema(spark, sf_dir, name):
     assert got == want
 
 
+def test_safe_widening_drift_is_normalized(spark, tmp_path):
+    """A regeneration that widens a physical type (here: customer keys
+    written as int32 instead of int64, acctbal as float32) must load and
+    normalize to the declared schema, not error."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ct_clickhouse_spark.catalog import SCHEMAS
+
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3], pa.int32()),
+            "c_name": pa.array(["a", "b", "c"]),
+            "c_nationkey": pa.array([0, 1, 2], pa.int16()),
+            "c_acctbal": pa.array([1.5, 2.5, 3.5], pa.float32()),
+            "c_mktsegment": pa.array(["X", "Y", "Z"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "customer.parquet"))
+    df = load_table(spark, str(tmp_path), "customer")
+    got = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    want = {f.name: f.dataType.simpleString() for f in SCHEMAS["customer"].fields}
+    assert got == want
+    assert df.count() == 3
+
+
+def test_real_drift_still_fails_fast(spark, tmp_path):
+    """Narrowing or semantic changes are NOT silently cast: a string
+    where a number is declared must raise, naming the column."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "r_regionkey": pa.array(["0", "1"]),  # string, declared int
+            "r_name": pa.array(["A", "B"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "region.parquet"))
+    with pytest.raises(ValueError, match="r_regionkey"):
+        load_table(spark, str(tmp_path), "region")
+
+
 @pytest.mark.parametrize("sf_dir", SF_DIRS)
 def test_events_ts_is_usable_timestamp(spark, sf_dir):
     """The exact round-2 failure: ts must be an actual timestamp that
