@@ -564,7 +564,7 @@ ORACLES = {
                ), 4) AS moving_avg
         FROM events ORDER BY user_id, event_id
     """,
-    "evt_time_windows": """
+    "evt_time_windows": f"""
         SELECT 'tumbling_1h' AS kind, date_trunc('hour', ts) AS window_start,
                event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
         FROM events GROUP BY 2, 3
@@ -582,13 +582,13 @@ ORACLES = {
                count(*) AS n_events, CAST(NULL AS DOUBLE) AS sum_value
         FROM events e JOIN (
             SELECT et.event_type,
-                   b.base + (INTERVAL 8 HOUR) * g.k AS start,
-                   b.base + (INTERVAL 8 HOUR) * g.k
-                          + INTERVAL 90 MINUTE AS iv_end
+                   b.base + (INTERVAL {RANGE_JOIN_SPACING_H} HOUR) * g.k AS start,
+                   b.base + (INTERVAL {RANGE_JOIN_SPACING_H} HOUR) * g.k
+                          + INTERVAL {RANGE_JOIN_LEN_MIN} MINUTE AS iv_end
             FROM (SELECT DISTINCT event_type FROM events) et
             CROSS JOIN (SELECT date_trunc('day', min(ts)) AS base
                         FROM events) b
-            CROSS JOIN generate_series(0, 2) g(k)
+            CROSS JOIN generate_series(0, {RANGE_JOIN_WINDOWS - 1}) g(k)
         ) i ON e.event_type = i.event_type
            AND e.ts >= i.start AND e.ts < i.iv_end
         GROUP BY 2, 3
