@@ -390,7 +390,13 @@ def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     overhead. The PII columns (n_email/n_ip/n_phone/redacted_chars) come
     from the real ``redact_pii`` operator applied to a copy of the text
     column, so its sequential replace semantics (emails scrubbed before
-    IP matching, IPs before phone matching) are what the oracle checks."""
+    IP matching, IPs before phone matching) are what the oracle checks.
+
+    The repetition columns are the standard public repetition-quality
+    filters (duplicate-word / duplicate-bigram fractions a la the Gopher
+    data pipeline): high values flag boilerplate and degenerate
+    repetition before training. Pure expressions — size vs
+    array_distinct size over the same split arrays."""
     docs = redact_pii(
         load_table(spark, sf_dir, "documents").withColumn("rtext", F.col("text")),
         col="rtext",
@@ -408,6 +414,24 @@ def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang: F.size(F.filter(words, lambda w: w.isin(sw))).alias(f"score_{lang}")
         for lang, sw in STOPWORDS.items()
     }
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words, (i + 1).cast("int")),
+                F.element_at(words, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    dup_word_frac = F.round(
+        1 - F.size(F.array_distinct(words)) / F.size(words), 4
+    )
+    dup_bigram_frac = F.when(
+        F.size(bigrams) > 0,
+        F.round(1 - F.size(F.array_distinct(bigrams)) / F.size(bigrams), 4),
+    ).otherwise(F.lit(0.0))
     scored = docs.select(
         "doc_id",
         "lang",
@@ -420,6 +444,8 @@ def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_ip",
         "n_phone",
         "redacted_chars",
+        dup_word_frac.alias("dup_word_frac"),
+        dup_bigram_frac.alias("dup_bigram_frac"),
         *scores.values(),
     )
     best = F.greatest(*[F.col(f"score_{lang}") for lang in STOPWORDS])
@@ -465,7 +491,15 @@ ORACLES = {
                                 / length(text) < 0.1 THEN 1 ELSE 0 END
                     + CASE WHEN list_sum(list_transform({_WORDS_SQL}, w -> length(w)))
                                 / len({_WORDS_SQL}) BETWEEN 3 AND 10 THEN 1 ELSE 0 END
-                   ) AS quality_score,{_PII_COLS_SQL}
+                   ) AS quality_score,{_PII_COLS_SQL},
+                   round(1 - len(list_distinct({_WORDS_SQL}))
+                             / len({_WORDS_SQL}), 4) AS dup_word_frac,
+                   CASE WHEN len({_WORDS_SQL}) >= 2 THEN
+                        round(1 - len(list_distinct(list_transform(
+                                  range(1, len({_WORDS_SQL})),
+                                  i -> {_WORDS_SQL}[i] || ' ' || {_WORDS_SQL}[i+1])))
+                               / (len({_WORDS_SQL}) - 1), 4)
+                        ELSE 0.0 END AS dup_bigram_frac
             FROM documents
         ), scored AS (
             SELECT doc_id, lang,

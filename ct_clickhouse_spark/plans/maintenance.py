@@ -41,11 +41,15 @@ def compact_parquet(
     path: str,
     sort_by: list[str] | None = None,
     target_file_bytes: int = TARGET_FILE_BYTES,
+    zorder_by: list[str] | None = None,
 ) -> tuple[int, int]:
     """Rewrite a (possibly partitioned) Parquet table into
     ceil(bytes/target) files, preserving Hive partition columns and
-    optionally re-clustering (sortWithinPartitions) so compaction restores
-    the MergeTree-style sort-key skipping (init.sql:18 parity).
+    optionally re-clustering so compaction restores data skipping:
+    ``sort_by`` = linear sort-key skipping (MergeTree init.sql:18
+    parity, perfect on the leading column); ``zorder_by`` = Morton
+    clustering (plans/clustering.py) for balanced min/max skipping on
+    EVERY listed column — the OPTIMIZE-ZORDER maintenance shape.
 
     Returns (files_before, files_after). The rewrite goes through a
     sibling temp dir + two renames; each rename's boolean return is
@@ -55,19 +59,35 @@ def compact_parquet(
     between the two renames is the known non-atomicity of plain-FS table
     swaps — a metastore pointer flip removes even that at 100 TB.)
     """
+    if sort_by and zorder_by:
+        raise ValueError("compact_parquet: give sort_by or zorder_by, not both")
     before, total = data_file_stats(spark, path)
     n_files = max(1, math.ceil(total / target_file_bytes))
 
     df = spark.read.parquet(path)
     partition_cols = [c for c in df.columns if c == "month"]
     tmp = path.rstrip("/") + "__compacting"
-    # partitioned tables shuffle on (n_files, partition cols): rows of one
-    # Hive partition land in few tasks, total file count ~= n_files
-    out = (
-        df.repartition(n_files)
-        if not partition_cols
-        else df.repartition(n_files, *partition_cols)
-    )
+    if zorder_by:
+        from .clustering import with_zorder_key
+
+        # range partition on the z-key: each output file owns a
+        # contiguous Morton range (per Hive partition when present)
+        keyed = with_zorder_key(df, zorder_by)
+        range_cols = [*partition_cols, "_zkey"]
+        out = (
+            keyed.repartitionByRange(n_files, *range_cols)
+            .sortWithinPartitions(*range_cols)
+            .drop("_zkey")
+        )
+    else:
+        # partitioned tables shuffle on (n_files, partition cols): rows
+        # of one Hive partition land in few tasks, total file count
+        # ~= n_files
+        out = (
+            df.repartition(n_files)
+            if not partition_cols
+            else df.repartition(n_files, *partition_cols)
+        )
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
     writer = out.write.mode("overwrite")

@@ -52,6 +52,27 @@ def test_with_zorder_key_no_driver_data(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_compact_with_zorder_restores_multi_column_skipping(spark, tmp_path):
+    """OPTIMIZE-ZORDER shape: a fragmented unclustered table compacted
+    with zorder_by must come out with far fewer files AND per-file
+    min/max locality on both z-columns."""
+    from ct_clickhouse_spark.plans.maintenance import compact_parquet
+
+    events = load_table(spark, SF_DIR, "events").select("user_id", "event_id", "value")
+    path = str(tmp_path / "frag")
+    events.repartition(40).write.parquet(path)  # fragmented, unclustered
+    before, after = compact_parquet(
+        spark, path, zorder_by=["user_id", "event_id"],
+        target_file_bytes=64 * 1024,
+    )
+    assert before == 40 and 1 <= after < 40
+    spans = file_span_fractions(spark, path, ["user_id", "event_id"])
+    if after >= 4:  # locality is only visible with multiple files
+        assert spans["user_id"] < 0.8 and spans["event_id"] < 0.8, spans
+    # data survived intact
+    assert spark.read.parquet(path).count() == events.count()
+
+
 def test_zorder_write_clusters_both_columns(spark, tmp_path):
     """The point of z-order: after zorder_write on (user_id, event_id),
     the mean per-file span fraction of BOTH columns is far below 1 (each
