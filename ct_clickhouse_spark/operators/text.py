@@ -284,17 +284,24 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs the dedup tier's 3) because short shingles over a small
     vocabulary collide everywhere and the signal saturates; 8-grams
     only match real shared passages. Plan: explode hashed n-grams,
-    derive each row's split from its doc_id, one window over the n-gram
-    key flags rows whose n-gram appears under both splits (min split !=
-    max split), then distinct doc_ids. No self-join, no second pass:
-    cost is linear in n-gram rows at any scale.
+    derive each row's split from its doc_id, flag grams appearing under
+    both splits with one hash aggregate, semi-join back, then distinct
+    doc_ids. No self-join: cost is linear in n-gram rows at any scale.
 
-    n-grams with document frequency above DECONTAM_DF_CAP are excluded
-    (computed in the SAME window pass, zero extra cost): semantically,
-    corpus-wide boilerplate (license headers, navigation chrome) is not
-    contamination; physically, a hot n-gram key would otherwise be an
-    unsplittable skewed window partition at 100 TB — the same guard as
-    the dedup tier's stop-shingle cap."""
+    n-grams with document frequency above DECONTAM_DF_CAP are excluded:
+    semantically, corpus-wide boilerplate (license headers, navigation
+    chrome) is not contamination; physically it bounds the leaky-gram
+    set the semi-join probes.
+
+    Plan note (round 3): the flagging pass is a HASH AGGREGATE per
+    n-gram hash (min/max split + count, map-side combinable — a hot
+    boilerplate gram collapses to one partial row per map task), then a
+    semi-join of the gram rows against the tiny leaky-gram set (AQE
+    turns it into a broadcast join). The earlier window-over-gram-key
+    formulation sorted every gram row within its key partition: same
+    answer, but a hot gram was an unsplittable skewed sort partition at
+    100 TB, and the sort made this the most run-to-run-variable plan in
+    the bench. Aggregate+semi-join keeps every stage skew-safe."""
     from .dedup import _words as _dedup_words
 
     docs = load_table(spark, sf_dir, "documents").repartition(
@@ -302,12 +309,7 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # n-gram keys are internal to this query (only counts cross engines),
     # so hash the 8 words directly with multi-arg xxhash64 — no
-    # intermediate string concat. The explode has exactly ONE consumer: a
-    # window over sh_h flags rows whose n-gram appears under both splits
-    # (min != max split), then distinct doc_ids — one shuffle on the
-    # n-gram key, no second aggregate-and-join pass over the n-grams.
-    from pyspark.sql import Window
-
+    # intermediate string concat.
     n = DECONTAM_NGRAM
     words = _dedup_words(F.col("text"))
     idx = F.sequence(F.lit(0), F.size(words) - n)
@@ -325,14 +327,18 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select("doc_id", F.explode(gram_hashes).alias("sh_h")).withColumn(
         "split", _split_col(F.col("doc_id"))
     )
-    w = Window.partitionBy("sh_h")
-    leaky_docs = (
-        sh.withColumn(
-            "leaky",
-            (F.min("split").over(w) != F.max("split").over(w))
-            & (F.count(F.lit(1)).over(w) <= DECONTAM_DF_CAP),
+    leaky_grams = (
+        sh.groupBy("sh_h")
+        .agg(
+            F.min("split").alias("lo"),
+            F.max("split").alias("hi"),
+            F.count(F.lit(1)).alias("df"),
         )
-        .filter(F.col("leaky"))
+        .filter((F.col("lo") != F.col("hi")) & (F.col("df") <= DECONTAM_DF_CAP))
+        .select("sh_h")
+    )
+    leaky_docs = (
+        sh.join(leaky_grams, "sh_h", "left_semi")
         .select("doc_id")
         .distinct()
         .withColumn("is_leaky", F.lit(1))
