@@ -94,10 +94,14 @@ def _kept_shingles(docs: DataFrame) -> DataFrame:
     whose document frequency exceeds SHINGLE_DF_CAP before any self-join
     (hot-key quadratic guard); the hot set is tiny by construction ->
     broadcast anti-join."""
-    raw_sh = docs.select(
+    # materialize the split before shingling: the gram lambda references
+    # the words array SHINGLE_WORDS times per position, and an
+    # un-materialized expression tree re-evaluates per reference (the
+    # same ~40x cliff measured in operators/text.py)
+    raw_sh = docs.withColumn("_w", _words(F.col("text"))).select(
         "doc_id",
         F.explode(
-            F.transform(_shingles(_words(F.col("text"))), lambda s: F.xxhash64(s))
+            F.transform(_shingles(F.col("_w")), lambda s: F.xxhash64(s))
         ).alias("sh_h"),
     )
     hot = (
@@ -197,10 +201,10 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hash the shingle string ONCE, then derive the k family members by
     # hashing the resulting long with the seed — k string hashes per
     # shingle was the dominant cost at sf0.1
-    sh = docs.select(
+    sh = docs.withColumn("_w", _words(F.col("text"))).select(
         "doc_id",
         F.explode(
-            F.transform(_shingles(_words(F.col("text"))), lambda s: F.xxhash64(s))
+            F.transform(_shingles(F.col("_w")), lambda s: F.xxhash64(s))
         ).alias("sh_h"),
     )
     sig = sh.groupBy("doc_id").agg(

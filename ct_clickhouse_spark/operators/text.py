@@ -311,7 +311,12 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so hash the 8 words directly with multi-arg xxhash64 — no
     # intermediate string concat.
     n = DECONTAM_NGRAM
-    words = _dedup_words(F.col("text"))
+    # materialize the split once: the gram lambda references the words
+    # array 8 times per position, and an un-materialized expression tree
+    # is re-evaluated per reference (same 40x cliff as in
+    # doc_profile_with_lang)
+    docs = docs.withColumn("_w", _dedup_words(F.col("text")))
+    words = F.col("_w")
     idx = F.sequence(F.lit(0), F.size(words) - n)
     gram_hashes = F.when(
         F.size(words) >= n,
@@ -402,12 +407,35 @@ def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     filters (duplicate-word / duplicate-bigram fractions a la the Gopher
     data pipeline): high values flag boilerplate and degenerate
     repetition before training. Pure expressions — size vs
-    array_distinct size over the same split arrays."""
+    array_distinct size over the same split arrays.
+
+    The split-word and bigram arrays are MATERIALIZED as columns before
+    the stats projection: an expression tree referenced from many
+    downstream expressions (and from inside HOF lambdas) is re-evaluated
+    per reference, which measured 17.6s vs 0.4s at sf0.1 for the
+    repetition pair alone. A dedicated Project keeps each array computed
+    once per row; everything downstream reads the attribute."""
     docs = redact_pii(
         load_table(spark, sf_dir, "documents").withColumn("rtext", F.col("text")),
         col="rtext",
     ).withColumn("redacted_chars", F.length("rtext"))
-    words = _words(F.col("text"))
+    docs = docs.withColumn("_w", _words(F.col("text")))
+    words = F.col("_w")
+    docs = docs.withColumn(
+        "_bg",
+        F.when(
+            F.size(words) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(words) - 2),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(words, (i + 1).cast("int")),
+                    F.element_at(words, (i + 2).cast("int")),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
+    bigrams = F.col("_bg")
     n_chars = F.length("text")
     junk_ratio = F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")) / n_chars
     mean_wl = F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)) / F.size(words)
@@ -420,17 +448,6 @@ def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang: F.size(F.filter(words, lambda w: w.isin(sw))).alias(f"score_{lang}")
         for lang, sw in STOPWORDS.items()
     }
-    bigrams = F.when(
-        F.size(words) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(words, (i + 1).cast("int")),
-                F.element_at(words, (i + 2).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     dup_word_frac = F.round(
         1 - F.size(F.array_distinct(words)) / F.size(words), 4
     )
