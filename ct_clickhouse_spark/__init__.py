@@ -48,6 +48,10 @@ _FRAME_API = {
     "redact_pii": ("ct_clickhouse_spark.operators.text", "redact_pii"),
     "mix_sources": ("ct_clickhouse_spark.operators.sampling", "mix_sources"),
     "pack_documents": ("ct_clickhouse_spark.operators.sampling", "pack_documents"),
+    "stratified_sample": (
+        "ct_clickhouse_spark.operators.sampling",
+        "stratified_sample",
+    ),
     "interval_join": ("ct_clickhouse_spark.operators.rangejoin", "interval_join"),
     "bloom_prune": ("ct_clickhouse_spark.operators.bloomjoin", "bloom_prune"),
     "bloom_pruned_join": (

@@ -98,6 +98,31 @@ def mix_sources(
     return df.filter(threshold.isNotNull() & (bucket < threshold))
 
 
+def stratified_sample(
+    df: DataFrame, group_col: str, n_per_group: int, key: str, seed: int = 0
+) -> DataFrame:
+    """Deterministic stratified sample: exactly ``min(n, |group|)`` rows
+    per group — the standard balanced eval-set builder. Selection order
+    is the md5 bucket of ``key`` (content-keyed like hash_sample, so the
+    picked set survives re-runs and repartitioning; ``seed`` picks an
+    independent draw), with ``key`` as tiebreaker.
+
+    One window shuffle on the group column; per-group state is the
+    row_number counter, so a giant group costs a sort of its partition,
+    not memory. For fraction-based (unbalanced) sampling use
+    ``hash_sample``/``mix_sources`` — no shuffle at all."""
+    from pyspark.sql import Window
+
+    if n_per_group < 1:
+        raise ValueError(f"n_per_group must be >= 1, got {n_per_group}")
+    w = Window.partitionBy(group_col).orderBy(_bucket_hex(key, seed), key)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_per_group)
+        .drop("_rn")
+    )
+
+
 def pack_documents(
     df: DataFrame, key: str, size_col: str, max_size: int, group_col: str | None = None
 ) -> DataFrame:

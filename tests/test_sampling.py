@@ -162,3 +162,24 @@ def test_hash_sample_rejects_bad_fraction(spark):
         sampling.hash_sample(docs, "doc_id", 1.5)
     with pytest.raises(ValueError):
         sampling.mix_sources(docs, {"web": -0.1})
+
+
+def test_stratified_sample_exact_n_deterministic(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    a = sampling.stratified_sample(docs, "source", 5, "doc_id")
+    counts = {r.source: r.n for r in a.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    totals = {r.source: r.n for r in docs.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    for src, total in totals.items():
+        assert counts.get(src) == min(5, total)
+    # partition-invariant + deterministic
+    b = sampling.stratified_sample(docs.repartition(7), "source", 5, "doc_id")
+    assert _ids(a) == _ids(b)
+    # independent seeds draw different rows
+    c = sampling.stratified_sample(docs, "source", 5, "doc_id", seed=1)
+    assert _ids(a) != _ids(c)
+
+
+def test_stratified_sample_rejects_bad_n(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    with pytest.raises(ValueError):
+        sampling.stratified_sample(docs, "source", 0, "doc_id")
