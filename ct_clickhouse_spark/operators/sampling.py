@@ -30,10 +30,17 @@ HEX_WIDTH = 8
 
 def _hex_threshold(fraction: float) -> str:
     """Fixed-width hex threshold for ``bucket_hex < threshold``. 'g' sorts
-    after every hex digit, so fraction>=1 keeps everything."""
-    if fraction >= 1.0:
+    after every hex digit, so a full-keep threshold keeps everything.
+
+    The rounded integer itself is compared against 16^W, not the float
+    against 1.0: a fraction within half a bucket of 1.0 rounds to 16^W,
+    which would otherwise format as a W+1-char string that sorts BEFORE
+    every W-char threshold and silently kept ~nothing (found by the
+    hypothesis monotonicity property)."""
+    v = int(round(fraction * 16**HEX_WIDTH))
+    if v >= 16**HEX_WIDTH:
         return "g"
-    return format(int(round(fraction * 16**HEX_WIDTH)), f"0{HEX_WIDTH}x")
+    return format(v, f"0{HEX_WIDTH}x")
 
 
 def _bucket_hex(key: str, seed: int):
