@@ -153,7 +153,19 @@ def _session_key(spark: SparkSession) -> str:
     try:
         return spark.sparkContext.applicationId
     except Exception:  # pragma: no cover - connect-only sessions
-        return f"id:{id(spark)}"
+        # no sparkContext: tag the session object itself with a one-time
+        # uuid. Falling back to id(spark) would reintroduce the CPython
+        # id-recycling aliasing this key exists to avoid.
+        tag = getattr(spark, "_ct_cache_tag", None)
+        if tag is None:
+            import uuid
+
+            tag = uuid.uuid4().hex
+            try:
+                spark._ct_cache_tag = tag
+            except Exception:
+                return f"uuid:{tag}"  # untaggable: never cache-hit, still safe
+        return f"uuid:{tag}"
 
 
 def _read_events(spark: SparkSession, path: str) -> DataFrame:

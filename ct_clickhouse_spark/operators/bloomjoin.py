@@ -43,8 +43,12 @@ MAX_LITERAL_WORDS = 2_000_000  # 16 MB literal ceiling; beyond this, use a
 
 
 def _positions(key: str, m_bits: int) -> list[Column]:
+    # xxhash64 is TYPE-sensitive (xxhash64(7 as int) != xxhash64(7 as
+    # bigint)), so build and probe must hash one canonical representation
+    # or a fact/dim key-type mismatch silently drops true matches. String
+    # is the universal canonical form.
     return [
-        F.pmod(F.xxhash64(F.col(key), F.lit(seed)), F.lit(m_bits))
+        F.pmod(F.xxhash64(F.col(key).cast("string"), F.lit(seed)), F.lit(m_bits))
         for seed in range(N_HASHES)
     ]
 
@@ -88,11 +92,9 @@ def build_bloom(dim: DataFrame, key: str, expected_items: int) -> list[int]:
     return bitmap
 
 
-def might_contain(bitmap: list[int], key: str) -> Column:
-    """JVM membership predicate against the literal word array: true iff
-    every one of the k positions has its bit set."""
-    m_bits = len(bitmap) * 64
-    arr = F.array(*[F.lit(w) for w in bitmap])
+def _membership(arr: Column, key: str, m_bits: int) -> Column:
+    """Membership predicate against a word-array column/expression: true
+    iff every one of the k positions has its bit set."""
     checks = []
     for p in _positions(key, m_bits):
         word = F.element_at(arr, (p / 64).cast("int") + 1)
@@ -101,14 +103,31 @@ def might_contain(bitmap: list[int], key: str) -> Column:
     return reduce(lambda a, b: a & b, checks)
 
 
+def might_contain(bitmap: list[int], key: str) -> Column:
+    """JVM membership predicate against the literal word array. For
+    non-trivial bitmaps prefer ``bloom_prune``, which materializes the
+    array once as a column — inlining it here repeats the literal array
+    per hash check (k copies of the expression tree)."""
+    return _membership(F.array(*[F.lit(w) for w in bitmap]), key, len(bitmap) * 64)
+
+
 def bloom_prune(
     fact: DataFrame, dim: DataFrame, key: str, expected_items: int
 ) -> DataFrame:
     """Filter ``fact`` to rows whose ``key`` might be in ``dim``'s key
     set. Sound (keeps every true match); complete up to the Bloom
-    false-positive rate, which the join's own equality removes."""
+    false-positive rate, which the join's own equality removes.
+
+    The word array is MATERIALIZED as a column before the k bit checks:
+    an inline literal array would be copied into the expression tree once
+    per hash (7 x up-to-2M-element CreateArray nodes near the ceiling —
+    enough to stall planning); as an attribute it exists once."""
     bitmap = build_bloom(dim, key, expected_items)
-    return fact.filter(might_contain(bitmap, key))
+    arr = F.array(*[F.lit(w) for w in bitmap])
+    tagged = fact.withColumn("_bf_words", arr)
+    return tagged.filter(
+        _membership(F.col("_bf_words"), key, len(bitmap) * 64)
+    ).drop("_bf_words")
 
 
 def bloom_pruned_join(

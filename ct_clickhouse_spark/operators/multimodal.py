@@ -138,6 +138,7 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 RESIZE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),
+        StructField("format", StringType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("payload", BinaryType()),
@@ -163,8 +164,9 @@ def resize_media(
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
-            for mid, w, h, payload in zip(
-                pdf["media_id"], pdf["width"], pdf["height"], pdf["payload"]
+            for mid, fmt, w, h, payload in zip(
+                pdf["media_id"], pdf["format"], pdf["width"], pdf["height"],
+                pdf["payload"],
             ):
                 w, h = int(w), int(h)
                 buf = np.frombuffer(bytes(payload), dtype=np.uint8)[: w * h]
@@ -176,6 +178,7 @@ def resize_media(
                 out.append(
                     {
                         "media_id": mid,
+                        "format": fmt,
                         "width": target_w,
                         "height": target_h,
                         "payload": img[yi][:, xi].tobytes(),
@@ -186,7 +189,7 @@ def resize_media(
     media = (
         build_media(spark, sf_dir)
         .filter(F.col("kind") == "image")
-        .select("media_id", "width", "height", "payload")
+        .select("media_id", "format", "width", "height", "payload")
     )
     return media.mapInPandas(_resize, RESIZE_SCHEMA)
 
@@ -268,12 +271,11 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("total_bytes"),
         F.lit(None).cast("double").alias("avg_pixels"),
     )
-    # image format is a pure function of media_id (see build_media), so
-    # re-derive it instead of joining back to the media table.
-    fmt = F.when(F.col("media_id") % 2 == 0, "png").otherwise("jpeg")
+    # resize_media carries format through, so the grouping key cannot
+    # drift from build_media's assignment rule
     r = (
         resize_media(spark, sf_dir, RESIZE_TARGET, RESIZE_TARGET)
-        .select(fmt.alias("format"), F.length("payload").alias("out_bytes"),
+        .select("format", F.length("payload").alias("out_bytes"),
                 (F.col("width") * F.col("height")).alias("out_pixels"))
         .groupBy("format")
         .agg(

@@ -55,15 +55,26 @@ def interval_join(
     """
     if how not in ("inner", "left_semi"):
         raise ValueError(f"how must be inner or left_semi, got {how!r}")
-    sec = _bucket_seconds(bucket)
-    ts_bucket = (F.unix_timestamp(F.col(ts_col)) / sec).cast("long")
+    step = _bucket_seconds(bucket) * 1_000_000
+    # bucket on exact epoch MICROS (unix_micros), not unix_timestamp:
+    # whole-second truncation mis-buckets sub-second bounds (an end of
+    # 10:00:00.5 landed in the 09:00 bucket after the old end-1s
+    # adjustment and silently dropped matches). The same cast is applied
+    # to both sides, so NTZ/TZ semantics stay consistent within the join.
+
+    def _us(col):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    ts_bucket = F.floor(_us(ts_col) / step).cast("long")
 
     # explode each interval into every bucket it overlaps; sequence() is
     # bounded by the interval length / bucket width
-    lo = (F.unix_timestamp(F.col(start_col)) / sec).cast("long")
-    # end is exclusive: a zero-length or bucket-aligned end must not leak
-    # into the next bucket
-    hi = ((F.unix_timestamp(F.col(end_col)) - 1) / sec).cast("long")
+    lo = F.floor(_us(start_col) / step).cast("long")
+    # end is exclusive: the last included instant is just below end, so
+    # its bucket is ceil(end/step)-1 — correct for both bucket-aligned
+    # ends (steps back one bucket) and mid-bucket ends (same bucket), at
+    # any timestamp precision
+    hi = (F.ceil(_us(end_col) / step) - 1).cast("long")
     exploded = intervals.withColumn(
         "_bucket", F.explode(F.sequence(lo, F.greatest(hi, lo)))
     )
@@ -100,8 +111,9 @@ def naive_interval_join(
     nested-loop shape interval_join exists to avoid)."""
     cond = (F.col(ts_col) >= F.col(start_col)) & (F.col(ts_col) < F.col(end_col))
     if extra_key:
-        cond = cond & (fact[extra_key] == intervals[extra_key])
-        return fact.join(intervals.withColumnRenamed(extra_key, extra_key), cond).drop(
-            intervals[extra_key]
-        )
+        # rename the right side's key so the equality resolves without
+        # ambiguous/stale attribute references
+        right = intervals.withColumnRenamed(extra_key, "_iv_key")
+        cond = cond & (F.col(extra_key) == F.col("_iv_key"))
+        return fact.join(right, cond).drop("_iv_key")
     return fact.join(intervals, cond)

@@ -162,10 +162,14 @@ def pack_documents(
         if group_col is None:
             pid = int(pdf["_pid"].iloc[0])
         else:
-            # Stable 30-bit group tag -> disjoint bin-id ranges without
-            # coordination (1e9 bins per group headroom below).
+            # Stable 43-bit group tag -> disjoint (tag << 20 | seq) bin-id
+            # ranges without coordination: 2^20 bins of headroom per
+            # group, and 43 tag bits keep the birthday-collision odds for
+            # even millions of groups negligible (a 30-bit tag collided
+            # with ~70% probability at 50k groups, silently merging bins
+            # across groups).
             raw = str(pdf[group_col].iloc[0]).encode("utf-8")
-            pid = int.from_bytes(hashlib.md5(raw).digest()[:4], "big") >> 2
+            pid = int.from_bytes(hashlib.md5(raw).digest()[:8], "big") >> 21
         order = pdf.sort_values(
             [size_col, key], ascending=[False, True], ignore_index=True
         )
@@ -182,7 +186,11 @@ def pack_documents(
                 placed = len(bins) - 1
             bins[placed] -= min(int(sz), max_size)
             assign.append(placed)
-        order["bin_id"] = [pid * 1_000_000_000 + b for b in assign]
+        if group_col is None:
+            base = pid * 1_000_000_000
+        else:
+            base = pid << 20
+        order["bin_id"] = [base + b for b in assign]
         fills = order.groupby("bin_id")[size_col].transform("sum")
         cols = {
             key: order[key],
@@ -194,18 +202,23 @@ def pack_documents(
             cols = {group_col: order[group_col], **cols}
         return pd.DataFrame(cols)
 
+    # derive the passthrough column types from the input frame: callers'
+    # keys/groups are not always long/string, and a hardcoded schema
+    # fails (or mis-coerces) at Arrow conversion time
+    dtypes = dict(df.dtypes)
     if group_col is not None:
         return (
             df.select(group_col, key, size_col)
             .groupBy(group_col)
             .applyInPandas(
                 _pack,
-                f"{group_col} string, {key} long, size long, bin_id long, bin_fill long",
+                f"{group_col} {dtypes[group_col]}, {key} {dtypes[key]}, "
+                "size long, bin_id long, bin_fill long",
             )
         )
     tagged = df.select(key, size_col).withColumn(
         "_pid", _F.spark_partition_id()
     )
     return tagged.groupBy("_pid").applyInPandas(
-        _pack, f"{key} long, size long, bin_id long, bin_fill long"
+        _pack, f"{key} {dtypes[key]}, size long, bin_id long, bin_fill long"
     )

@@ -20,7 +20,12 @@ Spark-first shape:
   a date's windows finalize across many micro-batches, so overwriting a
   date partition would clobber its earlier hours — every group of ONE
   window finalizes in one trigger, so the window is the unit that is
-  written atomically-and-completely). Replaying a failed batch rewrites
+  written atomically-and-completely). The id is the UTC EPOCH-HOUR of
+  the window start, not a session-timezone date string: local rendering
+  collides two distinct hourly windows on a DST fall-back (05:00Z and
+  06:00Z both format to ...0301 under America/New_York), and the second
+  batch's overwrite would permanently delete the first window's rows.
+  Replaying a failed batch rewrites
   the same window partitions with the same rows (idempotent), which
   upgrades the at-least-once foreachBatch contract to effective
   exactly-once.
@@ -78,7 +83,7 @@ def hourly_rollup(events: DataFrame, watermark: str = ROLLUP_WATERMARK) -> DataF
         .agg(*_rollup_aggs())
         .select(
             F.col("w.start").alias("window_start"),
-            F.date_format("w.start", "yyyyMMddHH").alias("window_id"),
+            (F.unix_timestamp("w.start") / 3600).cast("long").alias("window_id"),
             *_ROLLUP_COLS,
         )
     )
@@ -87,11 +92,17 @@ def hourly_rollup(events: DataFrame, watermark: str = ROLLUP_WATERMARK) -> DataF
 def distinct_users_over(
     rollup: DataFrame, start, end, by_type: bool = False
 ) -> DataFrame:
-    """Distinct-user estimate for [start, end) FROM THE ROLLUP ALONE:
-    merge the per-window sketches with hll_union_agg and estimate. No
-    raw-event scan; cost is proportional to the number of rollup rows in
-    range. This is what the sketch column buys — per-window exact
-    distinct counts cannot be combined (users repeat across hours)."""
+    """Distinct-user estimate FROM THE ROLLUP ALONE: merge the
+    per-window sketches with hll_union_agg and estimate. No raw-event
+    scan; cost is proportional to the number of rollup rows in range.
+    This is what the sketch column buys — per-window exact distinct
+    counts cannot be combined (users repeat across hours).
+
+    Bounds SNAP TO WINDOW GRANULARITY (the filter is on window_start):
+    a non-aligned ``start`` excludes the partial window containing it,
+    and the range runs through the last window STARTING before ``end``.
+    Pass window-aligned bounds for exact-range semantics — the rollup
+    cannot split a window it has already finalized."""
     keys = ["event_type"] if by_type else []
     in_range = rollup.filter(
         (F.col("window_start") >= F.lit(start)) & (F.col("window_start") < F.lit(end))
@@ -137,11 +148,10 @@ def start_rollup(
 
 
 def read_rollup(spark: SparkSession, rollup_path: str) -> DataFrame:
-    # partition-value type inference would surface the all-digit window_id
-    # as an integer; pin it back to string so the read schema matches the
-    # written frame regardless of inference settings
+    # pin the partition column's type so the read schema matches the
+    # written frame regardless of partition-value inference settings
     return spark.read.parquet(rollup_path).withColumn(
-        "window_id", F.col("window_id").cast("string")
+        "window_id", F.col("window_id").cast("long")
     )
 
 
@@ -154,7 +164,7 @@ def batch_rollup_reference(events: DataFrame) -> DataFrame:
         .agg(*_rollup_aggs())
         .select(
             F.col("w.start").alias("window_start"),
-            F.date_format("w.start", "yyyyMMddHH").alias("window_id"),
+            (F.unix_timestamp("w.start") / 3600).cast("long").alias("window_id"),
             *_ROLLUP_COLS,
         )
     )

@@ -63,3 +63,15 @@ def test_bloom_prune_filters_before_exchange(spark):
     # fact scan — no UDF, no nested-loop, and it evaluates below the join
     assert "element_at" in plan and "xxhash64" in plan
     assert "Filter" in plan and "NestedLoop" not in plan and "BatchEvalPython" not in plan
+
+
+def test_bloom_prune_sound_across_key_type_mismatch(spark):
+    """xxhash64 is type-sensitive; the canonical string cast must make an
+    int-keyed dim prune a bigint-keyed fact without dropping matches."""
+    from pyspark.sql import functions as F
+
+    fact = spark.range(0, 1000).select(F.col("id").cast("bigint").alias("k"))
+    dim = spark.range(0, 1000, 50).select(F.col("id").cast("int").alias("k"))
+    pruned = bloom_prune(fact, dim, "k", expected_items=100)
+    kept = {r.k for r in pruned.collect()}
+    assert set(range(0, 1000, 50)) <= kept  # every true match survives

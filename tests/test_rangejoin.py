@@ -109,3 +109,43 @@ def test_interval_join_plan_is_hash_join(spark):
     )
     # the shape we are avoiding really is what Catalyst does otherwise
     assert "NestedLoop" in naive_plan or "Cartesian" in naive_plan
+
+
+def test_interval_join_subsecond_bounds(spark):
+    """Sub-second interval bounds must not mis-bucket: a fact row inside
+    [start, end) where end has fractional seconds is matched (the old
+    whole-second end-1 adjustment dropped it)."""
+    fact = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00.2"), (2, "2024-01-01 10:00:00.7")],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    iv = spark.createDataFrame(
+        [("2024-01-01 09:30:00", "2024-01-01 10:00:00.5")], "start string, end string"
+    ).select(
+        F.col("start").cast("timestamp_ntz").alias("start"),
+        F.col("end").cast("timestamp_ntz").alias("end"),
+    )
+    got = sorted(r.id for r in interval_join(fact, iv, bucket="1 hour").collect())
+    want = sorted(
+        r.id for r in naive_interval_join(fact, iv).collect()
+    )
+    assert got == want == [1]
+
+
+def test_naive_interval_join_extra_key_resolves(spark):
+    """The keyed oracle path must actually run (it previously raised
+    MISSING_ATTRIBUTES from a self-rename)."""
+    fact = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:30:00"), (2, "b", "2024-01-01 00:30:00")],
+        "id long, event_type string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    iv = spark.createDataFrame(
+        [("a", "2024-01-01 00:00:00", "2024-01-01 01:00:00")],
+        "event_type string, start string, end string",
+    ).select(
+        "event_type",
+        F.col("start").cast("timestamp_ntz").alias("start"),
+        F.col("end").cast("timestamp_ntz").alias("end"),
+    )
+    rows = naive_interval_join(fact, iv, extra_key="event_type").collect()
+    assert [r.id for r in rows] == [1]

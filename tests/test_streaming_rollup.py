@@ -92,10 +92,10 @@ def test_rollup_replay_is_idempotent_per_window(spark, rollup_env):
     finalized-window batch twice leaves exactly one copy, and writing a
     later window does not disturb earlier ones."""
     _src, _events, rollup_path, _ckpt = rollup_env
-    rows1 = [("2024-01-01 00:00:00", "2024010100", "click", 10, 1.0, 0.1, 0.9, None)]
-    rows2 = [("2024-01-01 01:00:00", "2024010101", "click", 7, 2.0, 0.2, 0.8, None)]
+    rows1 = [("2024-01-01 00:00:00", 473352, "click", 10, 1.0, 0.1, 0.9, None)]
+    rows2 = [("2024-01-01 01:00:00", 473353, "click", 7, 2.0, 0.2, 0.8, None)]
     schema = (
-        "window_start string, window_id string, event_type string, "
+        "window_start string, window_id long, event_type string, "
         "n_events long, sum_value double, min_value double, max_value double, "
         "users_sketch binary"
     )
@@ -115,7 +115,7 @@ def test_rollup_replay_is_idempotent_per_window(spark, rollup_env):
     write(rows2)  # a later window
     out = read_rollup(spark, rollup_path)
     assert out.count() == 2
-    assert {r.window_id for r in out.collect()} == {"2024010100", "2024010101"}
+    assert {r.window_id for r in out.collect()} == {473352, 473353}
 
 
 def test_rollup_sketches_answer_range_distinct_without_raw_scan(spark):
