@@ -183,9 +183,14 @@ def _read_events(spark: SparkSession, path: str) -> DataFrame:
     try:
         df = spark.read.parquet(path)
         nanos_as_long = isinstance(df.schema["ts"].dataType, _Long)
-    except Exception:
-        # Plain read rejected the footer (TIMESTAMP(NANOS) without the
-        # legacy conf). Retry with nanos surfaced as long.
+    except Exception as exc:
+        # Only the TIMESTAMP(NANOS) footer rejection gets the legacy-conf
+        # retry; any other read failure (missing path, corrupt footer,
+        # permissions) propagates untouched — flipping a session-wide conf
+        # as a side effect of an unrelated error would poison later reads.
+        msg = str(exc)
+        if "NANOS" not in msg and "nanosAsLong" not in msg:
+            raise
         nanos_as_long = True
         df = None
     if df is None:
@@ -214,6 +219,12 @@ _SAFE_CASTS = {
     ("timestamp", "timestamp_ntz"),
 }
 
+# timestamp -> timestamp_ntz renders the instant in the SESSION timezone,
+# so it is only a deterministic normalization when that timezone is
+# pinned. session.get_spark pins UTC (session.py); a foreign session that
+# doesn't gets a hard error instead of silently timezone-shifted data.
+_TZ_SENSITIVE_CASTS = {("timestamp", "timestamp_ntz")}
+
 
 def _normalize(df: DataFrame, expected) -> DataFrame:
     """Cast declared-safe physical-type drift to the catalog schema;
@@ -234,6 +245,15 @@ def _normalize(df: DataFrame, expected) -> DataFrame:
         if got_t == want_t:
             continue
         if (got_t, want_t) in _SAFE_CASTS:
+            if (got_t, want_t) in _TZ_SENSITIVE_CASTS:
+                tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+                if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+                    raise ValueError(
+                        f"column {col!r} needs a {got_t}->{want_t} cast, which "
+                        f"is timezone-dependent; session timezone is {tz!r} — "
+                        "load fixtures under a UTC session (session.get_spark "
+                        "pins spark.sql.session.timeZone=UTC)"
+                    )
             casts.append((col, want_t))
         else:
             raise ValueError(

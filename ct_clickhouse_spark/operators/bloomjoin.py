@@ -68,6 +68,10 @@ def _mask_at(bit_idx: Column) -> Column:
 def build_bloom(dim: DataFrame, key: str, expected_items: int) -> list[int]:
     """The dim keys' Bloom bitmap as 64-bit words (python ints). Collect
     is bounded by the sketch size m/64, never by dim cardinality."""
+    if expected_items < 1:
+        # m_bits=0 would make pmod(hash, 0) NULL, the membership predicate
+        # NULL, and bloom_prune would silently drop EVERY fact row.
+        raise ValueError(f"expected_items must be >= 1, got {expected_items}")
     m_bits = ((expected_items * BITS_PER_ITEM + 63) // 64) * 64
     n_words = m_bits // 64
     if n_words > MAX_LITERAL_WORDS:
@@ -139,5 +143,14 @@ def bloom_pruned_join(
 ) -> DataFrame:
     """``fact JOIN dim ON key`` with the fact side Bloom-pruned first.
     Row-identical to the plain join; the plan shuffles only the surviving
-    sliver of the fact side."""
+    sliver of the fact side.
+
+    Only inner/left_semi are row-identical under fact-side pre-filtering:
+    an outer or anti join keeps (or keys on) fact rows WITHOUT a dim
+    match, exactly the rows the Bloom filter removes."""
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError(
+            "bloom_pruned_join pre-filters the fact side, which is only "
+            f"row-identical for inner/left_semi joins; got {how!r}"
+        )
     return bloom_prune(fact, dim, key, expected_items).join(dim, key, how)

@@ -87,13 +87,23 @@ def interval_join(
     if how == "left_semi":
         # a fact row matching k intervals in its bucket would come out k
         # times; dedup on a synthetic row id so genuinely-duplicate fact
-        # rows survive (plain distinct() would merge them)
-        probe = exploded.select(*keys, start_col, end_col)
+        # rows survive (plain distinct() would merge them). The interval
+        # bounds ride along under reserved names so a fact table that
+        # itself has start/end columns neither collides in the residual
+        # nor loses its own columns in the final drop.
+        probe = exploded.select(
+            *keys,
+            F.col(start_col).alias("_iv_start"),
+            F.col(end_col).alias("_iv_end"),
+        )
         tagged = keyed_fact.withColumn("_rid", F.monotonically_increasing_id())
-        joined = tagged.join(probe, keys, "inner").filter(residual)
+        semi_residual = (F.col(ts_col) >= F.col("_iv_start")) & (
+            F.col(ts_col) < F.col("_iv_end")
+        )
+        joined = tagged.join(probe, keys, "inner").filter(semi_residual)
         return (
             joined.dropDuplicates(["_rid"])
-            .drop("_bucket", "_rid", start_col, end_col)
+            .drop("_bucket", "_rid", "_iv_start", "_iv_end")
         )
     joined = keyed_fact.join(exploded, keys, "inner").filter(residual)
     return joined.drop("_bucket")

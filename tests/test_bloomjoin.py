@@ -75,3 +75,28 @@ def test_bloom_prune_sound_across_key_type_mismatch(spark):
     pruned = bloom_prune(fact, dim, "k", expected_items=100)
     kept = {r.k for r in pruned.collect()}
     assert set(range(0, 1000, 50)) <= kept  # every true match survives
+
+
+def test_bloom_pruned_join_rejects_outer_joins(spark):
+    """Pre-filtering the fact side is only row-identical for inner/semi:
+    an outer join would keep fact rows WITHOUT a dim match, which are
+    exactly the rows the Bloom filter removes."""
+    import pytest
+
+    fact = spark.range(10).withColumnRenamed("id", "k")
+    dim = spark.range(5).withColumnRenamed("id", "k")
+    for how in ("left", "full", "left_anti", "left_outer"):
+        with pytest.raises(ValueError, match="row-identical"):
+            bloom_pruned_join(fact, dim, "k", expected_items=5, how=how)
+
+
+def test_build_bloom_rejects_zero_expected_items(spark):
+    """expected_items=0 used to build an m_bits=0 sketch whose membership
+    predicate was NULL (pmod by zero), silently pruning EVERY fact row."""
+    import pytest
+
+    from ct_clickhouse_spark.operators.bloomjoin import build_bloom
+
+    dim = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="expected_items"):
+        build_bloom(dim, "k", expected_items=0)

@@ -114,3 +114,52 @@ def test_events_ts_is_usable_timestamp(spark, sf_dir):
         .collect()[0]
     )
     assert row.lo is not None and row.hi is not None and row.hi > row.lo
+
+
+def test_read_events_propagates_non_nanos_errors(spark):
+    """A missing path must raise the real error, NOT flip the session-wide
+    nanosAsLong conf as a side effect of a blanket retry."""
+    from ct_clickhouse_spark.catalog import _read_events
+
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(conf_key, None)
+    with pytest.raises(Exception) as exc:
+        _read_events(spark, "/root/testdata/does-not-exist/events.parquet")
+    assert "NANOS" not in str(exc.value)
+    assert spark.conf.get(conf_key, None) == before
+
+
+def test_tz_sensitive_cast_requires_utc_session(spark, tmp_path):
+    """timestamp -> timestamp_ntz renders the instant in the session
+    timezone; under a non-UTC session the loader must refuse rather than
+    silently shift wall-clock values."""
+    import datetime
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array(
+                [datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)],
+                pa.timestamp("us", tz="UTC"),  # instant type -> spark TIMESTAMP
+            ),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["click"]),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"]),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    tz_key = "spark.sql.session.timeZone"
+    spark.conf.set(tz_key, "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timezone"):
+            load_table(spark, str(tmp_path), "events")
+    finally:
+        spark.conf.set(tz_key, "UTC")
+    # back under UTC the same fixture loads and keeps the UTC wall clock
+    df = load_table(spark, str(tmp_path), "events")
+    ts = df.select("ts").collect()[0].ts
+    assert ts == datetime.datetime(2024, 1, 1)

@@ -149,3 +149,21 @@ def test_naive_interval_join_extra_key_resolves(spark):
     )
     rows = naive_interval_join(fact, iv, extra_key="event_type").collect()
     assert [r.id for r in rows] == [1]
+
+
+def test_interval_join_left_semi_preserves_fact_start_end_columns(spark):
+    """A fact table that itself has 'start'/'end' columns must keep them
+    through a left_semi interval join (the old drop(start_col, end_col)
+    removed the fact's own columns too, and the residual was ambiguous)."""
+    fact = spark.createDataFrame(
+        [(1, "2024-01-01 00:30:00", "sA", "eA"), (2, "2024-01-02 00:00:00", "sB", "eB")],
+        "id long, ts string, start string, end string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    iv = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 01:00:00")], "start string, end string"
+    ).select(
+        F.col("start").cast("timestamp_ntz").alias("start"),
+        F.col("end").cast("timestamp_ntz").alias("end"),
+    )
+    rows = interval_join(fact, iv, bucket="1 hour", how="left_semi").collect()
+    assert [(r.id, r.start, r.end) for r in rows] == [(1, "sA", "eA")]
