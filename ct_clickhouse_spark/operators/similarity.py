@@ -58,18 +58,36 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-GEMM_BLOCKS = 4  # tiles per side; at scale set ≈ ceil(n / rows-per-tile)
+# Tile sizing for the exact GEMM tier. The kernel materializes a
+# rows_a x rows_b similarity block, so rows-per-tile is the memory knob:
+# 4096^2 float64 sims ≈ 134 MB per task, plus two 4096 x d tile inputs —
+# comfortably inside one executor core's share at any corpus size.
+GEMM_ROWS_PER_TILE = 4096
+# Floor keeps small corpora spread over enough tasks to use local cores.
+MIN_GEMM_BLOCKS = 4
 
 
-def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gemm_blocks(n_rows: int) -> int:
+    """Tiles per side for the blocked GEMM: ceil(n / rows-per-tile),
+    floored at MIN_GEMM_BLOCKS. Grows linearly with the corpus so each
+    task always holds two bounded tiles — the block count, not the tile
+    size, absorbs data growth (shuffle replication is n·blocks rows, the
+    classic O(n·sqrt(P)) blocked-GEMM tradeoff)."""
+    return max(MIN_GEMM_BLOCKS, -(-n_rows // GEMM_ROWS_PER_TILE))
+
+
+def cosine_pairs(
+    spark: SparkSession, sf_dir: str, blocks: int | None = None
+) -> DataFrame:
     """Exact all-pairs cosine >= threshold via block-tiled distributed GEMM.
 
     No driver collect, no full-matrix broadcast: vectors are hashed into
-    GEMM_BLOCKS tiles; each unordered tile pair (bi <= bj) is one group
+    ``blocks`` tiles (derived from the corpus row count by _gemm_blocks
+    unless pinned); each unordered tile pair (bi <= bj) is one group
     task. A vector ships to every task its tile participates in (left side
     of (bi, *), right side of (*, bj)), so a pair (x, y) lands in exactly
     one task — (min(bx,by), max(bx,by)) — and the per-task kernel is a
-    dense numpy GEMM over the two tiles. Shuffle volume is n·GEMM_BLOCKS
+    dense numpy GEMM over the two tiles. Shuffle volume is n·blocks
     rows (the classic O(n·sqrt(P)) blocked-GEMM replication), each task
     holds only two tiles — sized to executor memory, never the corpus.
     The LSH/IVF tiers below remain the sub-quadratic 100 TB paths; this is
@@ -78,13 +96,17 @@ def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    block = F.pmod(F.xxhash64("vec_id"), F.lit(GEMM_BLOCKS)).alias("block")
+    if blocks is None:
+        # count() on a parquet scan resolves from footer metadata — cheap
+        # relative to the GEMM it sizes
+        blocks = _gemm_blocks(emb.count())
+    block = F.pmod(F.xxhash64("vec_id"), F.lit(blocks)).alias("block")
     tiles = emb.select("vec_id", "embedding", block)
 
     tasks = spark.createDataFrame(
-        [(bi * GEMM_BLOCKS + bj, bi, bj)
-         for bi in range(GEMM_BLOCKS)
-         for bj in range(bi, GEMM_BLOCKS)],
+        [(bi * blocks + bj, bi, bj)
+         for bi in range(blocks)
+         for bj in range(bi, blocks)],
         "task int, bi int, bj int",
     )
     left = tiles.join(F.broadcast(tasks), tiles.block == tasks.bi).select(
@@ -102,7 +124,7 @@ def cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         task = int(pdf["task"].iloc[0])
-        diagonal = (task // GEMM_BLOCKS) == (task % GEMM_BLOCKS)
+        diagonal = (task // blocks) == (task % blocks)
         l_mask = (pdf["side"] == "L").to_numpy()
         l_ids = pdf["vec_id"].to_numpy(dtype=np.int64)[l_mask]
         if l_ids.size == 0:
@@ -476,28 +498,45 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Above this corpus size the exact O(n^2/blocks) GEMM tier stops being a
+# sane default pair source for dedup and the sub-quadratic LSH tier takes
+# over. 100k rows ≈ 25 full tile-pair GEMMs at 4096 rows/tile — the point
+# where candidate generation, not verification, should be doing the work.
+EXACT_PAIRS_MAX_ROWS = 100_000
+
+
 def embedding_dedup_groups(
-    spark: SparkSession, sf_dir: str, max_iters: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    max_iters: int | None = None,
+    pairs_fn=None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate dedup (the last of the dedup family:
     exact / Jaccard / MinHash-LSH / SimHash / embedding-cosine): pick one
     canonical keeper per group of mutually-near vectors.
 
-    Near-dup pairs come from the block-tiled exact GEMM (cosine_pairs;
-    swap in lsh_candidate_pairs at scale for the sub-quadratic tier).
+    ``pairs_fn(spark, sf_dir) -> (id_a, id_b, ...)`` supplies the near-dup
+    edges. By default it is chosen by corpus size: the block-tiled exact
+    GEMM (cosine_pairs) up to EXACT_PAIRS_MAX_ROWS, the sub-quadratic
+    banded LSH (lsh_candidate_pairs) beyond — so the 100 TB path is the
+    default at 100 TB, not a docstring suggestion.
     Groups are the connected components of the pair graph, found by
-    iterative min-label propagation: each round every vector takes the
-    smallest label among itself and its neighbors — one join + one hash
-    aggregate per round, converging in O(component diameter) rounds.
-    Every round is fully distributed (bounded shuffles, localCheckpoint
-    cuts lineage); only the scalar changed-count reaches the driver for
-    loop control — the standard Spark shape for iterative graph
-    algorithms. Returns (vec_id, canonical_id, is_keeper); keeper =
-    component minimum, so dedup = filter(is_keeper)."""
-    pairs = cosine_pairs(spark, sf_dir).select("id_a", "id_b")
+    min-label propagation with pointer-doubling shortcuts (see
+    label_propagate) — one neighbor-min join + one label-composition join
+    per round, converging in O(log diameter) rounds. Every round is fully
+    distributed (bounded shuffles, localCheckpoint cuts lineage); only the
+    scalar changed-count reaches the driver for loop control — the
+    standard Spark shape for iterative graph algorithms. Returns (vec_id,
+    canonical_id, is_keeper); keeper = component minimum, so dedup =
+    filter(is_keeper)."""
     ids = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("id")
     )
+    if pairs_fn is None:
+        pairs_fn = (
+            cosine_pairs if ids.count() <= EXACT_PAIRS_MAX_ROWS else lsh_candidate_pairs
+        )
+    pairs = pairs_fn(spark, sf_dir).select("id_a", "id_b")
     labels = label_propagate(ids, pairs, max_iters=max_iters)
     return labels.select(
         F.col("id").alias("vec_id"),
@@ -509,17 +548,36 @@ def embedding_dedup_groups(
 def label_propagate(
     ids: DataFrame, pairs: DataFrame, max_iters: int | None = None
 ) -> DataFrame:
-    """Distributed connected components by iterative min-label propagation
-    (the core of embedding_dedup_groups, reusable over any edge source —
-    GEMM pairs, LSH candidates, jaccard pairs). ``ids``: one `id` column;
-    ``pairs``: undirected edges (id_a, id_b). Returns (id, label) with
-    label = component minimum.
+    """Distributed connected components (the core of
+    embedding_dedup_groups, reusable over any edge source — GEMM pairs,
+    LSH candidates, jaccard pairs). ``ids``: one `id` column; ``pairs``:
+    undirected edges (id_a, id_b). Returns (id, label) with label =
+    component minimum. See _label_propagate_rounds for the algorithm."""
+    labels, _ = _label_propagate_rounds(ids, pairs, max_iters=max_iters)
+    return labels
 
-    Runs to convergence by default — min-label propagation needs up to
-    component-diameter rounds, so a fixed iteration cap silently
+
+def _label_propagate_rounds(
+    ids: DataFrame, pairs: DataFrame, max_iters: int | None = None
+) -> tuple[DataFrame, int]:
+    """Min-label propagation with pointer-doubling shortcuts; also returns
+    the round count (the property the shortcut exists for).
+
+    Each round: (1) neighbor-min — every node takes the smallest label
+    among itself and its neighbors (one join + one hash aggregate);
+    (2) shortcut — label <- label(label), the Shiloach-Vishkin pointer
+    doubling step (one self-join on the label frame). Plain neighbor-min
+    alone needs O(component diameter) rounds, i.e. O(d) driver
+    round-trips on long-chain graphs; composing the label pointer halves
+    every chain per round, so convergence is O(log diameter) rounds. Both
+    steps preserve the invariant "label is an id inside the same
+    component, <= own id", so the fixpoint (no change across a round) is
+    still exactly label = component minimum.
+
+    Runs to convergence by default — a fixed iteration cap silently
     mis-labels long-chain graphs. ``max_iters`` is an optional safety
     bound for callers that know their graphs are dense (near-dup
-    clusters converge in 3-5 rounds)."""
+    clusters converge in 2-3 rounds)."""
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).localCheckpoint(eager=True)
@@ -531,14 +589,25 @@ def label_propagate(
             .groupBy("id_a")
             .agg(F.min("label").alias("nbr_label"))
         )
+        stepped = labels.join(nbr_min, labels.id == nbr_min.id_a, "left").select(
+            labels.id,
+            F.col("label").alias("old_label"),
+            F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
+                "label"
+            ),
+        )
+        # pointer doubling: follow the label's own label. Every label IS a
+        # node id, so the lookup join always resolves (left+coalesce only
+        # guards ids absent from `ids`, which would be a caller bug).
+        lookup = stepped.select(
+            F.col("id").alias("_pid"), F.col("label").alias("_plabel")
+        )
         proposed = (
-            labels.join(nbr_min, labels.id == nbr_min.id_a, "left")
+            stepped.join(lookup, stepped.label == lookup._pid, "left")
             .select(
-                labels.id,
-                F.col("label").alias("old_label"),
-                F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias(
-                    "label"
-                ),
+                "id",
+                "old_label",
+                F.coalesce("_plabel", "label").alias("label"),
             )
             .localCheckpoint(eager=True)
         )
@@ -547,7 +616,7 @@ def label_propagate(
         rounds += 1
         if changed == 0 or (max_iters is not None and rounds >= max_iters):
             break
-    return labels
+    return labels, rounds
 
 
 def topk_and_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

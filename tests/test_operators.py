@@ -363,3 +363,147 @@ def test_broadcast_join_in_region_revenue(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan, "dim joins must broadcast"
+
+
+def test_gemm_blocks_grow_with_corpus_size():
+    """The exact GEMM tier's tile count must scale with the corpus: fixed
+    blocks means tile size (and task memory) grows linearly with n."""
+    from ct_clickhouse_spark.operators.similarity import (
+        GEMM_ROWS_PER_TILE,
+        MIN_GEMM_BLOCKS,
+        _gemm_blocks,
+    )
+
+    assert _gemm_blocks(100) == MIN_GEMM_BLOCKS
+    assert _gemm_blocks(GEMM_ROWS_PER_TILE * 10) == 10
+    assert _gemm_blocks(GEMM_ROWS_PER_TILE * 1000) == 1000
+    sizes = [10**k for k in range(2, 9)]
+    blocks = [_gemm_blocks(n) for n in sizes]
+    assert blocks == sorted(blocks)
+    # rows-per-tile stays bounded whatever n is
+    for n, b in zip(sizes, blocks):
+        assert n / b <= GEMM_ROWS_PER_TILE
+
+
+def test_cosine_pairs_result_invariant_to_block_count(spark):
+    """Tiling is a physical choice: any block count must give the same
+    pair set (pins the one-task-per-unordered-pair bookkeeping)."""
+    want = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in similarity.cosine_pairs(spark, SF_DIR, blocks=4).collect()
+    }
+    for blocks in (1, 3, 7):
+        got = {
+            (r.id_a, r.id_b, r.cosine)
+            for r in similarity.cosine_pairs(spark, SF_DIR, blocks=blocks).collect()
+        }
+        assert got == want, f"pair set changed at blocks={blocks}"
+    assert want
+
+
+def _write_planted_embeddings(tmp_path, n_clusters=12, cluster_size=5, n_noise=20):
+    """Synthetic embeddings fixture with orthogonal planted clusters:
+    cluster i = one-hot basis vector e_i plus tiny deterministic noise, so
+    within-cluster cosine ~0.9999 and cross-cluster ~0.0 — far from the
+    0.42 threshold on both sides, making LSH recall exact by construction."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.RandomState(7)
+    d = 64
+    rows_id, rows_vec = [], []
+    vid = 0
+    for c in range(n_clusters):
+        base = np.zeros(d)
+        base[c] = 1.0
+        for _ in range(cluster_size):
+            v = base + rng.normal(0, 0.005, d)
+            rows_id.append(vid)
+            rows_vec.append((v / np.linalg.norm(v)).astype("float32").tolist())
+            vid += 1
+    for _ in range(n_noise):
+        # noise points: random directions in the span ABOVE the cluster
+        # axes so they sit near-orthogonal to every cluster
+        v = np.zeros(d)
+        v[n_clusters:] = rng.normal(0, 1, d - n_clusters)
+        rows_id.append(vid)
+        rows_vec.append((v / np.linalg.norm(v)).astype("float32").tolist())
+        vid += 1
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(rows_id, pa.int64()),
+            "embedding": pa.array(rows_vec, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(rows_id), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    return len(rows_id)
+
+
+def test_dedup_groups_identical_from_gemm_and_lsh_pair_sources(spark, tmp_path):
+    """The pairs_fn swap point: on planted well-separated clusters the
+    sub-quadratic LSH pair source must yield the SAME dedup groups as the
+    exact GEMM source — the property that licenses the at-scale default."""
+    n = _write_planted_embeddings(tmp_path)
+    sf = str(tmp_path)
+    got_gemm = {
+        (r.vec_id, r.canonical_id, r.is_keeper)
+        for r in similarity.embedding_dedup_groups(
+            spark, sf, pairs_fn=similarity.cosine_pairs
+        ).collect()
+    }
+    got_lsh = {
+        (r.vec_id, r.canonical_id, r.is_keeper)
+        for r in similarity.embedding_dedup_groups(
+            spark, sf, pairs_fn=similarity.lsh_candidate_pairs
+        ).collect()
+    }
+    assert len(got_gemm) == n
+    assert got_gemm == got_lsh
+    # sanity: the clusters actually grouped (keepers < rows)
+    assert sum(1 for _, _, k in got_gemm if k) < n
+
+
+def test_dedup_groups_default_pair_source_switches_on_size(spark, tmp_path, monkeypatch):
+    """Below the threshold the default is the exact GEMM; above it the
+    banded LSH — asserted by watching which function is invoked."""
+    _write_planted_embeddings(tmp_path)
+    sf = str(tmp_path)
+    calls = []
+
+    def spy(fn, tag):
+        def wrapped(s, d):
+            calls.append(tag)
+            return fn(s, d)
+
+        return wrapped
+
+    monkeypatch.setattr(
+        similarity, "cosine_pairs", spy(similarity.cosine_pairs, "gemm")
+    )
+    monkeypatch.setattr(
+        similarity,
+        "lsh_candidate_pairs",
+        spy(similarity.lsh_candidate_pairs, "lsh"),
+    )
+    similarity.embedding_dedup_groups(spark, sf).collect()
+    assert calls == ["gemm"]
+    calls.clear()
+    monkeypatch.setattr(similarity, "EXACT_PAIRS_MAX_ROWS", 10)
+    similarity.embedding_dedup_groups(spark, sf).collect()
+    assert calls == ["lsh"]
+
+
+def test_label_propagate_rounds_logarithmic_on_path_graph(spark):
+    """Pointer doubling: the 39-hop path graph must converge in O(log n)
+    rounds (plain neighbor-min needs ~39), with the same labels."""
+    n = 40
+    ids = spark.range(n).select("id")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    labels, rounds = similarity._label_propagate_rounds(ids, pairs)
+    got = {r.id: r.label for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 10, f"expected O(log n) rounds, took {rounds}"
