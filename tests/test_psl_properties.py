@@ -86,3 +86,27 @@ def test_known_suffixes_and_base_domains():
 def test_bare_suffix_maps_to_itself():
     for suffix in ["co.uk", "com", "com.bd", "tokyo.jp"]:
         assert base_domain(suffix) == suffix
+
+
+def test_full_upstream_list_is_active():
+    """The vendored full public_suffix_list.dat (not the ~350-rule embedded
+    fallback) must be what's loaded: rule count and rule classes that only
+    exist in the complete upstream file."""
+    from ct_clickhouse_spark.functions.domains import PSL_RULES
+
+    assert len(PSL_RULES) > 5000, "embedded fallback active — full list not loaded"
+    full_only = [
+        # plain multi-label chains beyond the fallback's families
+        ("x.example.pvt.k12.ma.us", "pvt.k12.ma.us", "example.pvt.k12.ma.us"),
+        ("a.example.gov.scot", "gov.scot", "example.gov.scot"),
+        ("www.example.l.bg", "l.bg", "example.l.bg"),
+        # wildcard present only in the full (private) section
+        (
+            "vm.us-east-1.compute.amazonaws.com",
+            "us-east-1.compute.amazonaws.com",
+            "vm.us-east-1.compute.amazonaws.com",
+        ),
+    ]
+    for d, want_suffix, want_base in full_only:
+        assert public_suffix(d) == want_suffix, d
+        assert base_domain(d) == want_base, d
