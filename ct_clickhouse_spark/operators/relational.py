@@ -164,26 +164,136 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUANTILE_RANGE_PARTITIONS = 32
 
 
-def price_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+def exact_group_quantiles(
+    df: DataFrame,
+    gcol: str,
+    vcol: str,
+    ps: list[float],
+    n_partitions: int = QUANTILE_RANGE_PARTITIONS,
+) -> DataFrame:
     """Exact interpolated per-group percentiles WITHOUT buffering a group
-    in memory (Spark's `percentile` materializes each group's values; this
-    is the 100 TB-shape exact path — the sketch path is
-    rel_approx_quantiles).
+    in memory (Spark's `percentile` materializes each group's values) and
+    without driver-side per-group state — works at any group cardinality.
+    Returns long format (gcol, p, value).
 
     Plan: range-partition on (group, value), localCheckpoint to freeze
-    the (sampled, per-execution) partition assignment, collect one count
-    per (partition, group) -> prefix offsets per group (tiny,
-    driver-side) -> ONE vectorized mapInPandas pass sorts each partition
-    locally, derives the exact within-group global rank from the closed-
-    over offsets, and emits only the rows sitting at the floor/ceil ranks
-    of (n_g-1)*p — at most 2·|ps| rows per group leave the executors ->
-    one tiny hash aggregate interpolates. No second shuffle, no global
-    sort, no group ever buffered whole; the answer is independent of
-    partition boundaries. Same oracle as rel_price_quantiles (exact)."""
+    the (sampled, per-execution) partition assignment, then:
+    - per-(partition, group) counts stay a DATAFRAME; within-group prefix
+      offsets and totals come from a window over partition ids — never
+      collected;
+    - target ranks (floor/ceil of (n_g-1)*p) and interpolation fractions
+      are derived from the totals frame with explode — one row per
+      (group, p), all expressions;
+    - each needed rank is located in its unique range partition by joining
+      the needed frame to the offsets frame (rank in [offset, offset+n));
+      only this pick list — O(|groups|·|ps|) rows, independent of
+      partition count and of group sizes — is centralized, as an executor
+      BROADCAST for the kernel, not as literals in the plan (a 10k-group
+      column previously built 10k-entry create_map literals: a codegen
+      cliff);
+    - ONE vectorized mapInPandas pass sorts each partition locally and
+      emits only the rows at picked local positions — at most 2·|ps| rows
+      per group leave the executors;
+    - the final interpolation JOINS the picked rows back to the needed
+      frame (no literal maps) and aggregates per (group, p).
+    No second full-data shuffle, no global sort, no group ever buffered
+    whole; the answer is independent of partition boundaries."""
     import pandas as pd
 
+    spark = df.sparkSession
+    ranged = (
+        df.select(gcol, vcol)
+        .repartitionByRange(n_partitions, gcol, vcol)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = ranged.groupBy("_pid", gcol).agg(F.count(F.lit(1)).alias("_n"))
+    wg = Window.partitionBy(gcol).orderBy("_pid")
+    offs = counts.select(
+        "_pid",
+        gcol,
+        "_n",
+        (F.sum("_n").over(wg) - F.col("_n")).alias("_offset"),
+    )
+    targets = (
+        counts.groupBy(gcol)
+        .agg(F.sum("_n").alias("_total"))
+        .select(
+            gcol, "_total", F.explode(F.array(*[F.lit(p) for p in ps])).alias("p")
+        )
+        .withColumn("_pos", (F.col("_total") - 1) * F.col("p"))
+        .withColumn("_lo", F.floor("_pos").cast("long"))
+        .withColumn("_hi", F.least(F.col("_lo") + 1, F.col("_total") - 1))
+        .withColumn("_frac", F.col("_pos") - F.col("_lo"))
+    )
+    needed = targets.select(
+        gcol,
+        "p",
+        "_frac",
+        F.explode(
+            F.array(
+                F.struct(F.col("_lo").alias("_rank"), F.lit("lo").alias("_tag")),
+                F.struct(F.col("_hi").alias("_rank"), F.lit("hi").alias("_tag")),
+            )
+        ).alias("rt"),
+    ).select(gcol, "p", "_frac", "rt._rank", "rt._tag")
+    picks = (
+        needed.select(gcol, "_rank")
+        .distinct()
+        .join(offs, gcol)
+        .filter(
+            (F.col("_rank") >= F.col("_offset"))
+            & (F.col("_rank") < F.col("_offset") + F.col("_n"))
+        )
+        .select("_pid", gcol, (F.col("_rank") - F.col("_offset")).alias("_idx"), "_rank")
+    )
+    pick_map: dict = {}
+    for r in picks.collect():  # O(|groups|·|ps|), never |partitions|·|groups|
+        pick_map.setdefault((r._pid, r[gcol]), []).append((int(r._idx), int(r._rank)))
+    bc = spark.sparkContext.broadcast(pick_map)
+    types = dict(df.dtypes)
+
+    def _pick(batches):
+        # one iterator = one partition, but Arrow delivers it in multiple
+        # batches — concatenate before sorting or ranks break mid-partition
+        pm = bc.value
+        parts = [b for b in batches if not b.empty]
+        if not parts:
+            return
+        pdf = pd.concat(parts, ignore_index=True)
+        pid = int(pdf["_pid"].iloc[0])
+        for g, grp in pdf.groupby(gcol, sort=False):
+            wanted = pm.get((pid, g))
+            if not wanted:
+                continue
+            vals = grp[vcol].sort_values(ignore_index=True)
+            yield pd.DataFrame(
+                {
+                    gcol: g,
+                    "_rank": [rk for _, rk in wanted],
+                    vcol: vals.iloc[[i for i, _ in wanted]].to_numpy(),
+                }
+            )
+
+    picked = ranged.mapInPandas(
+        _pick, f"{gcol} {types[gcol]}, _rank long, {vcol} {types[vcol]}"
+    )
+    lo_v = F.min(F.when(F.col("_tag") == "lo", F.col(vcol)))
+    hi_v = F.min(F.when(F.col("_tag") == "hi", F.col(vcol)))
+    return (
+        picked.join(needed, [gcol, "_rank"])
+        .groupBy(gcol, "p")
+        .agg((lo_v + F.first("_frac") * (hi_v - lo_v)).alias("value"))
+    )
+
+
+def price_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB-shape exact quantile path over lineitem (the sketch path
+    is rel_sketch_quantiles): exact_group_quantiles pivoted wide to match
+    price_quantiles' (l_returnflag, p25, p50, p75) schema and rounding."""
     from ..session import default_parallelism
 
+    ps = [0.25, 0.5, 0.75]
     # repartition first: the fixture table is one parquet file = one input
     # split, which would serialize the range-sample and shuffle-write side
     li = (
@@ -191,87 +301,15 @@ def price_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_returnflag", "l_extendedprice")
         .repartition(default_parallelism())
     )
-    ps = [0.25, 0.5, 0.75]
-    gcol, vcol = "l_returnflag", "l_extendedprice"
-
-    ranged = (
-        li.repartitionByRange(QUANTILE_RANGE_PARTITIONS, gcol, vcol)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+    long = exact_group_quantiles(li, "l_returnflag", "l_extendedprice", ps)
+    return long.groupBy("l_returnflag").agg(
+        *[
+            F.round(
+                F.min(F.when(F.col("p") == p, F.col("value"))) + 1e-6, 2
+            ).alias(f"p{int(p * 100)}")
+            for p in ps
+        ]
     )
-    cnt_rows = ranged.groupBy("_pid", gcol).agg(F.count(F.lit(1)).alias("n")).collect()
-    totals: dict[str, int] = {}
-    offsets: dict[tuple[int, str], int] = {}
-    for r in sorted(cnt_rows, key=lambda r: (r[gcol], r._pid)):
-        offsets[(r._pid, r[gcol])] = totals.get(r[gcol], 0)
-        totals[r[gcol]] = totals.get(r[gcol], 0) + r.n
-
-    # driver-side (tiny): target ranks + interpolation fractions per group
-    needed: dict[str, dict[int, None]] = {}
-    targets: dict[str, list[tuple[float, int, int, float]]] = {}
-    for g, n in totals.items():
-        for p in ps:
-            pos = (n - 1) * p
-            lo, hi = int(pos), min(int(pos) + 1, n - 1)
-            targets.setdefault(g, []).append((p, lo, hi, pos - int(pos)))
-            needed.setdefault(g, {}).update({lo: None, hi: None})
-    needed_sets = {g: set(d) for g, d in needed.items()}
-
-    def _pick(batches):
-        # one iterator = one partition, but Arrow delivers it in multiple
-        # batches — concatenate before sorting or ranks break mid-partition
-        parts = [b for b in batches if not b.empty]
-        if not parts:
-            return
-        pdf = pd.concat(parts, ignore_index=True)
-        pid = int(pdf["_pid"].iloc[0])
-        for g, grp in pdf.groupby(gcol, sort=False):
-            base = offsets.get((pid, g))
-            if base is None:
-                continue
-            want = needed_sets[g]
-            vals = grp[vcol].sort_values(ignore_index=True)
-            hits = [r - base for r in want if base <= r < base + len(vals)]
-            if hits:
-                yield pd.DataFrame(
-                    {
-                        gcol: g,
-                        "_rank": [h + base for h in hits],
-                        vcol: vals.iloc[hits].to_numpy(),
-                    }
-                )
-
-    picked = ranged.mapInPandas(
-        _pick, f"{gcol} string, _rank long, {vcol} double"
-    )
-
-    aggs = []
-    for i, p in enumerate(ps):
-        lo_v = F.min(
-            F.when(
-                F.col("_rank")
-                == F.create_map(
-                    *[F.lit(x) for g, t in targets.items() for x in (g, t[i][1])]
-                )[F.col(gcol)],
-                F.col(vcol),
-            )
-        )
-        hi_v = F.min(
-            F.when(
-                F.col("_rank")
-                == F.create_map(
-                    *[F.lit(x) for g, t in targets.items() for x in (g, t[i][2])]
-                )[F.col(gcol)],
-                F.col(vcol),
-            )
-        )
-        frac = F.create_map(
-            *[F.lit(x) for g, t in targets.items() for x in (g, t[i][3])]
-        )[F.col(gcol)]
-        aggs.append(
-            F.round(lo_v + frac * (hi_v - lo_v) + 1e-6, 2).alias(f"p{int(p * 100)}")
-        )
-    return picked.groupBy(F.col(gcol).alias("l_returnflag")).agg(*aggs)
 
 
 def approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -484,22 +522,10 @@ def set_and_semi_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.unionByName(semi_anti_joins(spark, sf_dir))
 
 
-def quantiles_both(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact per-group percentiles, both execution strategies under one
-    oracle: 'exact_smalldata' = Spark's buffering percentile() aggregate
-    — SMALL-DATA ONLY (each group's values are materialized in one
-    aggregation buffer; at 100x it would dominate or OOM — filter
-    variant != 'exact_smalldata' in production); 'distributed' = the
-    no-group-buffering range-partition + mapInPandas rank-selection path,
-    the production path at scale. Identical answers by construction — the
-    union IS the cross-check."""
-    a = price_quantiles(spark, sf_dir).select(
-        F.lit("exact_smalldata").alias("variant"), "*"
-    )
-    b = price_quantiles_distributed(spark, sf_dir).select(
-        F.lit("distributed").alias("variant"), "*"
-    )
-    return a.unionByName(b)
+# The exact_smalldata twin (price_quantiles: Spark's buffering
+# percentile() aggregate — each group's values materialized in one
+# aggregation buffer, an OOM at 100x) is a pytest cross-check only
+# (tests/test_operators.py); the driver slot runs the plan you'd ship.
 
 
 def profile_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -568,7 +594,7 @@ QUERIES = {
     "rel_region_revenue": region_revenue,
     "rel_grouping_sets": grouping_sets_sales,
     "rel_set_and_semi_joins": set_and_semi_joins,
-    "rel_quantiles": quantiles_both,
+    "rel_quantiles": price_quantiles_distributed,
     "rel_profile_aggs": profile_aggs,
     "rel_agg_filters": agg_filters,
     "rel_topk_parts": topk_parts,
@@ -652,16 +678,11 @@ ORACLES = {
         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
     """,
     "rel_quantiles": """
-        WITH q AS (
-            SELECT l_returnflag,
-                   round(quantile_cont(l_extendedprice, 0.25) + 0.000001, 2) AS p25,
-                   round(quantile_cont(l_extendedprice, 0.5) + 0.000001, 2) AS p50,
-                   round(quantile_cont(l_extendedprice, 0.75) + 0.000001, 2) AS p75
-            FROM lineitem GROUP BY l_returnflag
-        )
-        SELECT 'exact_smalldata' AS variant, * FROM q
-        UNION ALL
-        SELECT 'distributed' AS variant, * FROM q
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25) + 0.000001, 2) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5) + 0.000001, 2) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75) + 0.000001, 2) AS p75
+        FROM lineitem GROUP BY l_returnflag
     """,
     "rel_profile_aggs": """
         WITH cond AS (

@@ -180,22 +180,29 @@ def _global_rank(df: DataFrame, order_cols: list[str]) -> DataFrame:
         .withColumn("_pid", pid)
         .localCheckpoint(eager=True)
     )
-    counts = {
-        r._pid: r.n
-        for r in ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    offsets, acc = {}, 0
-    for p in sorted(counts):
-        offsets[p] = acc
-        acc += counts[p]
+    # Offsets stay a DATAFRAME: prefix-sum window over the per-partition
+    # counts (|partitions| rows, nothing collected) broadcast-JOINED back
+    # on _pid — no create_map literals in the plan, no driver state,
+    # whatever the partition count. The single-partition window here is
+    # over the counts frame, which has one row per range partition.
+    counts = ranged.groupBy("_pid").agg(F.count(F.lit(1)).alias("_n"))
+    w_pre = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = counts.select(
+        "_pid",
+        (F.sum("_n").over(w_pre) - F.col("_n")).alias("_offset"),
+        F.sum("_n").over(w_all).alias("_total"),
+    )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
-    offset_col = F.create_map(
-        *[F.lit(x) for kv in offsets.items() for x in kv]
-    )[F.col("_pid")]
     return (
-        ranged.withColumn("_rank", F.row_number().over(w) - 1 + offset_col)
-        .withColumn("_total", F.lit(acc))
-        .drop("_pid")
+        ranged.withColumn("_lrank", F.row_number().over(w) - 1)
+        .join(F.broadcast(offs), "_pid")
+        .withColumn("_rank", F.col("_lrank") + F.col("_offset"))
+        .drop("_pid", "_lrank", "_offset")
     )
 
 
@@ -442,22 +449,11 @@ def time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.unionByName(s).unionByName(r)
 
 
-def ntile_both(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact global ntile(4), both execution strategies under one oracle:
-    'exact_smalldata' = Window.ntile — SMALL-DATA ONLY (an empty
-    partitionBy forces a single-partition total sort; at 100x one task
-    sorts the world — filter variant != 'exact_smalldata' in
-    production); 'distributed' = range-partition + prefix-offset global
-    rank (every stage parallel), the production path at scale. Identical
-    answers by construction; the sketch path lives in
-    rel_sketch_quantiles."""
-    a = spend_quartiles(spark, sf_dir).select(
-        F.lit("exact_smalldata").alias("variant"), "*"
-    )
-    b = spend_quartiles_distributed(spark, sf_dir).select(
-        F.lit("distributed").alias("variant"), "*"
-    )
-    return a.unionByName(b)
+# The exact_smalldata twin (spend_quartiles: Window.ntile with an empty
+# partitionBy — a single-partition total sort, one task sorting the world
+# at 100x) is a pytest cross-check only (tests/test_operators.py); the
+# driver slot runs the distributed plan. The sketch path lives in
+# rel_sketch_quantiles.
 
 
 ASOF_EVENT = "purchase"
@@ -524,7 +520,7 @@ QUERIES = {
     "evt_time_windows": time_windows,
     "evt_session_30m": session_windows,
     "evt_json_props": json_props_rollup,
-    "win_ntile": ntile_both,
+    "win_ntile": spend_quartiles_distributed,
     "evt_asof_join": asof_last_view,
     "evt_funnel_retention": funnel_retention,
 }
@@ -649,14 +645,9 @@ ORACLES = {
         FROM events GROUP BY event_type
     """,
     "win_ntile": """
-        WITH q AS (
-            SELECT c_custkey, c_acctbal,
-                   ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
-            FROM customer
-        )
-        SELECT 'exact_smalldata' AS variant, * FROM q
-        UNION ALL
-        SELECT 'distributed' AS variant, * FROM q
+        SELECT c_custkey, c_acctbal,
+               ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
+        FROM customer
     """,
     "evt_session_30m": f"""
         WITH flagged AS (

@@ -507,3 +507,62 @@ def test_label_propagate_rounds_logarithmic_on_path_graph(spark):
     got = {r.id: r.label for r in labels.collect()}
     assert got == {i: 0 for i in range(n)}
     assert rounds <= 10, f"expected O(log n) rounds, took {rounds}"
+
+
+def test_distributed_quantiles_match_buffering_exact_twin(spark):
+    """The driver slot runs only the distributed plan; this cross-check
+    keeps the small-data buffering percentile() twin as its oracle."""
+    a = {
+        r.l_returnflag: (r.p25, r.p50, r.p75)
+        for r in relational.price_quantiles(spark, SF_DIR).collect()
+    }
+    b = {
+        r.l_returnflag: (r.p25, r.p50, r.p75)
+        for r in relational.price_quantiles_distributed(spark, SF_DIR).collect()
+    }
+    assert a == b and a
+
+
+def test_distributed_ntile_matches_window_twin(spark):
+    """Distributed global ntile == the single-partition Window.ntile twin
+    row-for-row (the twin is pytest-only; the driver runs distributed)."""
+    a = {
+        r.c_custkey: (r.c_acctbal, r.balance_quartile)
+        for r in windows.spend_quartiles(spark, SF_DIR).collect()
+    }
+    b = {
+        r.c_custkey: (r.c_acctbal, r.balance_quartile)
+        for r in windows.spend_quartiles_distributed(spark, SF_DIR).collect()
+    }
+    assert a == b and a
+
+
+def test_exact_group_quantiles_high_cardinality_no_literal_maps(spark):
+    """10k groups through the distributed quantile path: values must match
+    Spark's buffering percentile() per group, and the plan must contain no
+    create_map literals (the old shape embedded an O(|groups|) literal map
+    — a driver bottleneck and codegen cliff at high cardinality)."""
+    from pyspark.sql import functions as F
+
+    n_groups = 10_000
+    df = (
+        spark.range(100_000)
+        .select(
+            F.concat(F.lit("g"), (F.col("id") % n_groups)).alias("g"),
+            (F.xxhash64("id") % 10_000).cast("double").alias("v"),
+        )
+    )
+    ps = [0.25, 0.5, 0.75]
+    got_df = relational.exact_group_quantiles(df, "g", "v", ps, n_partitions=16)
+    plan = got_df._jdf.queryExecution().executedPlan().toString()
+    assert "create_map" not in plan and "keys:" not in plan, "literal map in plan"
+    got = {(r.g, r.p): r.value for r in got_df.collect()}
+    want_rows = (
+        df.groupBy("g")
+        .agg(F.expr("percentile(v, array(0.25, 0.5, 0.75))").alias("q"))
+        .collect()
+    )
+    assert len(got) == n_groups * len(ps)
+    for r in want_rows:
+        for p, w in zip(ps, r.q):
+            assert abs(got[(r.g, p)] - w) < 1e-9, (r.g, p)
