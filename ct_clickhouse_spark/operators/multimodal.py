@@ -40,18 +40,75 @@ from ..catalog import load_table
 FRAME_BYTES = 256  # fake video "frame" size
 FRAME_STRIDE = 4  # sample every 4th frame
 
-try:  # the real decoder would live here; not present in this container
+try:  # the general decoder would live here; not present in this container
     import PIL.Image  # noqa: F401
 
     HAVE_IMAGE_CODEC = True
 except ImportError:
     HAVE_IMAGE_CODEC = False
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode(data: bytes, w: int, h: int) -> bytes:
+    """A fully valid 8-bit grayscale PNG (correct chunk CRCs and zlib
+    framing, stdlib only — no codec library needed): scanlines are
+    filter-byte 0 + ``data`` cycled/zero-padded to w pixels per row, and
+    IDAT is a level-0 (stored-block) zlib stream, making the total length
+    CLOSED-FORM: h*(w+1) + 68 bytes for h*(w+1) <= 65535 — which keeps
+    the media table's byte accounting expressible in the SQL oracle."""
+    import struct
+    import zlib
+
+    n = h * (w + 1)
+    if n > 65535:
+        raise ValueError("stored-block closed form only holds to 65535 bytes")
+    body = (data * ((w * h) // len(data) + 1))[: w * h] if data else bytes(w * h)
+    px = bytearray(n)
+    for row in range(h):
+        px[row * (w + 1) + 1 : (row + 1) * (w + 1)] = body[row * w : (row + 1) * w]
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    idat = zlib.compress(bytes(px), 0)
+    return _PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def png_parse_ihdr(payload: bytes) -> tuple[int, int, int] | None:
+    """(width, height, bit_depth) from a PNG's IHDR — a real header parse
+    (magic + first-chunk type checked), pure Python, no codec library.
+    None for anything that isn't a PNG."""
+    import struct
+
+    if len(payload) < 33 or payload[:8] != _PNG_MAGIC or payload[12:16] != b"IHDR":
+        return None
+    w, h = struct.unpack(">II", payload[16:24])
+    return w, h, payload[24]
+
+
+@F.pandas_udf(BinaryType())
+def _png_payload_udf(text: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            png_encode((t or "").encode("utf-8"), int(w), int(h))
+            for t, w, h in zip(text, width, height)
+        ],
+        dtype=object,
+    )
+
 
 def build_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic media table from documents: payload = utf-8 bytes of
-    text (a stand-in for real image/audio bytes), metadata derived from
-    doc_id so both engines can reconstruct it."""
+    """Deterministic media table from documents. png-format rows carry a
+    REAL (fully valid, closed-form-length) PNG built from the text bytes
+    by ``png_encode``; other kinds keep utf-8 text bytes as a stand-in.
+    Metadata derives from doc_id so both engines can reconstruct it."""
     docs = load_table(spark, sf_dir, "documents")
     kind = (
         F.when(F.col("doc_id") % 3 == 0, "image")
@@ -63,13 +120,18 @@ def build_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("doc_id") % 3 == 1, "wav")
         .otherwise("mp4")
     )
+    width = (64 + (F.col("doc_id") % 8) * 32).cast("int")
+    height = (64 + (F.col("doc_id") % 5) * 32).cast("int")
+    payload = F.when(
+        fmt == "png", _png_payload_udf(F.col("text"), width, height)
+    ).otherwise(F.encode("text", "utf-8"))
     return docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
         fmt.alias("format"),
-        (64 + (F.col("doc_id") % 8) * 32).cast("int").alias("width"),
-        (64 + (F.col("doc_id") % 5) * 32).cast("int").alias("height"),
-        F.encode("text", "utf-8").alias("payload"),
+        width.alias("width"),
+        height.alias("height"),
+        payload.alias("payload"),
         "source",
     )
 
@@ -97,28 +159,35 @@ DECODE_SCHEMA = StructType(
         StructField("mean_byte", DoubleType()),
         StructField("max_byte", IntegerType()),
         StructField("header_hex", StringType()),
+        StructField("img_width", IntegerType()),
+        StructField("img_height", IntegerType()),
+        StructField("img_bit_depth", IntegerType()),
     ]
 )
 
 
 def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """'Decode' each payload into features via Arrow-batched mapInPandas.
+    """Decode each payload into features via Arrow-batched mapInPandas.
 
-    STUB decode: with no codec libraries in this container, features are
-    deterministic byte statistics. A real implementation replaces
-    ``_decode_payload`` with PIL/librosa/pyav per ``kind`` — the Spark
-    plumbing (batch iterator, schema, partition parallelism) is identical.
+    PNG payloads get a REAL decode of their dimensions: ``png_parse_ihdr``
+    reads width/height/bit-depth from the IHDR chunk (magic-checked, pure
+    Python — no codec library). Other formats fall back to deterministic
+    byte statistics; a full pixel decoder (PIL/librosa/pyav per ``kind``)
+    drops into ``_decode_payload`` behind the same plumbing — the batch
+    iterator, schema, and partition parallelism don't change.
     """
 
     def _decode_payload(kind: str, payload: bytes) -> dict:
-        if HAVE_IMAGE_CODEC and kind == "image":  # pragma: no cover
-            raise NotImplementedError("real image decode not wired in this container")
         arr = bytes(payload)
+        ihdr = png_parse_ihdr(arr) if kind == "image" else None
         return {
             "n_bytes": len(arr),
             "mean_byte": round(sum(arr) / len(arr), 4) if arr else 0.0,
             "max_byte": max(arr) if arr else 0,
             "header_hex": arr[:8].hex(),
+            "img_width": ihdr[0] if ihdr else None,
+            "img_height": ihdr[1] if ihdr else None,
+            "img_bit_depth": ihdr[2] if ihdr else None,
         }
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -315,11 +384,18 @@ _MEDIA_SQL = """
     FROM documents
 """
 
+# png payloads are real PNGs with the closed-form length png_encode
+# guarantees (h*(w+1) + 68); everything else is the raw text bytes.
+_PAYLOAD_LEN_SQL = """
+    CASE WHEN format = 'png' THEN height * (width + 1) + 68
+         ELSE octet_length(payload) END
+"""
+
 ORACLES = {
     "mm_media_stats": f"""
         WITH media AS ({_MEDIA_SQL})
         SELECT 'meta' AS sect, kind AS key, format, count(*) AS n,
-               CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+               CAST(sum({_PAYLOAD_LEN_SQL}) AS BIGINT) AS total_bytes,
                round(avg(width * height), 2) AS avg_pixels
         FROM media GROUP BY kind, format
         UNION ALL
