@@ -509,17 +509,46 @@ def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     return r.unionByName(c)
 
 
+BLOOM_DIM_MOD = 50  # ~2% of customers: selective but not broadcast-trivial
+
+
+def bloom_join_section(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-pruned fact-dim join (operators/bloomjoin.py) as a driver-
+    visible section: orders joined to a selective customer slice with the
+    fact side pre-filtered through the dim's Bloom sketch. The oracle is
+    the PLAIN inner join — Bloom pruning admits false positives only, so
+    any fact row the sketch wrongly drops breaks the value hash."""
+    from .bloomjoin import bloom_pruned_join
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % BLOOM_DIM_MOD == 0)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    n_dim = max(1, dim.count())
+    return bloom_pruned_join(orders, dim, "o_custkey", n_dim).select(
+        F.lit("bloom").alias("kind"),
+        F.col("o_orderkey").alias("key"),
+        F.col("c_name").alias("name"),
+    )
+
+
 def set_and_semi_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Membership-operator family under one slot, one row shape
     (kind, key, name): INTERSECT / EXCEPT (SURVEY U1) + LEFT SEMI /
-    LEFT ANTI (J1's EXISTS forms). All four compile to hash semi-join /
-    aggregate variants — no probe-side duplication crosses a shuffle."""
+    LEFT ANTI (J1's EXISTS forms) + the Bloom-pruned join section
+    (soundness-gated by the plain-join oracle). The set ops compile to
+    hash semi-join / aggregate variants — no probe-side duplication
+    crosses a shuffle."""
     s = setop_customers(spark, sf_dir).select(
         F.col("setop").alias("kind"),
         F.col("o_custkey").alias("key"),
         F.lit(None).cast("string").alias("name"),
     )
-    return s.unionByName(semi_anti_joins(spark, sf_dir))
+    return s.unionByName(semi_anti_joins(spark, sf_dir)).unionByName(
+        bloom_join_section(spark, sf_dir)
+    )
 
 
 # The exact_smalldata twin (price_quantiles: Spark's buffering
@@ -676,7 +705,11 @@ ORACLES = {
         UNION ALL
         SELECT 'semi' AS kind, s_suppkey AS key, s_name AS name FROM supplier
         WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
-    """,
+        UNION ALL
+        SELECT 'bloom' AS kind, o_orderkey AS key, c_name AS name
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_custkey % {BLOOM_DIM_MOD} = 0
+    """.format(BLOOM_DIM_MOD=BLOOM_DIM_MOD),
     "rel_quantiles": """
         SELECT l_returnflag,
                round(quantile_cont(l_extendedprice, 0.25) + 0.000001, 2) AS p25,

@@ -56,3 +56,20 @@ def test_probe_reads_only_probed_partitions(spark, tmp_path):
     )
     total_rows = spark.read.parquet(idx + "/vectors").count()
     assert 0 < probed_rows < total_rows
+
+
+def test_ivf_topk_indexed_equals_per_call_ivf(spark):
+    """The driver slot's build-once indexed search must return the same
+    (vec_id, cosine) rows as the per-call ivf_topk (same trained
+    quantizer, query excluded), and a second call must reuse the index."""
+    from ct_clickhouse_spark.operators.similarity import (
+        _IVF_INDEX_PATHS,
+        ivf_topk_indexed,
+    )
+
+    got = [(r.vec_id, r.cosine) for r in ivf_topk_indexed(spark, SF_DIR).collect()]
+    want = [(r.vec_id, r.cosine) for r in ivf_topk(spark, SF_DIR).collect()]
+    assert got == want and got
+    n_paths = len(_IVF_INDEX_PATHS)
+    ivf_topk_indexed(spark, SF_DIR).collect()
+    assert len(_IVF_INDEX_PATHS) == n_paths  # reused, not rebuilt
