@@ -67,13 +67,16 @@ def recent_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GET /recent/<base>: range predicate on ts + GROUP BY dedup
     (api/app.py:122-128). Anchor = max(ts) - 180 days instead of now()-1d."""
     build_cert_domains(spark, sf_dir)
+    # parameterized, not interpolated — the serving layer's "never
+    # f-string SQL" rule (serving/app.py) applies project-wide
     return spark.sql(
-        f"""
+        """
         SELECT domain FROM cert_domains
-        WHERE base_domain = '{RECENT_BASE_PARAM}'
+        WHERE base_domain = :base
           AND ts > (SELECT max(ts) FROM cert_domains) - INTERVAL 180 DAY
         GROUP BY domain
-        """
+        """,
+        args={"base": RECENT_BASE_PARAM},
     )
 
 
