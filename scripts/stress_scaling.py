@@ -139,6 +139,31 @@ def main() -> None:
             .agg(F.count(F.lit(1)))
             .collect())
 
+        # exact GEMM pair tier (round 4): multiplied embeddings written to
+        # a temp fixture dir so cosine_pairs runs its real path, including
+        # the size-adaptive tile count (blocks = ceil(n/4096)): task
+        # memory stays fixed while task count absorbs growth. Replicated
+        # copies are identical vectors, so cross-copy pairs add k*(k-1)/2
+        # exact-dup rows per base vector — bounded output inflation, the
+        # kernel work is the n^2·d term being measured.
+        import tempfile
+
+        from ct_clickhouse_spark.operators.similarity import (
+            _gemm_blocks,
+            cosine_pairs,
+        )
+
+        gemm_dir = tempfile.mkdtemp(prefix=f"stress_emb_{k}x_")
+        emb_for_gemm = multiplied(spark, "embeddings", ["vec_id"], k)
+        emb_for_gemm.write.mode("overwrite").parquet(
+            os.path.join(gemm_dir, "embeddings.parquet")
+        )
+        n_emb = emb_for_gemm.count()
+        results.setdefault("gemm_blocks", {})[k] = _gemm_blocks(n_emb)
+        timed("gemm_pairs", k, lambda: cosine_pairs(spark, gemm_dir)
+            .agg(F.count(F.lit(1)))
+            .collect())
+
         # connected-components label propagation over linearly replicated
         # edges (k independent copies of the near-dup pair graph: edges,
         # nodes, and components all scale k x, diameter constant)
