@@ -52,6 +52,14 @@ _FRAME_API = {
         "ct_clickhouse_spark.operators.sampling",
         "stratified_sample",
     ),
+    "remove_duplicate_spans": (
+        "ct_clickhouse_spark.operators.dedup",
+        "remove_duplicate_spans",
+    ),
+    "sq8_quantize": (
+        "ct_clickhouse_spark.operators.similarity",
+        "sq8_quantize",
+    ),
     "interval_join": ("ct_clickhouse_spark.operators.rangejoin", "interval_join"),
     "bloom_prune": ("ct_clickhouse_spark.operators.bloomjoin", "bloom_prune"),
     "bloom_pruned_join": (

@@ -67,6 +67,132 @@ def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Duplicated-span removal (ExactSubstr-style, Lee et al. 2022 "Deduplicating
+# Training Data Makes Language Models Better"): word positions covered by any
+# word-k-gram that appears in >= SPAN_MIN_DOCS distinct documents are removed
+# from EVERY document, and the text is reassembled from the surviving words.
+# Symmetric removal (no "keep first occurrence") keeps the operator
+# partition-order-independent — the result is a pure function of the corpus.
+SPAN_GRAM_WORDS = 5
+SPAN_MIN_DOCS = 2
+
+
+def remove_duplicate_spans(
+    docs: DataFrame, k: int = SPAN_GRAM_WORDS, min_docs: int = SPAN_MIN_DOCS
+) -> DataFrame:
+    """Corpus-level duplicated-span removal over (doc_id, text).
+
+    Returns one row per input document:
+    ``(doc_id, n_words, n_removed, text_hash)`` where ``text_hash`` is
+    md5 of the reassembled (space-joined) text after dropping every word
+    position covered by a cross-document duplicated k-gram; a fully
+    duplicated document hashes the empty string.
+
+    Scale shape (all linear, no all-pairs anywhere):
+      1. gram build: per-row array expressions, no shuffle;
+      2. duplicated-gram set: distinct (gram, doc) then a map-side
+         combinable count per gram hash — one shuffle on the gram key;
+      3. covered positions: semi-join gram starts against the duplicated
+         set (shuffle on the gram key), explode x k, distinct on
+         (doc, pos);
+      4. reassembly: one shuffle on doc_id; the collect_list is bounded
+         by the document's own length — the same bound the text column
+         itself already imposes on a row.
+    The duplicated-gram set is NOT broadcast: at 100 TB it is a fact-
+    sized table (boilerplate is common), so the semi-join shuffles on the
+    gram hash instead, which AQE converts to broadcast when it turns out
+    tiny. Reference anchor: the dedup claim (README.md:19) the reference
+    never implements; this is the span-level member of the family."""
+    base = docs.withColumn("_w", _words(F.col("text"))).select("doc_id", "_w")
+
+    # gram array with 1-based start positions via posexplode; hashed to
+    # 64-bit so the duplicate-count shuffle moves longs, not strings
+    # (same collision-odds argument as _kept_shingles)
+    idx = F.sequence(F.lit(0), F.size(F.col("_w")) - k)
+    gram_arr = F.when(
+        F.size(F.col("_w")) >= k,
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.element_at(F.col("_w"), (i + j + 1).cast("int"))
+                        for j in range(k)
+                    ],
+                )
+            ),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    grams = base.select(
+        "doc_id", F.posexplode(gram_arr).alias("_s0", "gh")
+    ).select("doc_id", (F.col("_s0") + 1).alias("s"), "gh")
+
+    dup = (
+        grams.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_docs)
+        .select("gh")
+    )
+    starts = grams.join(dup, "gh", "left_semi").select("doc_id", "s").distinct()
+    covered = starts.select(
+        "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("pos")
+    ).distinct()
+
+    words = base.select(
+        "doc_id", F.posexplode(F.col("_w")).alias("_p0", "word")
+    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "word")
+    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
+    cleaned = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                lambda x: x["word"],
+            ),
+        ).alias("ctext"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+    totals = base.select("doc_id", F.size(F.col("_w")).cast("long").alias("n_words"))
+    return totals.join(cleaned, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
+        F.md5(F.coalesce(F.col("ctext"), F.lit(""))).alias("text_hash"),
+    )
+
+
+def doc_exact_and_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup + duplicated-span removal under one slot, one row shape
+    ``(kind, text_hash, keep_id, n_copies, aux)``:
+
+    - kind='exact': md5-content groups (keep_id = surviving doc, n_copies
+      = group size, aux NULL) — the D1 dedup the reference claims;
+    - kind='span_removal': per-doc reassembled-text hash after corpus-
+      level duplicated-k-gram removal (keep_id = doc_id, n_copies =
+      words removed, aux = total words). A wrong covered-position set or
+      reassembly order anywhere breaks the value hash."""
+    docs = load_table(spark, sf_dir, "documents").repartition(default_parallelism())
+    exact = doc_dedup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("kind"),
+        "text_hash",
+        "keep_id",
+        "n_copies",
+        F.lit(None).cast("long").alias("aux"),
+    )
+    spans = remove_duplicate_spans(docs).select(
+        F.lit("span_removal").alias("kind"),
+        "text_hash",
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_removed").alias("n_copies"),
+        F.col("n_words").alias("aux"),
+    )
+    return exact.unionByName(spans)
+
+
 def _words(col):
     return F.split(F.lower(F.trim(col)), r"\s+")
 
@@ -353,7 +479,7 @@ def lsh_pairs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_cert_exact": cert_dedup_exact,
-    "dedup_doc_exact": doc_dedup_exact,
+    "dedup_doc_exact": doc_exact_and_spans,
     "dedup_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
     "dedup_sketch_signatures": doc_sketch_signatures,  # rows-only (sketch)
     "dedup_lsh_pairs": lsh_pairs_all,  # rows-only (both LSH families)
@@ -367,10 +493,54 @@ ORACLES = {
         ) GROUP BY log_name ORDER BY log_name
         """
     ),
-    "dedup_doc_exact": """
-        SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
-               count(*) AS n_copies
-        FROM documents GROUP BY md5(text) ORDER BY keep_id
+    "dedup_doc_exact": f"""
+        WITH span_base AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS w
+            FROM documents
+        ), span_grams AS (
+            SELECT doc_id, unnest(gs) AS g, generate_subscripts(gs, 1) AS s
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN len(w) >= {SPAN_GRAM_WORDS}
+                            THEN list_transform(
+                                range(1, len(w) - {SPAN_GRAM_WORDS} + 2),
+                                i -> concat_ws(' ', {', '.join(f'w[i+{j}]' for j in range(SPAN_GRAM_WORDS))}))
+                            ELSE [] END AS gs
+                FROM span_base)
+        ), span_dup AS (
+            SELECT g FROM span_grams
+            GROUP BY g HAVING count(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+        ), span_starts AS (
+            SELECT DISTINCT doc_id, s FROM span_grams
+            WHERE g IN (SELECT g FROM span_dup)
+        ), span_covered AS (
+            SELECT DISTINCT doc_id, s + t.o AS pos
+            FROM span_starts
+            CROSS JOIN (SELECT unnest(range(0, {SPAN_GRAM_WORDS})) AS o) t
+        ), span_words AS (
+            SELECT doc_id, unnest(w) AS word, generate_subscripts(w, 1) AS pos
+            FROM span_base
+        ), span_kept AS (
+            SELECT wd.doc_id, wd.pos, wd.word
+            FROM span_words wd
+            LEFT JOIN span_covered c ON c.doc_id = wd.doc_id AND c.pos = wd.pos
+            WHERE c.pos IS NULL
+        ), span_cleaned AS (
+            SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS ctext,
+                   count(*) AS n_kept
+            FROM span_kept GROUP BY doc_id
+        )
+        SELECT 'exact' AS kind, md5(text) AS text_hash, min(doc_id) AS keep_id,
+               count(*) AS n_copies, CAST(NULL AS BIGINT) AS aux
+        FROM documents GROUP BY md5(text)
+        UNION ALL
+        SELECT 'span_removal' AS kind,
+               md5(coalesce(c.ctext, '')) AS text_hash,
+               b.doc_id AS keep_id,
+               len(b.w) - coalesce(c.n_kept, 0) AS n_copies,
+               CAST(len(b.w) AS BIGINT) AS aux
+        FROM span_base b LEFT JOIN span_cleaned c USING (doc_id)
+        ORDER BY kind, keep_id
     """,
     "dedup_ngram_jaccard_pairs": f"""
         WITH raw_sh AS (

@@ -526,6 +526,139 @@ def ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe(spark, path, qvec, exclude_vec_id=QUERY_VEC_ID)
 
 
+# --- SQ8 scalar quantization (FAISS-SQ8 analog) -------------------------
+# The third classic ANN memory/scale lever next to LSH and IVF: store each
+# normalized vector as d int8 codes (8x smaller than float64, 4x smaller
+# than float32), score approximately IN THE CODE DOMAIN with pure JVM
+# expressions, and re-rank only a small candidate set exactly. At 100 TB
+# the scan/shuffle byte volume — not FLOPs — is the bottleneck this buys
+# back; quantization error is bounded by scale_d/2/127 per dimension.
+SQ8_LEVELS = 127
+SQ8_REFINE = 4  # candidates fetched per final result before exact re-rank
+
+_SQ8_CACHE: dict[tuple[str, str], tuple[DataFrame, list[float]]] = {}
+
+
+def sq8_quantize(emb_df: DataFrame) -> tuple[DataFrame, list[float]]:
+    """Symmetric per-dimension scalar quantization of NORMALIZED vectors.
+
+    Returns ``(codes_df, scales)``: codes_df is (vec_id, label, codes
+    array<tinyint>) with code_d = round(x_d / scale_d * 127) for the
+    L2-normalized vector, and scales is the d-vector of per-dimension
+    max |x_d| (driver-held: d scalars, bounded by the embedding width —
+    never by corpus size). Normalizing BEFORE quantizing makes the
+    approximate dot product approximate the cosine directly."""
+    emb = emb_df.withColumn("_nrm", _norm(F.col("emb"))).withColumn(
+        "nemb", F.transform(F.col("emb"), lambda x: x / F.col("_nrm"))
+    )
+    scale_rows = (
+        emb.select(F.posexplode("nemb").alias("pos", "v"))
+        .groupBy("pos")
+        .agg(F.max(F.abs(F.col("v"))).alias("s"))
+        .orderBy("pos")
+        .collect()
+    )
+    scales = [float(r.s) if r.s else 1.0 for r in scale_rows]
+    lit_scales = F.array(*[F.lit(s) for s in scales])
+    codes = emb.select(
+        "vec_id",
+        "label",
+        F.zip_with(
+            F.col("nemb"),
+            lit_scales,
+            lambda x, sc: F.round(x / sc * SQ8_LEVELS).cast("tinyint"),
+        ).alias("codes"),
+    )
+    return codes, scales
+
+
+def _sq8_cached(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[float]]:
+    from ..catalog import _session_key
+
+    key = (_session_key(spark), sf_dir)
+    hit = _SQ8_CACHE.get(key)
+    if hit is None:
+        codes, scales = sq8_quantize(
+            _emb_double(load_table(spark, sf_dir, "embeddings"))
+        )
+        hit = (codes.persist(), scales)
+        _SQ8_CACHE[key] = hit
+    return hit
+
+
+def sq8_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOPK, refine: int = SQ8_REFINE
+) -> DataFrame:
+    """SQ8 approximate top-k against the vec_id=0 query vector.
+
+    Plan: (1) approximate cosine = sum(code_d * w_d) over the int8 codes,
+    where w_d folds the query's code and both scale factors — ONE
+    zip_with/aggregate pair in whole-stage codegen, no Python; (2)
+    TakeOrdered k*refine candidates by approximate score; (3) exact
+    cosine re-rank of only those candidates (broadcast of k*refine ids).
+    Recall is pytest-gated against the exact brute-force tier."""
+    codes, scales = _sq8_cached(spark, sf_dir)
+    qrow = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select("embedding")
+        .collect()[0]
+        .embedding
+    )
+    qn = sum(x * x for x in qrow) ** 0.5
+    qnorm = [x / qn for x in qrow]
+    # w_d = q_code_d * scale_d^2 / 127^2, so sum(code_d * w_d) ~= cosine
+    weights = [
+        round(q / s * SQ8_LEVELS) * s * s / (SQ8_LEVELS * SQ8_LEVELS)
+        for q, s in zip(qnorm, scales)
+    ]
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.array(*[F.lit(w) for w in weights]),
+            lambda c, w: c * w,
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    cand = (
+        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", approx.alias("approx_cos"))
+        .orderBy(F.col("approx_cos").desc(), "vec_id")
+        .limit(k * refine)
+        .select("vec_id")
+    )
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qvec")
+    )
+    cos = _dot(F.col("emb"), F.col("qvec")) / (
+        _norm(F.col("emb")) * _norm(F.col("qvec"))
+    )
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", "label", F.round(cos, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )
+
+
+def ann_topk_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-index family under one rows-only slot, one row
+    shape (kind, vec_id, label, cosine): the persisted-IVF probe
+    (partition-pruned scan) and the SQ8 scalar-quantized search (int8
+    code-domain scoring + exact re-rank). Both are pytest-gated on
+    recall/identity against the exact tier."""
+    ivf = ivf_topk_indexed(spark, sf_dir).select(
+        F.lit("ivf").alias("kind"), "vec_id", "label", "cosine"
+    )
+    sq8 = sq8_topk(spark, sf_dir).select(
+        F.lit("sq8").alias("kind"), "vec_id", "label", "cosine"
+    )
+    return ivf.unionByName(sq8)
+
+
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label centroid components: posexplode + avg per (label, pos) —
     the building block of IVF coarse quantization."""
@@ -685,7 +818,7 @@ QUERIES = {
     "sim_cosine_pairs": cosine_pairs,
     "sim_topk_centroids": topk_and_centroids,
     "dedup_embedding_groups": embedding_dedup_groups,
-    "sim_ivf_topk": ivf_topk_indexed,  # rows-only (approximate index)
+    "sim_ivf_topk": ann_topk_variants,  # rows-only (approximate indexes: ivf + sq8)
 }
 
 _COS_SQL = (

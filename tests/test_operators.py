@@ -291,6 +291,80 @@ def test_lang_id_prefers_english_on_stopworded_text(spark):
     assert all(r.pred_lang in ("en", "unknown") for r in rows)
 
 
+def test_span_removal_removes_planted_duplicate_span(spark):
+    """A >=k-word run shared by two docs is cut from BOTH (symmetric
+    removal); untouched docs keep their exact reassembled hash."""
+    import hashlib
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta unique1 tail1"),
+        (2, "prefix2 alpha beta gamma delta epsilon zeta tail2"),
+        (3, "totally different words here nothing shared at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in dedup.remove_duplicate_spans(docs, k=5, min_docs=2).collect()
+    }
+    # the shared 6-word run yields two duplicated 5-grams per doc covering
+    # exactly those 6 positions
+    assert out[1].n_removed == 6 and out[2].n_removed == 6
+    assert out[3].n_removed == 0
+    assert (
+        out[3].text_hash
+        == hashlib.md5(rows[2][1].encode()).hexdigest()
+    )
+    # doc 1 keeps its unique head/tail words
+    assert out[1].n_words == 8
+
+
+def test_span_removal_fully_duplicated_doc_hashes_empty(spark):
+    import hashlib
+
+    txt = "one two three four five six seven"
+    docs = spark.createDataFrame([(1, txt), (2, txt)], "doc_id long, text string")
+    empty = hashlib.md5(b"").hexdigest()
+    for r in dedup.remove_duplicate_spans(docs).collect():
+        assert r.n_removed == r.n_words
+        assert r.text_hash == empty
+
+
+def test_span_removal_short_docs_pass_through(spark):
+    """Docs shorter than k words can host no k-gram: nothing removed,
+    including when their full text equals another short doc."""
+    docs = spark.createDataFrame(
+        [(1, "tiny doc"), (2, "tiny doc")], "doc_id long, text string"
+    )
+    for r in dedup.remove_duplicate_spans(docs, k=5).collect():
+        assert r.n_removed == 0 and r.n_words == 2
+
+
+def test_sq8_topk_recall_against_brute_force(spark):
+    """SQ8 code-domain candidate generation + exact re-rank must recover
+    the exact top-k at high recall on the fixture."""
+    exact = {r.vec_id for r in similarity.cosine_topk(spark, SF_DIR).collect()}
+    approx = {r.vec_id for r in similarity.sq8_topk(spark, SF_DIR).collect()}
+    assert len(exact & approx) / len(exact) >= 0.9
+
+
+def test_sq8_codes_are_int8_and_candidates_prune(spark):
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.catalog import load_table
+
+    codes, scales = similarity._sq8_cached(spark, SF_DIR)
+    assert dict(codes.dtypes)["codes"] == "array<tinyint>"
+    assert len(scales) == similarity.EMBED_DIM
+    # every code must be representable in int8 (symmetric scheme)
+    bad = codes.filter(
+        F.exists("codes", lambda c: F.abs(c) > similarity.SQ8_LEVELS)
+    ).count()
+    assert bad == 0
+    # the candidate stage must actually prune: k*refine << corpus
+    n = load_table(spark, SF_DIR, "embeddings").count()
+    assert similarity.TOPK * similarity.SQ8_REFINE < n
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting must be a pure physical rewrite: same rows out."""
     from pyspark.sql import functions as F
