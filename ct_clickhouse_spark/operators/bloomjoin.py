@@ -126,7 +126,13 @@ def bloom_prune(
     an inline literal array would be copied into the expression tree once
     per hash (7 x up-to-2M-element CreateArray nodes near the ceiling —
     enough to stall planning); as an attribute it exists once."""
-    bitmap = build_bloom(dim, key, expected_items)
+    return bloom_prune_prebuilt(fact, key, build_bloom(dim, key, expected_items))
+
+
+def bloom_prune_prebuilt(fact: DataFrame, key: str, bitmap: list[int]) -> DataFrame:
+    """``bloom_prune`` against an already-built word array — the probe
+    half on its own, for callers that cache the sketch (build once, probe
+    per query: the same artifact lifecycle as the persisted IVF index)."""
     arr = F.array(*[F.lit(w) for w in bitmap])
     tagged = fact.withColumn("_bf_words", arr)
     return tagged.filter(
