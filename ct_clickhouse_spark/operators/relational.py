@@ -103,6 +103,47 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def salted_join_section(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``salted_join`` (the explicit skew-spreading rewrite) as a driver-
+    visible section: lineitem joined to orders through the salt
+    replication, then aggregated per order status. The oracle is the
+    PLAIN join + aggregate — a salt bucket that drops, duplicates, or
+    misroutes any fact row breaks the value hash."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salt=8)
+    return joined.groupBy("o_orderstatus").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def region_revenue_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The join-strategy family under one slot, one row shape
+    (kind, g1, g2, revenue, n_items): the broadcast star join (J1) and
+    the salted skew-join rewrite, each soundness-gated by a plain-SQL
+    oracle."""
+    star = region_revenue(spark, sf_dir).select(
+        F.lit("star").alias("kind"),
+        F.col("r_name").alias("g1"),
+        F.col("n_name").alias("g2"),
+        "revenue",
+        "n_items",
+    )
+    salted = salted_join_section(spark, sf_dir).select(
+        F.lit("salted_join").alias("kind"),
+        F.col("o_orderstatus").alias("g1"),
+        F.lit(None).cast("string").alias("g2"),
+        "revenue",
+        "n_items",
+    )
+    return star.unionByName(salted)
+
+
 def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP over (status, priority): subtotal + grand-total rows."""
     orders = _t(spark, sf_dir, "orders")
@@ -649,7 +690,7 @@ def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "rel_pricing_summary": pricing_summary,
     "rel_shipping_priority": shipping_priority,
-    "rel_region_revenue": region_revenue,
+    "rel_region_revenue": region_revenue_sections,
     "rel_grouping_sets": grouping_sets_sales,
     "rel_set_and_semi_joins": set_and_semi_joins,
     "rel_quantiles": price_quantiles_distributed,
@@ -691,7 +732,7 @@ ORACLES = {
         ORDER BY revenue DESC, l_orderkey LIMIT 10
     """,
     "rel_region_revenue": """
-        SELECT r_name, n_name,
+        SELECT 'star' AS kind, r_name AS g1, n_name AS g2,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                count(*) AS n_items
         FROM lineitem
@@ -700,7 +741,14 @@ ORACLES = {
         JOIN nation ON c_nationkey = n_nationkey
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name, n_name
-        ORDER BY r_name, n_name
+        UNION ALL
+        SELECT 'salted_join' AS kind, o_orderstatus AS g1,
+               CAST(NULL AS VARCHAR) AS g2,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+        ORDER BY kind, g1, g2
     """,
     "rel_grouping_sets": """
         SELECT 'rollup' AS variant, o_orderstatus, o_orderpriority,

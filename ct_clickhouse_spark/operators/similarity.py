@@ -76,6 +76,14 @@ def _gemm_blocks(n_rows: int) -> int:
     return max(MIN_GEMM_BLOCKS, -(-n_rows // GEMM_ROWS_PER_TILE))
 
 
+# The exact pair table is consumed by its own slot AND as the default
+# edge source of embedding_dedup_groups, and each lazy consumer would
+# re-run the full blocked GEMM. Persist per (session, sf) — the in-memory
+# analog of the near-dup edge list a 100 TB pipeline materializes
+# physically (same precedent as the shingle / signature caches).
+_PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def cosine_pairs(
     spark: SparkSession, sf_dir: str, blocks: int | None = None
 ) -> DataFrame:
@@ -95,7 +103,15 @@ def cosine_pairs(
     import numpy as np
     import pandas as pd
 
+    from ..catalog import _session_key
+
+    ckey = (_session_key(spark), sf_dir)
+    if blocks is None:
+        hit = _PAIRS_CACHE.get(ckey)
+        if hit is not None:
+            return hit
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    auto_sized = blocks is None
     if blocks is None:
         # count() on a parquet scan resolves from footer metadata — cheap
         # relative to the GEMM it sizes
@@ -152,10 +168,13 @@ def cosine_pairs(
         ib = np.maximum(a_ids, b_ids)
         return pd.DataFrame({"id_a": ia, "id_b": ib, "cosine": sims[ai, bj]})
 
-    return (
-        both.groupBy("task")
-        .applyInPandas(_kernel, "id_a long, id_b long, cosine double")
+    out = both.groupBy("task").applyInPandas(
+        _kernel, "id_a long, id_b long, cosine double"
     )
+    if auto_sized:
+        out = out.persist()
+        _PAIRS_CACHE[ckey] = out
+    return out
 
 
 def _hyperplanes(spark: SparkSession) -> DataFrame:
@@ -757,9 +776,23 @@ def _label_propagate_rounds(
     ).localCheckpoint(eager=True)
     labels = ids.withColumn("label", F.col("id")).localCheckpoint(eager=True)
     rounds = 0
+    frontier = None  # None = first round, every node propagates
     while True:
+        # Delta propagation: a neighbor can only lower my label if ITS
+        # label changed last round (an unchanged neighbor's label was
+        # already offered — and absorbed via least() — the round after it
+        # last changed). Restricting the edge join to the changed frontier
+        # makes late rounds proportional to the still-moving subgraph,
+        # not the whole graph.
+        active = (
+            edges
+            if frontier is None
+            else edges.join(
+                frontier.select(F.col("id").alias("id_b")), "id_b", "left_semi"
+            )
+        )
         nbr_min = (
-            edges.join(labels, edges.id_b == labels.id)
+            active.join(labels, active.id_b == labels.id)
             .groupBy("id_a")
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -785,7 +818,8 @@ def _label_propagate_rounds(
             )
             .localCheckpoint(eager=True)
         )
-        changed = proposed.filter(F.col("label") != F.col("old_label")).count()
+        frontier = proposed.filter(F.col("label") != F.col("old_label")).select("id")
+        changed = frontier.count()
         labels = proposed.select("id", "label")
         rounds += 1
         if changed == 0 or (max_iters is not None and rounds >= max_iters):
