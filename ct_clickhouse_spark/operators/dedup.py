@@ -89,15 +89,18 @@ def remove_duplicate_spans(
     duplicated document hashes the empty string.
 
     Scale shape (all linear, no all-pairs anywhere):
-      1. gram build: per-row array expressions, no shuffle;
-      2. duplicated-gram set: distinct (gram, doc) then a map-side
-         combinable count per gram hash — one shuffle on the gram key;
-      3. covered positions: semi-join gram starts against the duplicated
-         set (shuffle on the gram key), explode x k, distinct on
-         (doc, pos);
-      4. reassembly: one shuffle on doc_id; the collect_list is bounded
-         by the document's own length — the same bound the text column
-         itself already imposes on a row.
+      1. gram build: per-row array expressions (multi-arg xxhash64 over
+         the k words — no intermediate concat string), no shuffle;
+      2. duplicated-gram set: one map-side-combinable distinct-doc count
+         per gram hash — one shuffle on the gram key;
+      3. covered starts per doc: semi-join gram starts against the
+         duplicated set (shuffle on the gram key), then collect the start
+         offsets into one array per doc — bounded by the document's own
+         word count, the same bound the text row already imposes;
+      4. reassembly: join the starts array back on doc_id, then pure
+         array expressions — expand starts to covered positions, filter
+         the word array by position, concat. No word-level explode, no
+         row sort; order comes for free from the array.
     The duplicated-gram set is NOT broadcast: at 100 TB it is a fact-
     sized table (boilerplate is common), so the semi-join shuffles on the
     gram hash instead, which AQE converts to broadcast when it turns out
@@ -105,8 +108,8 @@ def remove_duplicate_spans(
     never implements; this is the span-level member of the family."""
     base = docs.withColumn("_w", _words(F.col("text"))).select("doc_id", "_w")
 
-    # gram array with 1-based start positions via posexplode; hashed to
-    # 64-bit so the duplicate-count shuffle moves longs, not strings
+    # gram-hash array with 1-based start positions via posexplode; 64-bit
+    # hashes so the duplicate-count shuffle moves longs, not strings
     # (same collision-odds argument as _kept_shingles)
     idx = F.sequence(F.lit(0), F.size(F.col("_w")) - k)
     gram_arr = F.when(
@@ -114,13 +117,10 @@ def remove_duplicate_spans(
         F.transform(
             idx,
             lambda i: F.xxhash64(
-                F.concat_ws(
-                    " ",
-                    *[
-                        F.element_at(F.col("_w"), (i + j + 1).cast("int"))
-                        for j in range(k)
-                    ],
-                )
+                *[
+                    F.element_at(F.col("_w"), (i + j + 1).cast("int"))
+                    for j in range(k)
+                ]
             ),
         ),
     ).otherwise(F.array().cast("array<long>"))
@@ -129,39 +129,44 @@ def remove_duplicate_spans(
     ).select("doc_id", (F.col("_s0") + 1).alias("s"), "gh")
 
     dup = (
-        grams.select("gh", "doc_id")
-        .distinct()
-        .groupBy("gh")
-        .agg(F.count(F.lit(1)).alias("df"))
+        grams.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("df"))
         .filter(F.col("df") >= min_docs)
         .select("gh")
     )
-    starts = grams.join(dup, "gh", "left_semi").select("doc_id", "s").distinct()
-    covered = starts.select(
-        "doc_id", F.explode(F.sequence(F.col("s"), F.col("s") + (k - 1))).alias("pos")
-    ).distinct()
-
-    words = base.select(
-        "doc_id", F.posexplode(F.col("_w")).alias("_p0", "word")
-    ).select("doc_id", (F.col("_p0") + 1).alias("pos"), "word")
-    kept = words.join(covered, ["doc_id", "pos"], "left_anti")
-    cleaned = kept.groupBy("doc_id").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "word"))),
-                lambda x: x["word"],
-            ),
-        ).alias("ctext"),
-        F.count(F.lit(1)).alias("n_kept"),
+    doc_starts = (
+        grams.join(dup, "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("s").alias("_starts"))
     )
 
-    totals = base.select("doc_id", F.size(F.col("_w")).cast("long").alias("n_words"))
-    return totals.join(cleaned, "doc_id", "left").select(
+    # covered positions per doc, then the kept positions via array_except
+    # (hash-set lookup: linear in doc length, preserves left-array order);
+    # _kept is materialized as a column so its tree evaluates once.
+    joined = (
+        base.join(doc_starts, "doc_id", "left")
+        .withColumn(
+            "_cov",
+            F.flatten(
+                F.transform(
+                    F.coalesce(F.col("_starts"), F.array().cast("array<int>")),
+                    lambda s: F.sequence(s, s + (k - 1)),
+                )
+            ),
+        )
+        .withColumn(
+            "_kept",
+            F.transform(
+                F.array_except(F.sequence(F.lit(1), F.size("_w")), F.col("_cov")),
+                lambda p: F.element_at(F.col("_w"), p),
+            ),
+        )
+    )
+    return joined.select(
         "doc_id",
-        "n_words",
-        (F.col("n_words") - F.coalesce(F.col("n_kept"), F.lit(0))).alias("n_removed"),
-        F.md5(F.coalesce(F.col("ctext"), F.lit(""))).alias("text_hash"),
+        F.size(F.col("_w")).cast("long").alias("n_words"),
+        (F.size(F.col("_w")) - F.size("_kept")).cast("long").alias("n_removed"),
+        F.md5(F.concat_ws(" ", F.col("_kept"))).alias("text_hash"),
     )
 
 

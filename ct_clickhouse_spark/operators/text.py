@@ -36,6 +36,13 @@ FP_WINDOW = 16  # character k-gram width for the rolling fingerprint
 DECONTAM_NGRAM = 8  # long n-grams: only real shared passages match
 DECONTAM_DF_CAP = 50  # n-grams in more docs than this are boilerplate, not leaks
 
+# Training-sequence chunking: window/stride in words. Overlap
+# (CHUNK_WORDS - CHUNK_STRIDE) carries context across chunk boundaries —
+# the standard fixed-window document chunking done before tokenize+pack.
+# Sized so the ~50-word fixture docs produce 2-3 chunks each.
+CHUNK_WORDS = 32
+CHUNK_STRIDE = 24
+
 
 def _words(col):
     return F.split(F.lower(F.trim(col)), r"\s+")
@@ -191,6 +198,54 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def n_chunks_expr(n_words, chunk_words: int = CHUNK_WORDS, stride: int = CHUNK_STRIDE):
+    """Closed-form chunk count for ``chunk_documents``: starts are
+    0, stride, 2*stride, ... while start < n_words - overlap (and always
+    at least one chunk), so K = floor(max(n - overlap - 1, 0)/stride) + 1.
+    Pure integer arithmetic — the same formula is evaluated by the DuckDB
+    oracle, and a test asserts it equals the exploded chunk count."""
+    overlap = chunk_words - stride
+    return (
+        F.floor(F.greatest(n_words - F.lit(overlap + 1), F.lit(0)) / stride) + 1
+    ).cast("long")
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    chunk_words: int = CHUNK_WORDS,
+    stride: int = CHUNK_STRIDE,
+    keep_cols: tuple[str, ...] = ("doc_id",),
+) -> DataFrame:
+    """Fixed-window document chunking with overlap — the sequence-prep
+    step between cleaning and tokenize+pack in a training pipeline. Each
+    document becomes ceil-many overlapping word windows of ``chunk_words``
+    words advancing by ``stride`` (every doc yields at least one chunk).
+
+    Pure JVM: split once, generate the start offsets with ``sequence``,
+    explode, slice. Embarrassingly parallel, no shuffle, linear in corpus
+    size; the per-row fan-out is bounded by doc length / stride. Output:
+    keep_cols + (chunk_id, chunk_start, n_chunk_words, chunk_text)."""
+    if stride < 1 or stride > chunk_words:
+        raise ValueError(f"need 1 <= stride <= chunk_words, got {stride}/{chunk_words}")
+    overlap = chunk_words - stride
+    out = df.withColumn("_cw", _words(F.col(text_col)))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.size("_cw") - F.lit(overlap + 1), F.lit(0)),
+        F.lit(stride),
+    )
+    out = out.select(*keep_cols, "_cw", F.posexplode(starts).alias("chunk_id", "chunk_start"))
+    piece = F.slice(F.col("_cw"), F.col("chunk_start") + 1, chunk_words)
+    return out.select(
+        *keep_cols,
+        "chunk_id",
+        "chunk_start",
+        F.size(piece).alias("n_chunk_words"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+    )
+
+
 PACK_MAX = 2000  # bin capacity (chars) for the driver packing slot
 
 
@@ -261,6 +316,101 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .applyInPandas(_top, schema)
     )
+
+
+# BM25 relevance scoring (Robertson/Sparck-Jones with the Lucene-style
+# non-negative idf): the standard lexical retrieval score, used in
+# training pipelines to mine documents relevant to a seed query set.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("dup", "vector", "join")  # rare / mid / common df mix
+BM25_TOPK = 10
+
+
+def bm25_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k: int = BM25_TOPK,
+) -> DataFrame:
+    """Top-k documents by BM25 score for a fixed query-term set.
+
+    Plan (scale notes): ONE scan computes per-doc length and one tf
+    column per query term straight off the split array — no explode, no
+    per-term shuffle. The corpus stats (N, total length, per-term df)
+    reduce to a SINGLE row, broadcast back over the scan; the score is a
+    fixed-order arithmetic expression (deterministic float summation —
+    both engines add the per-term contributions left to right), and the
+    top-k is orderBy+limit (TakeOrderedAndProject — no global sort). The
+    k result rows are re-ranked with a window over a constant-size frame.
+    Output values are integers only (score scaled to 1e4) so the
+    cross-engine hash is immune to float formatting."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_w", _words(F.col("text"))
+    )
+    per_doc = docs.select(
+        "doc_id",
+        F.size("_w").alias("dl"),
+        *[
+            F.size(F.filter(F.col("_w"), lambda w: w == F.lit(t))).alias(f"tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf{i}") > 0).cast("long")).alias(f"df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    score = None
+    for i in range(len(terms)):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n_docs") - df + 0.5) / (df + 0.5)
+        )
+        part = idf * (tf * (BM25_K1 + 1)) / (
+            tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / avgdl)
+        )
+        score = part if score is None else score + part
+    hits = (
+        j.filter(sum(F.col(f"tf{i}") for i in range(len(terms))) > 0)
+        .select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(k)
+    )
+    from pyspark.sql import Window
+
+    rnk = F.row_number().over(Window.orderBy(F.desc("score"), "doc_id"))
+    return hits.select(
+        "doc_id",
+        rnk.alias("rnk"),
+        F.round(F.col("score") * 10000, 0).cast("long").alias("score_x1e4"),
+    )
+
+
+def top_terms_and_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver slot: the top-terms UDAF ('top' rows) + BM25 retrieval
+    ('bm25' rows) as a tagged long-format union —
+    (sect, grp, term, rnk, val)."""
+    top = top_terms_per_source(spark, sf_dir).select(
+        F.lit("top").alias("sect"),
+        F.col("source").alias("grp"),
+        "term",
+        F.col("term_rank").alias("rnk"),
+        F.col("n_occurrences").alias("val"),
+    )
+    bm = bm25_topk(spark, sf_dir).select(
+        F.lit("bm25").alias("sect"),
+        F.lit("corpus").alias("grp"),
+        F.col("doc_id").cast("string").alias("term"),
+        "rnk",
+        F.col("score_x1e4").alias("val"),
+    )
+    return top.unionByName(bm)
 
 
 def _split_col(doc_id_col):
@@ -469,6 +619,11 @@ def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "redacted_chars",
         dup_word_frac.alias("dup_word_frac"),
         dup_bigram_frac.alias("dup_bigram_frac"),
+        n_chunks_expr(F.size(words)).alias("n_chunks"),
+        F.least(
+            F.lit(CHUNK_WORDS),
+            F.size(words) - (n_chunks_expr(F.size(words)) - 1) * CHUNK_STRIDE,
+        ).cast("long").alias("last_chunk_words"),
         *scores.values(),
     )
     best = F.greatest(*[F.col(f"score_{lang}") for lang in STOPWORDS])
@@ -482,7 +637,7 @@ QUERIES = {
     "text_doc_profile": doc_profile_with_lang,
     "text_token_count": token_count,
     "text_doc_fingerprint": fingerprint_and_pack,  # rows-only (hash sketch + pack)
-    "text_top_terms_per_source": top_terms_per_source,
+    "text_top_terms_per_source": top_terms_and_bm25,
     "text_train_test_split": train_test_split,
 }
 
@@ -522,7 +677,14 @@ ORACLES = {
                                   range(1, len({_WORDS_SQL})),
                                   i -> {_WORDS_SQL}[i] || ' ' || {_WORDS_SQL}[i+1])))
                                / (len({_WORDS_SQL}) - 1), 4)
-                        ELSE 0.0 END AS dup_bigram_frac
+                        ELSE 0.0 END AS dup_bigram_frac,
+                   CAST(floor(greatest(len({_WORDS_SQL}) - {CHUNK_WORDS - CHUNK_STRIDE + 1}, 0)
+                              / {CHUNK_STRIDE}) + 1 AS BIGINT) AS n_chunks,
+                   CAST(least({CHUNK_WORDS},
+                              len({_WORDS_SQL})
+                              - floor(greatest(len({_WORDS_SQL}) - {CHUNK_WORDS - CHUNK_STRIDE + 1}, 0)
+                                      / {CHUNK_STRIDE}) * {CHUNK_STRIDE})
+                        AS BIGINT) AS last_chunk_words
             FROM documents
         ), scored AS (
             SELECT doc_id, lang,
@@ -610,10 +772,35 @@ ORACLES = {
                 PARTITION BY source ORDER BY n_occurrences DESC, term
             ) AS term_rank
             FROM counts
+        ), bm_per_doc AS (
+            SELECT doc_id, len(w) AS dl,
+                   {', '.join(f"len(list_filter(w, x -> x = '{t}')) AS tf{i}" for i, t in enumerate(BM25_QUERY_TERMS))}
+            FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+        ), bm_stats AS (
+            SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+                   {', '.join(f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}" for i in range(len(BM25_QUERY_TERMS)))}
+            FROM bm_per_doc
+        ), bm_scored AS (
+            SELECT doc_id,
+                   {' + '.join(f"ln(1.0 + (n_docs - df{i} + 0.5) / (df{i} + 0.5))"
+                               f" * (tf{i} * ({BM25_K1} + 1))"
+                               f" / (tf{i} + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl / (CAST(sum_dl AS DOUBLE) / n_docs)))"
+                               for i in range(len(BM25_QUERY_TERMS)))} AS score
+            FROM bm_per_doc, bm_stats
+            WHERE {' + '.join(f'tf{i}' for i in range(len(BM25_QUERY_TERMS)))} > 0
         )
-        SELECT source, term, CAST(term_rank AS INT) AS term_rank, n_occurrences
+        SELECT 'top' AS sect, source AS grp, term,
+               CAST(term_rank AS INT) AS rnk, n_occurrences AS val
         FROM ranked WHERE term_rank <= {TOP_TERMS}
-        ORDER BY source, term_rank
+        UNION ALL
+        SELECT * FROM (
+            SELECT 'bm25' AS sect, 'corpus' AS grp,
+                   CAST(doc_id AS VARCHAR) AS term,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk,
+                   CAST(round(score * 10000, 0) AS BIGINT) AS val
+            FROM bm_scored
+            ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+        )
     """,
 }
 
