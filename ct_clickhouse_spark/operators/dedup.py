@@ -421,19 +421,30 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash (32-bit) per document: sign-sum of per-token hash bits.
 
-    Implemented as explode(words) -> per-bit +/-1 contributions -> sum ->
-    sign bits -> binary-weighted sum. All JVM expressions; one shuffle on
-    doc_id. Hamming-close signatures = near-duplicates."""
+    Computed entirely per row — the token hashes are materialized once as
+    an array column, then each signature bit is an ``aggregate`` over
+    that array (+1/-1 by the bit of the already-computed hash). No
+    explode, no shuffle, nothing crosses a partition boundary: a SimHash
+    is a pure function of its own document, so the groupBy-the-exploded-
+    tokens formulation paid a 32-column shuffle for re-assembling rows
+    that were never apart. Hamming-close signatures = near-duplicates."""
     docs = load_table(spark, sf_dir, "documents").repartition(default_parallelism())
-    tokens = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("tok"))
-    h = F.xxhash64("tok")
-    bit_cols = [
-        F.sum(
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+    # materialize the hash array as a column: referenced by all 32 bit
+    # aggregates, and an un-materialized tree re-evaluates per reference
+    hashed = docs.select(
+        "doc_id",
+        F.transform(_words(F.col("text")), lambda w: F.xxhash64(w)).alias("_h"),
+    )
+    bit_sums = [
+        F.aggregate(
+            F.col("_h"),
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         ).alias(f"b{i}")
         for i in range(SIMHASH_BITS)
     ]
-    sums = tokens.groupBy("doc_id").agg(*bit_cols)
+    sums = hashed.select("doc_id", *bit_sums)
     sim = sums.select(
         "doc_id",
         sum(

@@ -27,6 +27,10 @@ from ..catalog import load_table
 
 SHIP_CUTOFF = "1998-09-02"
 Q3_DATE = "1996-03-15"
+# One ship-month fact slice for the salted-join gate (~1/80 of lineitem;
+# the predicate pushes down to the parquet scan on both engines).
+SALT_MONTH_LO = "1996-03-01"
+SALT_MONTH_HI = "1996-04-01"
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -108,10 +112,14 @@ def salted_join_section(spark: SparkSession, sf_dir: str) -> DataFrame:
     visible section: lineitem joined to orders through the salt
     replication, then aggregated per order status. The oracle is the
     PLAIN join + aggregate — a salt bucket that drops, duplicates, or
-    misroutes any fact row breaks the value hash."""
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_extendedprice", "l_discount"
-    )
+    misroutes any fact row breaks the value hash. The fact side is one
+    ship-month (a pushed-down parquet predicate): the gate checks the
+    salt plumbing, and every salt/replication path is exercised by a
+    slice just as well as by the full fact — the star section above
+    already pays for a full-fact aggregate in this slot."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= SALT_MONTH_LO) & (F.col("l_shipdate") < SALT_MONTH_HI)
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salt=8)
     return joined.groupBy("o_orderstatus").agg(
@@ -731,7 +739,7 @@ ORACLES = {
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey LIMIT 10
     """,
-    "rel_region_revenue": """
+    "rel_region_revenue": f"""
         SELECT 'star' AS kind, r_name AS g1, n_name AS g2,
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                count(*) AS n_items
@@ -747,6 +755,8 @@ ORACLES = {
                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
                count(*) AS n_items
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '{SALT_MONTH_LO}'
+          AND l_shipdate < TIMESTAMP '{SALT_MONTH_HI}'
         GROUP BY o_orderstatus
         ORDER BY kind, g1, g2
     """,
