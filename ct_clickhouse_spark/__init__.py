@@ -73,6 +73,11 @@ _FRAME_API = {
     "zorder_write": ("ct_clickhouse_spark.plans.clustering", "zorder_write"),
     "hourly_rollup": ("ct_clickhouse_spark.streaming.rollup", "hourly_rollup"),
     "start_rollup": ("ct_clickhouse_spark.streaming.rollup", "start_rollup"),
+    "chunk_documents": ("ct_clickhouse_spark.operators.text", "chunk_documents"),
+    "stream_interval_join": (
+        "ct_clickhouse_spark.streaming.joins",
+        "stream_interval_join",
+    ),
 }
 
 
