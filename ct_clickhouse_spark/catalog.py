@@ -148,6 +148,29 @@ def table_path(sf_dir: str, name: str) -> str:
 # which CPython can recycle after GC and alias a fresh session.
 _DF_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
+# Artifact caches (persisted DataFrames, on-disk index dirs) pin REAL
+# resources, unlike _DF_CACHE's logical plans. They are bounded: inserting
+# past the cap evicts the oldest entry (dict preserves insertion order)
+# and calls ``release`` on it (unpersist / rmtree), so a long-lived
+# session sweeping many fixture dirs — scripts/stress_scaling.py builds
+# one per multiplier — cannot grow executor storage or /tmp monotonically.
+ARTIFACT_CACHE_MAX = 4
+
+
+def bounded_cache_put(cache: dict, key, value, release=None, max_entries: int = ARTIFACT_CACHE_MAX):
+    """Insert ``value`` under ``key``; evict (and ``release``) the oldest
+    entries beyond ``max_entries``. Mutates and returns ``value``."""
+    cache[key] = value
+    while len(cache) > max_entries:
+        old_key = next(iter(cache))
+        old = cache.pop(old_key)
+        if release is not None:
+            try:
+                release(old)
+            except Exception:  # releasing a stale artifact is best-effort
+                pass
+    return value
+
 
 def _session_key(spark: SparkSession) -> str:
     try:

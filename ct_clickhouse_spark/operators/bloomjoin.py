@@ -154,7 +154,8 @@ def bloom_pruned_join(
     Only inner/left_semi are row-identical under fact-side pre-filtering:
     an outer or anti join keeps (or keys on) fact rows WITHOUT a dim
     match, exactly the rows the Bloom filter removes."""
-    if how not in ("inner", "left_semi", "semi"):
+    # normalize Spark's join-type aliases (leftsemi == left_semi == semi)
+    if how.replace("_", "").lower() not in ("inner", "leftsemi", "semi"):
         raise ValueError(
             "bloom_pruned_join pre-filters the fact side, which is only "
             f"row-identical for inner/left_semi joins; got {how!r}"

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import bounded_cache_put as _bounded_cache_put
 from ..catalog import load_table
 from ..cert_domains import build_cert_domains, oracle_with_cert_domains
 from ..session import default_parallelism
@@ -341,7 +342,7 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64("sh_h", F.lit(i))).alias(f"h{i}") for i in range(MINHASH_K)]
     ).persist()
-    _SIG_CACHE[key] = sig
+    _bounded_cache_put(_SIG_CACHE, key, sig, release=lambda v: v.unpersist())
     return sig
 
 

@@ -35,6 +35,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..catalog import bounded_cache_put as _bounded_cache_put
 from ..catalog import load_table
 
 FRAME_BYTES = 256  # fake video "frame" size
@@ -139,19 +140,28 @@ def build_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     width = (64 + (F.col("doc_id") % 8) * 32).cast("int")
     height = (64 + (F.col("doc_id") % 5) * 32).cast("int")
-    payload = F.when(
-        fmt == "png", _png_payload_udf(F.col("text"), width, height)
-    ).otherwise(F.encode("text", "utf-8"))
-    media = docs.select(
+    base = docs.select(
         F.col("doc_id").alias("media_id"),
         kind.alias("kind"),
         fmt.alias("format"),
         width.alias("width"),
         height.alias("height"),
-        payload.alias("payload"),
+        "text",
         "source",
-    ).persist()
-    _MEDIA_CACHE[ckey] = media
+    )
+    # Encode ONLY the png slice: a Python UDF inside a CASE WHEN is
+    # extracted to an ArrowEvalPython node that runs for EVERY row (the
+    # CASE discards, it does not short-circuit), so the ~5/6 non-png rows
+    # would pay the encode for nothing. Filter + union keeps the UDF on
+    # exactly the rows whose payload uses it.
+    png = base.filter(F.col("format") == "png").withColumn(
+        "payload", _png_payload_udf(F.col("text"), F.col("width"), F.col("height"))
+    )
+    rest = base.filter(F.col("format") != "png").withColumn(
+        "payload", F.encode("text", "utf-8")
+    )
+    media = png.unionByName(rest).drop("text").persist()
+    _bounded_cache_put(_MEDIA_CACHE, ckey, media, release=lambda v: v.unpersist())
     return media
 
 

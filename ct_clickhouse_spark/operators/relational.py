@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..catalog import bounded_cache_put as _bounded_cache_put
 from ..catalog import load_table
 
 SHIP_CUTOFF = "1998-09-02"
@@ -601,7 +602,7 @@ def bloom_join_section(spark: SparkSession, sf_dir: str) -> DataFrame:
     if hit is None:
         n_dim = max(1, dim.count())
         hit = (build_bloom(dim, "o_custkey", n_dim), n_dim)
-        _BLOOM_CACHE[ckey] = hit
+        _bounded_cache_put(_BLOOM_CACHE, ckey, hit)
     bitmap, _ = hit
     return bloom_prune_prebuilt(orders, "o_custkey", bitmap).join(
         dim, "o_custkey", "inner"

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import bounded_cache_put as _bounded_cache_put
 from ..catalog import load_table
 
 TOPK = 10
@@ -173,7 +174,7 @@ def cosine_pairs(
     )
     if auto_sized:
         out = out.persist()
-        _PAIRS_CACHE[ckey] = out
+        _bounded_cache_put(_PAIRS_CACHE, ckey, out, release=lambda v: v.unpersist())
     return out
 
 
@@ -338,7 +339,15 @@ def semdedup_pairs(
                 continue
             m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             m /= np.linalg.norm(m, axis=1, keepdims=True)
-            top = np.argsort(-(m @ c.T), axis=1)[:, :p]
+            # top-P cells via argpartition: O(k) per row where k is the
+            # SemDeDup scale knob (k ~ n/target_size); cell order within
+            # the probe set is irrelevant — both cells are probed
+            sims = m @ c.T
+            top = (
+                np.argpartition(-sims, p - 1, axis=1)[:, :p]
+                if p < c.shape[0]
+                else np.tile(np.arange(c.shape[0]), (len(pdf), 1))
+            )
             idx = np.repeat(np.arange(len(pdf)), p)
             out = pdf.iloc[idx][["vec_id", "embedding"]].copy()
             out.insert(0, "cluster", top.ravel())
@@ -607,8 +616,22 @@ def ivf_probe(
 # Build-once registry for the driver-slot indexed search: (session, sf) ->
 # on-disk index path. The cached object is a path, not data; repeated
 # probes (the bench runs each query several times) pay the partition-
-# pruned scan only, exactly the at-scale serving shape.
+# pruned scan only, exactly the at-scale serving shape. Bounded (oldest
+# dir rmtree'd on eviction) and swept at interpreter exit.
 _IVF_INDEX_PATHS: dict[tuple[str, str], str] = {}
+
+
+def _cleanup_ivf_dirs() -> None:  # pragma: no cover - exit hook
+    import shutil
+
+    for p in _IVF_INDEX_PATHS.values():
+        shutil.rmtree(p, ignore_errors=True)
+    _IVF_INDEX_PATHS.clear()
+
+
+import atexit  # noqa: E402  (registered next to the registry it sweeps)
+
+atexit.register(_cleanup_ivf_dirs)
 
 
 def ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,12 +645,17 @@ def ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..catalog import _session_key
 
+    import shutil
+
     key = (_session_key(spark), sf_dir)
     path = _IVF_INDEX_PATHS.get(key)
     if path is None:
         path = tempfile.mkdtemp(prefix="ivf_index_")
         ivf_build(spark, sf_dir, path)
-        _IVF_INDEX_PATHS[key] = path
+        _bounded_cache_put(
+            _IVF_INDEX_PATHS, key, path,
+            release=lambda p: shutil.rmtree(p, ignore_errors=True),
+        )
     qvec = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") == QUERY_VEC_ID)
@@ -651,17 +679,27 @@ SQ8_REFINE = 4  # candidates fetched per final result before exact re-rank
 _SQ8_CACHE: dict[tuple[str, str], tuple[DataFrame, list[float]]] = {}
 
 
-def sq8_quantize(emb_df: DataFrame) -> tuple[DataFrame, list[float]]:
+def sq8_quantize(
+    emb_df: DataFrame, emb_col: str = "embedding"
+) -> tuple[DataFrame, list[float]]:
     """Symmetric per-dimension scalar quantization of NORMALIZED vectors.
 
-    Returns ``(codes_df, scales)``: codes_df is (vec_id, label, codes
-    array<tinyint>) with code_d = round(x_d / scale_d * 127) for the
-    L2-normalized vector, and scales is the d-vector of per-dimension
-    max |x_d| (driver-held: d scalars, bounded by the embedding width —
-    never by corpus size). Normalizing BEFORE quantizing makes the
-    approximate dot product approximate the cosine directly."""
-    emb = emb_df.withColumn("_nrm", _norm(F.col("emb"))).withColumn(
-        "nemb", F.transform(F.col("emb"), lambda x: x / F.col("_nrm"))
+    ``emb_df`` is any table with a float-array column ``emb_col``
+    (cast to double internally); every other column passes through.
+    Returns ``(codes_df, scales)``: codes_df is (passthrough cols...,
+    codes array<tinyint>) with code_d = round(x_d / scale_d * 127) for
+    the L2-normalized vector, and scales is the d-vector of
+    per-dimension max |x_d| (driver-held: d scalars, bounded by the
+    embedding width — never by corpus size). Normalizing BEFORE
+    quantizing makes the approximate dot product approximate the cosine
+    directly."""
+    keep = [c for c in emb_df.columns if c != emb_col]
+    emb = (
+        emb_df.withColumn(
+            "_emb_d", F.transform(F.col(emb_col), lambda x: x.cast("double"))
+        )
+        .withColumn("_nrm", _norm(F.col("_emb_d")))
+        .withColumn("nemb", F.transform(F.col("_emb_d"), lambda x: x / F.col("_nrm")))
     )
     scale_rows = (
         emb.select(F.posexplode("nemb").alias("pos", "v"))
@@ -673,8 +711,7 @@ def sq8_quantize(emb_df: DataFrame) -> tuple[DataFrame, list[float]]:
     scales = [float(r.s) if r.s else 1.0 for r in scale_rows]
     lit_scales = F.array(*[F.lit(s) for s in scales])
     codes = emb.select(
-        "vec_id",
-        "label",
+        *keep,
         F.zip_with(
             F.col("nemb"),
             lit_scales,
@@ -690,11 +727,9 @@ def _sq8_cached(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[float
     key = (_session_key(spark), sf_dir)
     hit = _SQ8_CACHE.get(key)
     if hit is None:
-        codes, scales = sq8_quantize(
-            _emb_double(load_table(spark, sf_dir, "embeddings"))
-        )
+        codes, scales = sq8_quantize(load_table(spark, sf_dir, "embeddings"))
         hit = (codes.persist(), scales)
-        _SQ8_CACHE[key] = hit
+        _bounded_cache_put(_SQ8_CACHE, key, hit, release=lambda v: v[0].unpersist())
     return hit
 
 
