@@ -61,3 +61,45 @@ def test_streaming_tumbling_window_matches_batch(spark, event_chunks, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_streaming_session_window_matches_batch(spark, event_chunks, tmp_path):
+    """Session windows (gap-based, data-driven bounds) as a REAL streaming
+    aggregation: F.session_window under a watermark, availableNow over two
+    file chunks, must converge to the identical batch session_window
+    result — the streaming twin of the evt_session_30m batch operator."""
+    from pyspark.sql import functions as F
+
+    src, events = event_chunks
+    schema = "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+        .withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .withWatermark("ts_tz", "1 hour")
+        .groupBy(F.session_window("ts_tz", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sessions30")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["w"].start.isoformat(), r["w"].end.isoformat(), r.user_id): r.n_events
+        for r in spark.sql("SELECT * FROM sessions30").collect()
+    }
+    want = {
+        (r["w"].start.isoformat(), r["w"].end.isoformat(), r.user_id): r.n_events
+        for r in events.withColumn("ts_tz", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts_tz", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert len(want) > 0
+    assert got == want
