@@ -469,15 +469,17 @@ def doc_sketch_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def lsh_pairs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Both sub-quadratic LSH candidate-pair families under one rows-only
-    slot (sketch-derived pairs have no ANSI-SQL oracle; each family is
-    recall-tested against its exact counterpart in tests/test_operators.py):
+    """The sub-quadratic candidate-pair families under one rows-only slot
+    (sketch/cluster-derived pairs have no ANSI-SQL oracle; each family is
+    recall-tested against its exact counterpart in tests/):
     banded MinHash-LSH over document shingles (family='minhash',
-    score=estimated Jaccard) and banded random-hyperplane LSH over
+    score=estimated Jaccard), banded random-hyperplane LSH over
     embeddings (family='hyperplane', score=exact cosine verified
-    bucket-locally). Each side keeps its own bucket-local physical plan;
-    the union is only the reporting shape."""
-    from .similarity import lsh_candidate_pairs
+    bucket-locally), and SemDeDup cluster-scoped pairs
+    (family='semdedup', score=exact cosine within a top-P k-means cell —
+    tests/test_semdedup.py). Each side keeps its own bucket/cell-local
+    physical plan; the union is only the reporting shape."""
+    from .similarity import lsh_candidate_pairs, semdedup_pairs
 
     mh = doc_minhash_lsh_pairs(spark, sf_dir).select(
         F.lit("minhash").alias("family"),
@@ -491,7 +493,13 @@ def lsh_pairs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("cosine").alias("score"),
     )
-    return mh.unionByName(hp)
+    sd = semdedup_pairs(spark, sf_dir).select(
+        F.lit("semdedup").alias("family"),
+        "id_a",
+        "id_b",
+        F.col("cosine").alias("score"),
+    )
+    return mh.unionByName(hp).unionByName(sd)
 
 
 QUERIES = {

@@ -390,6 +390,12 @@ def semantic_dedup_groups(
     )
 
 
+# Trained centroids are k x d driver-held floats — tiny, but the TRAINING
+# is IVF_ITERS distributed passes; three consumers (IVF build, SemDeDup
+# assignment, per-call ivf_topk) would each retrain identically.
+_CENTROID_CACHE: dict[tuple[str, str], object] = {}
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str):
     """Distributed deterministic k-means-lite coarse quantizer.
 
@@ -401,9 +407,17 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     decimals per iteration so cross-partition FP summation order cannot
     leak into assignments — keeping the index deterministic at any
     parallelism. Nothing larger than k x d doubles is ever centralized,
-    at any corpus size."""
+    at any corpus size. Trained once per (session, sf): deterministic, so
+    every consumer would retrain the identical array."""
     import numpy as np
     import pandas as pd
+
+    from ..catalog import _session_key
+
+    ckey = (_session_key(spark), sf_dir)
+    hit = _CENTROID_CACHE.get(ckey)
+    if hit is not None:
+        return hit
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     seed_rows = emb.orderBy("vec_id").limit(IVF_CLUSTERS).collect()
@@ -459,7 +473,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
             new[cl] = m / (np.linalg.norm(m) or 1.0)
         cents = np.round(new, 9)
         bc.destroy()
-    return cents
+    return _bounded_cache_put(_CENTROID_CACHE, ckey, cents)
 
 
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -902,7 +916,25 @@ def _label_propagate_rounds(
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     ).localCheckpoint(eager=True)
-    labels = ids.withColumn("label", F.col("id")).localCheckpoint(eager=True)
+    # Only nodes incident to an edge can ever change label (an isolated
+    # node's component minimum IS itself): iterate over the pair-graph
+    # node set and union the isolated nodes back at the end. The loop
+    # state is sized by the near-dup graph, not the corpus — at 100 TB
+    # the corpus is the big number and the pair graph the small one.
+    edge_nodes = edges.select(F.col("id_a").alias("id")).distinct()
+    labels = (
+        ids.join(edge_nodes, "id", "left_semi")
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    # anti-join against the CHECKPOINTED loop frame, not against
+    # edge_nodes, whose distinct would re-run at result time; AQE turns
+    # it into a broadcast anti when the pair-graph node set is small —
+    # and when it isn't, ONE shuffle here still beats the shuffle-per-
+    # round the corpus-sized loop frames used to pay
+    isolated = ids.join(labels.select("id"), "id", "left_anti").withColumn(
+        "label", F.col("id")
+    )
     rounds = 0
     frontier = None  # None = first round, every node propagates
     while True:
@@ -952,7 +984,7 @@ def _label_propagate_rounds(
         rounds += 1
         if changed == 0 or (max_iters is not None and rounds >= max_iters):
             break
-    return labels, rounds
+    return labels.unionByName(isolated), rounds
 
 
 def topk_and_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
