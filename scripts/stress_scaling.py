@@ -168,6 +168,24 @@ def main() -> None:
             .agg(F.count(F.lit(1)))
             .collect())
 
+        # SemDeDup cluster-scoped pairs on the same multiplied embedding
+        # fixture (round 4). Centroid training is once-per-dir by design
+        # (bounded cache) and runs in the warm call; the timed run is the
+        # steady-state cost — top-P cell assignment + cell-local kernels.
+        from ct_clickhouse_spark.operators.similarity import semdedup_pairs
+
+        timed("semdedup_pairs", k, lambda: semdedup_pairs(spark, gemm_dir)
+            .agg(F.count(F.lit(1)))
+            .collect())
+
+        # duplicated-span removal over the multiplied documents (round 4):
+        # gram-count shuffle + per-doc array reassembly, linear in corpus
+        from ct_clickhouse_spark.operators.dedup import remove_duplicate_spans
+
+        timed("span_removal", k, lambda: remove_duplicate_spans(docs)
+            .agg(F.sum("n_removed"), F.count(F.lit(1)))
+            .collect())
+
         # connected-components label propagation over linearly replicated
         # edges (k independent copies of the near-dup pair graph: edges,
         # nodes, and components all scale k x, diameter constant)
