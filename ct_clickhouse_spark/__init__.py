@@ -74,6 +74,7 @@ _FRAME_API = {
     "hourly_rollup": ("ct_clickhouse_spark.streaming.rollup", "hourly_rollup"),
     "start_rollup": ("ct_clickhouse_spark.streaming.rollup", "start_rollup"),
     "chunk_documents": ("ct_clickhouse_spark.operators.text", "chunk_documents"),
+    "bpe_train": ("ct_clickhouse_spark.operators.text", "bpe_train"),
     "stream_interval_join": (
         "ct_clickhouse_spark.streaming.joins",
         "stream_interval_join",

@@ -246,16 +246,116 @@ def chunk_documents(
     )
 
 
+# BPE tokenizer training: merge count and the deterministic training
+# sample fraction (training on a content-keyed sample is standard
+# practice — the merge table converges long before the full corpus).
+BPE_MERGES = 8
+BPE_SAMPLE = 0.2
+
+
+def bpe_train(
+    docs: DataFrame, n_merges: int = BPE_MERGES, text_col: str = "text"
+) -> list[tuple[str, str, int]]:
+    """Distributed BPE merge-table training (the tokenizer-building step
+    of a training-data pipeline; token COUNTING with a fixed regex lives
+    in ``token_count`` — this learns the vocabulary itself).
+
+    Returns the ordered merge table [(left, right, weighted_count), ...].
+
+    Scale shape: the working set is the WORD VOCABULARY with counts
+    (one corpus-wide hash aggregate, map-side combinable), never the
+    corpus — at 100 TB distinct words are millions of rows while the
+    corpus is billions. Each of the ``n_merges`` rounds is:
+      1. adjacent-symbol-pair counts: per-row array explode weighted by
+         word count -> one map-side-combinable hash aggregate;
+      2. best pair by (count desc, pair lex) via TakeOrdered(1) — ONE
+         row to the driver per round (the merge table is the k-entry
+         artifact, exactly like the centroid trainer);
+      3. merge application: per-row sequence rewrite (Arrow-batched
+         mapInPandas — a data-dependent adjacent-fold Spark SQL can't
+         express), then an eager localCheckpoint so the k-round lineage
+         never stacks.
+    Deterministic: counts are exact and ties break lexicographically."""
+    import pandas as pd
+
+    words = (
+        docs.select(F.explode(_words(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    vocab = words.select(
+        F.concat(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.col("w").substr(i, F.lit(1)),
+            ),
+            F.array(F.lit("</w>")),
+        ).alias("syms"),
+        "cnt",
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        pair_idx = F.sequence(F.lit(0), F.size("syms") - 2)
+        pairs = vocab.filter(F.size("syms") >= 2).select(
+            F.explode(
+                F.transform(
+                    pair_idx,
+                    lambda i: F.struct(
+                        F.element_at(F.col("syms"), (i + 1).cast("int")).alias("a"),
+                        F.element_at(F.col("syms"), (i + 2).cast("int")).alias("b"),
+                    ),
+                )
+            ).alias("p"),
+            "cnt",
+        )
+        best = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, n = best[0].a, best[0].b, int(best[0].n)
+        merges.append((a, b, n))
+
+        def _apply(batches, a=a, b=b):
+            for pdf in batches:
+                out = []
+                for syms in pdf["syms"]:
+                    syms = list(syms)
+                    merged, i = [], 0
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                            merged.append(a + b)
+                            i += 2
+                        else:
+                            merged.append(syms[i])
+                            i += 1
+                    out.append(merged)
+                yield pd.DataFrame({"syms": out, "cnt": pdf["cnt"]})
+
+        vocab = vocab.mapInPandas(
+            _apply, "syms array<string>, cnt long"
+        ).localCheckpoint(eager=True)
+    return merges
+
+
 PACK_MAX = 2000  # bin capacity (chars) for the driver packing slot
 
 
 def fingerprint_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only slot, long format by ``sect``: the rolling-hash content
-    fingerprints ('fp' rows, one per doc) plus a per-source sequence-
+    fingerprints ('fp' rows, one per doc), a per-source sequence-
     packing summary ('pack' rows) from ``pack_documents`` grouped by
     source — grouped mode is deterministic (FFD over (size desc, key
     asc) within a content-defined group), so the row count and values
-    are stable across runs and partitionings."""
+    are stable across runs and partitionings — and the learned BPE merge
+    table ('bpe' rows: key=left+right, v1=merge rank, v2=weighted pair
+    count) trained by ``bpe_train`` on a deterministic content-keyed
+    sample of the corpus."""
     from .sampling import pack_documents
 
     fp = doc_fingerprint(spark, sf_dir).select(
@@ -279,7 +379,36 @@ def fingerprint_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_fill").cast("long").alias("v2"),
         )
     )
-    return fp.unionByName(pk)
+    merges = _bpe_merges_cached(spark, sf_dir)
+    bpe = spark.createDataFrame(
+        [
+            ("bpe", a + b, rank + 1, cnt)
+            for rank, (a, b, cnt) in enumerate(merges)
+        ],
+        "sect string, key string, v1 long, v2 long",
+    )
+    return fp.unionByName(pk).unionByName(bpe)
+
+
+# The merge table is k tuples of driver-held strings — tiny — but the
+# TRAINING is k distributed rounds; cache per (session, sf) like the
+# centroid trainer.
+_BPE_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _bpe_merges_cached(spark: SparkSession, sf_dir: str) -> list:
+    from ..catalog import _session_key, bounded_cache_put
+
+    from .sampling import hash_sample
+
+    key = (_session_key(spark), sf_dir)
+    hit = _BPE_CACHE.get(key)
+    if hit is None:
+        sample = hash_sample(
+            load_table(spark, sf_dir, "documents"), "doc_id", BPE_SAMPLE
+        )
+        hit = bounded_cache_put(_BPE_CACHE, key, bpe_train(sample))
+    return hit
 
 
 TOP_TERMS = 3

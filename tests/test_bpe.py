@@ -1,0 +1,58 @@
+"""BPE merge-table training (text.bpe_train): the distributed trainer
+must produce exactly the merge sequence of a reference pure-Python BPE
+on the same corpus (count-weighted, lexicographic tie-break), be
+deterministic, and respect the merge-application semantics (left-to-
+right, non-overlapping)."""
+
+from __future__ import annotations
+
+from ct_clickhouse_spark.catalog import load_table
+from ct_clickhouse_spark.operators.text import bpe_train
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _ref_bpe(word_counts: dict[str, int], n_merges: int):
+    vocab = {w: list(w) + ["</w>"] for w in word_counts}
+    merges = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            c = word_counts[w]
+            for x, y in zip(syms, syms[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + c
+        if not counts:
+            break
+        (a, b), n = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, n))
+        for w, syms in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            vocab[w] = merged
+    return merges
+
+
+def test_bpe_matches_reference(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    counts: dict[str, int] = {}
+    for r in docs.select("text").collect():
+        for w in r.text.lower().strip().split():
+            counts[w] = counts.get(w, 0) + 1
+    want = _ref_bpe(counts, 6)
+    got = bpe_train(docs, n_merges=6)
+    assert got == want
+    # merges build on earlier merges: at least one learned symbol is a
+    # product of a previous round (multi-char side), or the corpus is
+    # degenerate — the fixture is not
+    assert any(len(a) > 1 or len(b) > 1 for a, b, _ in got[1:])
+
+
+def test_bpe_deterministic(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    assert bpe_train(docs, n_merges=4) == bpe_train(docs, n_merges=4)
