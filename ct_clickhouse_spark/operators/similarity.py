@@ -969,6 +969,10 @@ def _label_propagate_rounds(
         lookup = stepped.select(
             F.col("id").alias("_pid"), F.col("label").alias("_plabel")
         )
+        # LAZY checkpoint: the frontier count below is the round's one
+        # action — it materializes the checkpoint and reports the changed
+        # count in the same job (eager=True spent a second job per round
+        # purely on materialization)
         proposed = (
             stepped.join(lookup, stepped.label == lookup._pid, "left")
             .select(
@@ -976,7 +980,7 @@ def _label_propagate_rounds(
                 "old_label",
                 F.coalesce("_plabel", "label").alias("label"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         frontier = proposed.filter(F.col("label") != F.col("old_label")).select("id")
         changed = frontier.count()
