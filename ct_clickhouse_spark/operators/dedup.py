@@ -478,7 +478,11 @@ def lsh_pairs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-locally), and SemDeDup cluster-scoped pairs
     (family='semdedup', score=exact cosine within a top-P k-means cell —
     tests/test_semdedup.py). Each side keeps its own bucket/cell-local
-    physical plan; the union is only the reporting shape."""
+    physical plan; the union is only the reporting shape.
+
+    NOTE: on a cold cache, building the semdedup side TRAINS the k-means
+    centroids (IVF_ITERS distributed passes at construction time) — the
+    same once-per-(session, sf) artifact build the IVF index pays."""
     from .similarity import lsh_candidate_pairs, semdedup_pairs
 
     mh = doc_minhash_lsh_pairs(spark, sf_dir).select(

@@ -280,6 +280,11 @@ def bpe_train(
 
     words = (
         docs.select(F.explode(_words(F.col(text_col))).alias("w"))
+        # empty/whitespace-only documents split to [""]; a zero-length
+        # word would make sequence(1, 0) the DESCENDING [1, 0] and count
+        # phantom ("", "") pairs the reference algorithm (str.split, which
+        # drops empties) never sees
+        .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -292,9 +297,10 @@ def bpe_train(
             F.array(F.lit("</w>")),
         ).alias("syms"),
         "cnt",
-    ).localCheckpoint(eager=True)
+    ).persist()
 
     merges: list[tuple[str, str, int]] = []
+    superseded = None
     for _ in range(n_merges):
         pair_idx = F.sequence(F.lit(0), F.size("syms") - 2)
         pairs = vocab.filter(F.size("syms") >= 2).select(
@@ -316,6 +322,11 @@ def bpe_train(
             .limit(1)
             .collect()
         )
+        # this collect materialized the current vocab's persist, so the
+        # previous round's copy is now releasable — exactly one superseded
+        # vocab is ever held, instead of one per round
+        if superseded is not None:
+            superseded.unpersist()
         if not best:
             break
         a, b, n = best[0].a, best[0].b, int(best[0].n)
@@ -337,9 +348,11 @@ def bpe_train(
                     out.append(merged)
                 yield pd.DataFrame({"syms": out, "cnt": pdf["cnt"]})
 
-        vocab = vocab.mapInPandas(
-            _apply, "syms array<string>, cnt long"
-        ).localCheckpoint(eager=True)
+        superseded = vocab
+        vocab = vocab.mapInPandas(_apply, "syms array<string>, cnt long").persist()
+    if superseded is not None:
+        superseded.unpersist()
+    vocab.unpersist()
     return merges
 
 
@@ -355,7 +368,13 @@ def fingerprint_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     are stable across runs and partitionings — and the learned BPE merge
     table ('bpe' rows: key=left+right, v1=merge rank, v2=weighted pair
     count) trained by ``bpe_train`` on a deterministic content-keyed
-    sample of the corpus."""
+    sample of the corpus.
+
+    NOTE: building this query TRAINS the BPE artifact on a cold cache
+    (k rounds of Spark jobs at construction time, before any action) —
+    the merge table is driver-held data the plan embeds, like an index
+    build. Plan-only inspection of a cold slot pays that once per
+    (session, sf)."""
     from .sampling import pack_documents
 
     fp = doc_fingerprint(spark, sf_dir).select(

@@ -44,10 +44,9 @@ def test_chunk_count_minimal_and_full_prefix(p):
     n, chunk, stride = p
     k = n_chunks(n, chunk, stride)
     if k >= 2:
-        # the first k-1 chunks must NOT already cover the last word
+        # the first k-1 chunks must NOT already cover the last word —
+        # which also means every non-last chunk is a full window
         assert (k - 2) * stride + chunk < n
-        # every non-last chunk is a full window
-        assert (k - 2) * stride + chunk <= n
     # every chunk starts inside the document (no empty chunks)
     assert (k - 1) * stride < n
 

@@ -46,7 +46,10 @@ def test_stream_stream_join_converges_to_batch(spark, event_stream_src):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    try:
+        assert q.awaitTermination(180), "streaming query did not finish in 180s"
+    finally:
+        q.stop()
 
     got = {
         (r.user_id, r.click_id, r.purchase_id)

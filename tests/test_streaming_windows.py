@@ -46,7 +46,10 @@ def test_streaming_tumbling_window_matches_batch(spark, event_chunks, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    try:
+        assert q.awaitTermination(180), "streaming query did not finish in 180s"
+    finally:
+        q.stop()
 
     got = {
         (r["w"].start.isoformat(), r.event_type): r.n_events
@@ -88,7 +91,10 @@ def test_streaming_session_window_matches_batch(spark, event_chunks, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(180)
+    try:
+        assert q.awaitTermination(180), "streaming query did not finish in 180s"
+    finally:
+        q.stop()
 
     got = {
         (r["w"].start.isoformat(), r["w"].end.isoformat(), r.user_id): r.n_events
