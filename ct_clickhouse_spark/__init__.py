@@ -56,6 +56,10 @@ _FRAME_API = {
         "ct_clickhouse_spark.operators.dedup",
         "remove_duplicate_spans",
     ),
+    "incremental_dedup": (
+        "ct_clickhouse_spark.operators.dedup",
+        "incremental_dedup",
+    ),
     "sq8_quantize": (
         "ct_clickhouse_spark.operators.similarity",
         "sq8_quantize",

@@ -171,6 +171,82 @@ def remove_duplicate_spans(
     )
 
 
+# Incremental (cross-snapshot) dedup: which docs in a NEW ingest batch are
+# absent from the EXISTING corpus. The batch split is deterministic and
+# SQL-portable (doc_id % INCREMENTAL_MOD == 0 is "the new batch") so the
+# DuckDB oracle computes the identical partition.
+INCREMENTAL_MOD = 5
+
+
+def incremental_dedup(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    key: str,
+    expected_items: int | None = None,
+) -> DataFrame:
+    """Rows of ``new_batch`` whose ``key`` does not appear in ``corpus`` —
+    row-identical to ``new_batch.join(corpus, key, 'left_anti')`` but with
+    the corpus-sized shuffle reserved for the rows that need it.
+
+    The LLM-pipeline shape: each crawl increment is deduped against the
+    full historical corpus. A plain anti-join shuffles BOTH sides on the
+    key — at 100 TB that re-shuffles the whole corpus per increment. Here
+    a Bloom sketch over the corpus keys routes the batch first:
+
+    - bloom-NEGATIVE rows are DEFINITELY new (a clear bit cannot lie) and
+      skip the join entirely — at typical increment/corpus overlap this
+      is most of the batch;
+    - bloom-POSITIVE rows (true duplicates + the ~0.8% false-positive
+      sliver) are confirmed by an exact anti-join, so false positives
+      never reach the output.
+
+    This is also the sound way to compose a Bloom filter with an anti
+    join: ``bloom_pruned_join`` rejects ``how='left_anti'`` because
+    pre-filtering the probe side drops exactly the rows an anti join
+    keeps — the union of the negative branch with the verified positive
+    branch is the composition that stays row-identical.
+
+    At 100 TB the sketch is a maintained artifact of the corpus (rebuilt
+    per merge window, same lifecycle as the persisted IVF index), not
+    rebuilt per call; ``expected_items`` sizes it (defaults to a count
+    over the corpus key column — one cheap single-column scan).
+    """
+    from .bloomjoin import _membership, build_bloom
+
+    keys = corpus.select(key)
+    if expected_items is None:
+        expected_items = max(keys.count(), 1)
+    bitmap = build_bloom(keys, key, expected_items)
+    tagged = new_batch.withColumn(
+        "_bf_words", F.array(*[F.lit(w) for w in bitmap])
+    )
+    member = _membership(F.col("_bf_words"), key, len(bitmap) * 64)
+    definite_new = tagged.filter(~member).drop("_bf_words")
+    candidates = tagged.filter(member).drop("_bf_words")
+    survivors = candidates.join(keys.distinct(), key, "left_anti")
+    return definite_new.unionByName(survivors)
+
+
+def doc_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver section: treat ``doc_id % INCREMENTAL_MOD == 0`` as the new
+    ingest batch and the rest as the existing corpus; emit the new-batch
+    docs whose md5(text) is absent from the corpus (slot row shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    new_batch = docs.filter(F.col("doc_id") % INCREMENTAL_MOD == 0).select(
+        "doc_id", "n_chars", F.md5("text").alias("text_hash")
+    )
+    corpus = docs.filter(F.col("doc_id") % INCREMENTAL_MOD != 0).select(
+        F.md5("text").alias("text_hash")
+    )
+    return incremental_dedup(new_batch, corpus, "text_hash").select(
+        F.lit("incremental").alias("kind"),
+        "text_hash",
+        F.col("doc_id").alias("keep_id"),
+        F.lit(1).cast("long").alias("n_copies"),
+        F.col("n_chars").cast("long").alias("aux"),
+    )
+
+
 def doc_exact_and_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup + duplicated-span removal under one slot, one row shape
     ``(kind, text_hash, keep_id, n_copies, aux)``:
@@ -180,7 +256,12 @@ def doc_exact_and_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     - kind='span_removal': per-doc reassembled-text hash after corpus-
       level duplicated-k-gram removal (keep_id = doc_id, n_copies =
       words removed, aux = total words). A wrong covered-position set or
-      reassembly order anywhere breaks the value hash."""
+      reassembly order anywhere breaks the value hash;
+    - kind='incremental': the new-batch docs (doc_id % INCREMENTAL_MOD
+      == 0) absent from the rest-of-corpus by content hash, via the
+      Bloom-routed incremental dedup — a dropped bloom-negative row or a
+      surviving false positive breaks the value hash against the plain
+      NOT EXISTS oracle."""
     docs = load_table(spark, sf_dir, "documents").repartition(default_parallelism())
     exact = doc_dedup_exact(spark, sf_dir).select(
         F.lit("exact").alias("kind"),
@@ -196,7 +277,8 @@ def doc_exact_and_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_removed").alias("n_copies"),
         F.col("n_words").alias("aux"),
     )
-    return exact.unionByName(spans)
+    inc = doc_incremental_new(spark, sf_dir)
+    return exact.unionByName(spans).unionByName(inc)
 
 
 def _words(col):
@@ -569,6 +651,16 @@ ORACLES = {
                len(b.w) - coalesce(c.n_kept, 0) AS n_copies,
                CAST(len(b.w) AS BIGINT) AS aux
         FROM span_base b LEFT JOIN span_cleaned c USING (doc_id)
+        UNION ALL
+        SELECT 'incremental' AS kind, md5(d.text) AS text_hash,
+               d.doc_id AS keep_id, CAST(1 AS BIGINT) AS n_copies,
+               CAST(d.n_chars AS BIGINT) AS aux
+        FROM documents d
+        WHERE d.doc_id % {INCREMENTAL_MOD} = 0
+          AND NOT EXISTS (
+              SELECT 1 FROM documents c
+              WHERE c.doc_id % {INCREMENTAL_MOD} != 0
+                AND md5(c.text) = md5(d.text))
         ORDER BY kind, keep_id
     """,
     "dedup_ngram_jaccard_pairs": f"""
