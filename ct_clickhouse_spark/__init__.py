@@ -60,6 +60,8 @@ _FRAME_API = {
         "ct_clickhouse_spark.operators.dedup",
         "incremental_dedup",
     ),
+    "kmv_sketch": ("ct_clickhouse_spark.operators.sketches", "kmv_sketch"),
+    "kmv_pairwise": ("ct_clickhouse_spark.operators.sketches", "kmv_pairwise"),
     "sq8_quantize": (
         "ct_clickhouse_spark.operators.similarity",
         "sq8_quantize",

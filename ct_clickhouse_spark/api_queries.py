@@ -275,9 +275,18 @@ def sketch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The mergeable-sketch aggregate family (rows-only — estimates are
     engine-specific) under one slot, long format (sect, key, value):
     'stats' rows are the /stats uniqCombined≈HLL++ counts; 'topk' rows are
-    the heavy-hitters topK() analog. Exact cross-checks live in ref_stats
-    and ref_tld_topk; pytest pins both sketches to exact values at
-    fixture cardinality."""
+    the heavy-hitters topK() analog; 'kmv' rows are k-minimum-values
+    distinct sketches per log plus pairwise intersection/union estimates
+    between logs — the set operation HLL cannot answer (operators/
+    sketches.py). Exact cross-checks live in ref_stats and ref_tld_topk;
+    pytest pins all three sketch families to exact values at fixture
+    cardinality (tests/test_sketches.py for kmv)."""
+    from .operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_pairwise,
+        kmv_sketch,
+    )
+
     s = stats_approx(spark, sf_dir).selectExpr(
         "stack(3, 'total', total, 'approx_subdomains', subdomains,"
         " 'approx_domains', domains) AS (key, value)"
@@ -287,7 +296,22 @@ def sketch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("base_domain").alias("key"),
         F.col("est_count").cast("long").alias("value"),
     )
-    return s.unionByName(t)
+    sk = kmv_sketch(
+        build_cert_domains(spark, sf_dir), ["log_name"], "domain"
+    )
+    per_log = sk.select(
+        F.lit("kmv").alias("sect"),
+        F.concat(F.lit("est:"), F.col("log_name")).alias("key"),
+        F.round(kmv_distinct_estimate(F.col("kmv"))).cast("long").alias("value"),
+    )
+    pairwise = kmv_pairwise(sk, "log_name").select(
+        F.lit("kmv").alias("sect"),
+        F.concat(
+            F.lit("inter:"), F.col("group_a"), F.lit("|"), F.col("group_b")
+        ).alias("key"),
+        F.round(F.col("est_intersection")).cast("long").alias("value"),
+    )
+    return s.unionByName(t).unionByName(per_log).unionByName(pairwise)
 
 
 QUERIES = {
