@@ -81,6 +81,7 @@ _FRAME_API = {
     "start_rollup": ("ct_clickhouse_spark.streaming.rollup", "start_rollup"),
     "chunk_documents": ("ct_clickhouse_spark.operators.text", "chunk_documents"),
     "bpe_train": ("ct_clickhouse_spark.operators.text", "bpe_train"),
+    "bpe_encode": ("ct_clickhouse_spark.operators.text", "bpe_encode"),
     "stream_interval_join": (
         "ct_clickhouse_spark.streaming.joins",
         "stream_interval_join",

@@ -356,6 +356,74 @@ def bpe_train(
     return merges
 
 
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize ``text_col`` with a merge table learned by ``bpe_train``:
+    input columns plus ``tokens array<string>`` (word-boundary symbols
+    carry the ``</w>`` suffix, the same convention the trainer uses).
+
+    The classic rank-greedy application (merge the best-ranked adjacent
+    pair until none applies — the order that reproduces the training
+    segmentation), Arrow-batched with a per-partition WORD memo: the
+    corpus re-encodes each distinct word once per partition, so the
+    per-row cost collapses to a dict lookup for every repeated word —
+    the same vocabulary-not-corpus working-set argument as the trainer.
+    The merge table itself is a k-entry driver artifact broadcast with
+    the closure (like the IVF centroids), never a shuffled table."""
+    import pandas as pd
+
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    out_fields = docs.schema.fields
+
+    def _encode_word(word: str, memo: dict) -> list[str]:
+        hit = memo.get(word)
+        if hit is not None:
+            return hit
+        syms = list(word) + ["</w>"]
+        while len(syms) >= 2:
+            best_rank, best_i = None, -1
+            for i in range(len(syms) - 1):
+                r = ranks.get((syms[i], syms[i + 1]))
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_i = r, i
+            if best_rank is None:
+                break
+            a, b = syms[best_i], syms[best_i + 1]
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            syms = merged
+        memo[word] = syms
+        return syms
+
+    def _encode(batches):
+        memo: dict[str, list[str]] = {}
+        for pdf in batches:
+            toks = []
+            for text in pdf[text_col]:
+                words = (text or "").lower().strip().split()
+                row: list[str] = []
+                for w in words:
+                    row.extend(_encode_word(w, memo))
+                toks.append(row)
+            pdf = pdf.copy()
+            pdf["tokens"] = toks
+            yield pdf
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in out_fields
+    )
+    return docs.mapInPandas(_encode, schema + ", tokens array<string>")
+
+
 PACK_MAX = 2000  # bin capacity (chars) for the driver packing slot
 
 
@@ -406,7 +474,18 @@ def fingerprint_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         "sect string, key string, v1 long, v2 long",
     )
-    return fp.unionByName(pk).unionByName(bpe)
+    # 'bpe_enc' rows: the trained table APPLIED to the corpus (train ->
+    # encode -> pack is the full tokenizer story). v1 = token count,
+    # v2 = order-sensitive hash of the token stream (\x01-separated:
+    # '' would alias ["ab","c"] with ["a","bc"]) — a wrong merge order
+    # or boundary symbol anywhere changes v2.
+    enc = bpe_encode(docs, merges).select(
+        F.lit("bpe_enc").alias("sect"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.size("tokens").cast("long").alias("v1"),
+        F.xxhash64(F.concat_ws("\x01", "tokens")).alias("v2"),
+    )
+    return fp.unionByName(pk).unionByName(bpe).unionByName(enc)
 
 
 # The merge table is k tuples of driver-held strings — tiny — but the

@@ -56,3 +56,78 @@ def test_bpe_matches_reference(spark):
 def test_bpe_deterministic(spark):
     docs = load_table(spark, SF_DIR, "documents")
     assert bpe_train(docs, n_merges=4) == bpe_train(docs, n_merges=4)
+
+
+def _ref_encode_word(word, ranks):
+    syms = list(word) + ["</w>"]
+    while len(syms) >= 2:
+        ranked = [
+            (ranks[(x, y)], i)
+            for i, (x, y) in enumerate(zip(syms, syms[1:]))
+            if (x, y) in ranks
+        ]
+        if not ranked:
+            break
+        _, best_i = min(ranked)
+        a, b = syms[best_i], syms[best_i + 1]
+        merged, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                merged.append(a + b)
+                i += 2
+            else:
+                merged.append(syms[i])
+                i += 1
+        syms = merged
+    return syms
+
+
+def test_bpe_encode_matches_reference_and_roundtrips(spark):
+    from ct_clickhouse_spark.operators.text import bpe_encode
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    rows = bpe_encode(docs, merges).select("doc_id", "text", "tokens").collect()
+    assert rows
+    merged_symbol_seen = False
+    for r in rows:
+        words = r.text.lower().strip().split()
+        want = [t for w in words for t in _ref_encode_word(w, ranks)]
+        assert list(r.tokens) == want, r.doc_id
+        # lossless: stripping </w> and rejoining reconstructs the words
+        rebuilt = "".join(r.tokens).replace("</w>", " ").split()
+        assert rebuilt == words, r.doc_id
+        merged_symbol_seen = merged_symbol_seen or any(
+            len(t.replace("</w>", "")) > 1 for t in r.tokens
+        )
+    # the learned merges actually apply somewhere on the corpus
+    assert merged_symbol_seen
+
+
+def test_bpe_encode_compresses_and_caches(spark):
+    """More merges -> no more tokens (monotone compression), and the
+    memoized encoder agrees with itself across partitionings."""
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.operators.text import bpe_encode
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = bpe_train(docs, n_merges=8)
+    n8 = (
+        bpe_encode(docs, merges)
+        .agg(F.sum(F.size("tokens")))
+        .collect()[0][0]
+    )
+    n0 = (
+        bpe_encode(docs, [])
+        .agg(F.sum(F.size("tokens")))
+        .collect()[0][0]
+    )
+    assert n8 < n0
+    n8_repart = (
+        bpe_encode(docs.repartition(7), merges)
+        .agg(F.sum(F.size("tokens")))
+        .collect()[0][0]
+    )
+    assert n8_repart == n8
