@@ -6,12 +6,16 @@ column with a typed metadata struct — Parquet's Dremel-style nested
 encoding makes the struct columns prunable, so metadata-only queries never
 touch the payload bytes (the dominant scan cost at 100 TB).
 
-The container has no image/audio codecs, so the *decode* step is a
-deterministic fake (byte-level features) clearly marked below; the real
-codec drops into ``_decode_payload`` behind the same mapInPandas plumbing —
-schema, Arrow batching, partitioning are all real and tested. Payloads are
-synthesized deterministically from ``documents.text`` so the DuckDB oracle
-can rebuild the identical media table for the metadata queries.
+Two formats are REAL end-to-end with pure-Python codecs (no library
+needed): png payloads are fully valid PNGs (``png_encode`` /
+``png_parse_ihdr``) and wav payloads fully valid mono 16-bit PCM WAVs
+(``wav_encode`` / ``wav_parse_header``, readable by the stdlib ``wave``
+module). The container has no jpeg/mp4 codecs, so those formats keep a
+deterministic byte-level fake clearly marked below; a library codec
+drops into ``_decode_payload`` behind the same mapInPandas plumbing —
+schema, Arrow batching, partitioning are all real and tested. Payloads
+are synthesized deterministically from ``documents.text`` so the DuckDB
+oracle can rebuild the identical media table for the metadata queries.
 
 Media table schema:
   media_id long, kind string (image|audio|video), format string,
@@ -97,12 +101,81 @@ def png_parse_ihdr(payload: bytes) -> tuple[int, int, int] | None:
     return w, h, payload[24]
 
 
+_WAV_SAMPLE_RATES = (8000, 12000, 16000, 24000)  # media_id % 4 picks one
+
+
+def wav_encode(data: bytes, sample_rate: int) -> bytes:
+    """A fully valid mono 16-bit PCM WAV (canonical RIFF/fmt/data layout,
+    stdlib struct only — readable by the stdlib ``wave`` module): each
+    input byte becomes one centered int16 sample ((b - 128) << 8), so the
+    total length is CLOSED-FORM — 44 + 2*len(data) bytes — keeping the
+    media table's byte accounting SQL-expressible, the same design rule
+    as png_encode's stored-block form."""
+    import struct
+
+    import numpy as np
+
+    if data:
+        samples = (
+            (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8
+        ).tobytes()
+    else:
+        samples = b""
+    n = len(samples)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n)
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", n)
+        + samples
+    )
+
+
+def wav_parse_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, n_channels, bits_per_sample, n_samples) from a WAV's
+    RIFF/fmt/data headers — real magic-checked parse, pure Python. None
+    for anything that isn't a canonical-layout PCM WAV."""
+    import struct
+
+    if (
+        len(payload) < 44
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"WAVE"
+        or payload[12:16] != b"fmt "
+        or payload[36:40] != b"data"
+    ):
+        return None
+    _, fmt_tag, channels, rate, _, block_align, bits = struct.unpack(
+        "<IHHIIHH", payload[16:36]
+    )
+    if fmt_tag != 1 or block_align == 0:  # PCM only
+        return None
+    (data_len,) = struct.unpack("<I", payload[40:44])
+    return rate, channels, bits, data_len // block_align
+
+
 @F.pandas_udf(BinaryType())
 def _png_payload_udf(text: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
     return pd.Series(
         [
             png_encode((t or "").encode("utf-8"), int(w), int(h))
             for t, w, h in zip(text, width, height)
+        ],
+        dtype=object,
+    )
+
+
+@F.pandas_udf(BinaryType())
+def _wav_payload_udf(text: pd.Series, media_id: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            wav_encode(
+                (t or "").encode("utf-8"), _WAV_SAMPLE_RATES[int(m) % 4]
+            )
+            for t, m in zip(text, media_id)
         ],
         dtype=object,
     )
@@ -119,8 +192,11 @@ _MEDIA_CACHE: dict[tuple[str, str], DataFrame] = {}
 def build_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table from documents. png-format rows carry a
     REAL (fully valid, closed-form-length) PNG built from the text bytes
-    by ``png_encode``; other kinds keep utf-8 text bytes as a stand-in.
-    Metadata derives from doc_id so both engines can reconstruct it."""
+    by ``png_encode``; wav-format rows a REAL mono 16-bit PCM WAV from
+    ``wav_encode`` (sample rate derived from media_id); the remaining
+    formats (jpeg/mp4 — codecs genuinely absent here) keep utf-8 text
+    bytes as a stand-in. Metadata derives from doc_id so both engines
+    can reconstruct it."""
     from ..catalog import _session_key
 
     ckey = (_session_key(spark), sf_dir)
@@ -149,18 +225,21 @@ def build_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text",
         "source",
     )
-    # Encode ONLY the png slice: a Python UDF inside a CASE WHEN is
-    # extracted to an ArrowEvalPython node that runs for EVERY row (the
-    # CASE discards, it does not short-circuit), so the ~5/6 non-png rows
-    # would pay the encode for nothing. Filter + union keeps the UDF on
-    # exactly the rows whose payload uses it.
+    # Encode ONLY the slice each codec applies to: a Python UDF inside a
+    # CASE WHEN is extracted to an ArrowEvalPython node that runs for
+    # EVERY row (the CASE discards, it does not short-circuit), so the
+    # other rows would pay the encode for nothing. Filter + union keeps
+    # each UDF on exactly the rows whose payload uses it.
     png = base.filter(F.col("format") == "png").withColumn(
         "payload", _png_payload_udf(F.col("text"), F.col("width"), F.col("height"))
     )
-    rest = base.filter(F.col("format") != "png").withColumn(
+    wav = base.filter(F.col("format") == "wav").withColumn(
+        "payload", _wav_payload_udf(F.col("text"), F.col("media_id"))
+    )
+    rest = base.filter(~F.col("format").isin("png", "wav")).withColumn(
         "payload", F.encode("text", "utf-8")
     )
-    media = png.unionByName(rest).drop("text").persist()
+    media = png.unionByName(wav).unionByName(rest).drop("text").persist()
     _bounded_cache_put(_MEDIA_CACHE, ckey, media, release=lambda v: v.unpersist())
     return media
 
@@ -191,6 +270,9 @@ DECODE_SCHEMA = StructType(
         StructField("img_width", IntegerType()),
         StructField("img_height", IntegerType()),
         StructField("img_bit_depth", IntegerType()),
+        StructField("audio_sample_rate", IntegerType()),
+        StructField("audio_channels", IntegerType()),
+        StructField("audio_n_samples", IntegerType()),
     ]
 )
 
@@ -198,12 +280,15 @@ DECODE_SCHEMA = StructType(
 def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode each payload into features via Arrow-batched mapInPandas.
 
-    PNG payloads get a REAL decode of their dimensions: ``png_parse_ihdr``
-    reads width/height/bit-depth from the IHDR chunk (magic-checked, pure
-    Python — no codec library). Other formats fall back to deterministic
-    byte statistics; a full pixel decoder (PIL/librosa/pyav per ``kind``)
-    drops into ``_decode_payload`` behind the same plumbing — the batch
-    iterator, schema, and partition parallelism don't change.
+    PNG payloads get a REAL decode of their dimensions (``png_parse_ihdr``
+    reads width/height/bit-depth from the IHDR chunk) and WAV payloads a
+    REAL decode of their audio parameters (``wav_parse_header`` reads
+    sample rate / channels / bit depth / sample count from the RIFF
+    headers) — both magic-checked, pure Python, no codec library. The
+    remaining formats fall back to deterministic byte statistics; a full
+    pixel/sample decoder (PIL/librosa/pyav per ``kind``) drops into
+    ``_decode_payload`` behind the same plumbing — the batch iterator,
+    schema, and partition parallelism don't change.
     """
 
     import numpy as np
@@ -215,6 +300,7 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bit while removing the per-byte Python loop (the decode hot spot)
         a = np.frombuffer(arr, dtype=np.uint8)
         ihdr = png_parse_ihdr(arr) if kind == "image" else None
+        wavh = wav_parse_header(arr) if kind == "audio" else None
         return {
             "n_bytes": len(arr),
             "mean_byte": round(int(a.sum()) / len(arr), 4) if arr else 0.0,
@@ -223,6 +309,9 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             "img_width": ihdr[0] if ihdr else None,
             "img_height": ihdr[1] if ihdr else None,
             "img_bit_depth": ihdr[2] if ihdr else None,
+            "audio_sample_rate": wavh[0] if wavh else None,
+            "audio_channels": wavh[1] if wavh else None,
+            "audio_n_samples": wavh[3] if wavh else None,
         }
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -420,9 +509,11 @@ _MEDIA_SQL = """
 """
 
 # png payloads are real PNGs with the closed-form length png_encode
-# guarantees (h*(w+1) + 68); everything else is the raw text bytes.
+# guarantees (h*(w+1) + 68); wav payloads real PCM WAVs at 44 + 2 bytes
+# per text byte (wav_encode); everything else is the raw text bytes.
 _PAYLOAD_LEN_SQL = """
     CASE WHEN format = 'png' THEN height * (width + 1) + 68
+         WHEN format = 'wav' THEN 44 + 2 * octet_length(payload)
          ELSE octet_length(payload) END
 """
 

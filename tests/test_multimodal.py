@@ -105,3 +105,52 @@ def test_decode_features_parses_real_png_dimensions(spark):
 def test_png_parse_rejects_non_png():
     assert multimodal.png_parse_ihdr(b"plain text payload") is None
     assert multimodal.png_parse_ihdr(b"\x89PNG\r\n\x1a\n" + b"short") is None
+
+
+def test_wav_encode_is_valid_for_stdlib_wave_module():
+    """The encoded WAV must be a real file a third-party reader accepts —
+    validated with the stdlib ``wave`` codec, not our own parser."""
+    import io
+    import wave
+
+    data = b"hello wav world"
+    payload = multimodal.wav_encode(data, 16000)
+    assert len(payload) == 44 + 2 * len(data)  # the closed form
+    with wave.open(io.BytesIO(payload)) as wf:
+        assert wf.getnchannels() == 1
+        assert wf.getsampwidth() == 2
+        assert wf.getframerate() == 16000
+        assert wf.getnframes() == len(data)
+        frames = wf.readframes(len(data))
+    # sample values: each byte centered to int16 ((b-128)<<8)
+    import numpy as np
+
+    got = np.frombuffer(frames, dtype="<i2")
+    want = (np.frombuffer(data, dtype=np.uint8).astype(np.int16) - 128) << 8
+    assert (got == want).all()
+    # empty payload is still a valid zero-frame WAV
+    with wave.open(io.BytesIO(multimodal.wav_encode(b"", 8000))) as wf:
+        assert wf.getnframes() == 0
+
+
+def test_decode_features_parses_real_wav_headers(spark):
+    """Audio rows must emit the true sample rate (derived from media_id),
+    mono 16-bit, and a sample count matching the closed-form length;
+    non-audio rows stay null in the audio columns."""
+    rows = multimodal.decode_features(spark, SF_DIR).collect()
+    n_wav = 0
+    for r in rows:
+        if r.kind == "audio":
+            n_wav += 1
+            want_rate = multimodal._WAV_SAMPLE_RATES[r.media_id % 4]
+            assert r.audio_sample_rate == want_rate, r
+            assert r.audio_channels == 1
+            assert r.audio_n_samples == (r.n_bytes - 44) // 2
+        else:
+            assert r.audio_sample_rate is None and r.audio_n_samples is None
+    assert n_wav > 0, "fixture contains no audio media — vacuous"
+
+
+def test_wav_parse_rejects_non_wav():
+    assert multimodal.wav_parse_header(b"plain text payload" * 4) is None
+    assert multimodal.wav_parse_header(b"RIFF1234WAVEfmt " + b"x" * 40) is None
