@@ -66,6 +66,10 @@ _FRAME_API = {
         "ct_clickhouse_spark.operators.similarity",
         "sq8_quantize",
     ),
+    "rp_project": (
+        "ct_clickhouse_spark.operators.similarity",
+        "rp_project",
+    ),
     "interval_join": ("ct_clickhouse_spark.operators.rangejoin", "interval_join"),
     "bloom_prune": ("ct_clickhouse_spark.operators.bloomjoin", "bloom_prune"),
     "bloom_pruned_join": (

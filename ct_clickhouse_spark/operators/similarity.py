@@ -805,19 +805,123 @@ def sq8_topk(
     )
 
 
+RP_DIM = 16  # Johnson-Lindenstrauss target dimension (64 -> 16)
+RP_SEED = 0x5EED
+RP_REFINE = 6  # candidates per final result before exact re-rank
+
+
+def rp_project(
+    emb_df: DataFrame,
+    out_dim: int = RP_DIM,
+    seed: int = RP_SEED,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: adds ``rp`` — the
+    L2-normalized input vector times a seeded Gaussian d x out_dim
+    matrix (scaled 1/sqrt(out_dim), the JL convention that preserves
+    inner products in expectation). Every other column passes through.
+
+    The 100 TB lever: downstream distance work (ANN candidate
+    generation, clustering, dedup kernels) runs on out_dim/d of the
+    bytes — a 4x reduction at 64 -> 16 — with distortion bounded by JL
+    and correctness restored by an exact re-rank over the survivors.
+
+    The projection matrix derives from ``seed`` alone (d*out_dim
+    float64s, driver-held like the IVF centroids), so any executor —
+    or a later session — reproduces the identical projection; the
+    matmul itself is an Arrow-batched numpy GEMM per batch (the same
+    vectorized shape as the cosine_pairs kernel)."""
+    import numpy as np
+
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in emb_df.schema.fields
+    )
+
+    def _project(batches):
+        rmat = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            x = np.array(list(pdf[emb_col]), dtype=np.float64)
+            if rmat is None:
+                # seeded fresh here so the matrix depends on nothing but
+                # (seed, d, out_dim) — identical on every executor
+                rmat = np.random.default_rng(seed).standard_normal(
+                    (x.shape[1], out_dim)
+                ) / np.sqrt(out_dim)
+            norms = np.linalg.norm(x, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            proj = (x / norms) @ rmat
+            pdf = pdf.copy()
+            pdf["rp"] = list(proj)
+            yield pdf
+
+    return emb_df.mapInPandas(_project, f"{fields}, rp array<double>")
+
+
+def rp_topk(
+    spark: SparkSession, sf_dir: str, k: int = TOPK, refine: int = RP_REFINE
+) -> DataFrame:
+    """Random-projection approximate top-k against the vec_id=0 query:
+    score sum(rp_d * q_rp_d) in the 16-dim projected space (pure JVM
+    zip_with/aggregate over the reduced arrays), TakeOrdered k*refine
+    candidates, exact-cosine re-rank of only those (broadcast id list).
+    Recall is pytest-gated against the exact brute-force tier."""
+    proj = rp_project(load_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "rp"
+    )
+    qrp = (
+        proj.filter(F.col("vec_id") == QUERY_VEC_ID).select("rp").collect()[0].rp
+    )
+    approx = F.aggregate(
+        F.zip_with(
+            F.col("rp"),
+            F.array(*[F.lit(float(v)) for v in qrp]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+    cand = (
+        proj.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", approx.alias("approx_cos"))
+        .orderBy(F.col("approx_cos").desc(), "vec_id")
+        .limit(k * refine)
+        .select("vec_id")
+    )
+    emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
+    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("emb").alias("qvec")
+    )
+    cos = _dot(F.col("emb"), F.col("qvec")) / (
+        _norm(F.col("emb")) * _norm(F.col("qvec"))
+    )
+    return (
+        emb.join(F.broadcast(cand), "vec_id")
+        .crossJoin(F.broadcast(query))
+        .select("vec_id", "label", F.round(cos, 4).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(k)
+    )
+
+
 def ann_topk_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The approximate-index family under one rows-only slot, one row
     shape (kind, vec_id, label, cosine): the persisted-IVF probe
-    (partition-pruned scan) and the SQ8 scalar-quantized search (int8
-    code-domain scoring + exact re-rank). Both are pytest-gated on
-    recall/identity against the exact tier."""
+    (partition-pruned scan), the SQ8 scalar-quantized search (int8
+    code-domain scoring + exact re-rank), and the Johnson-Lindenstrauss
+    random-projection search (16-dim scoring + exact re-rank). All are
+    pytest-gated on recall/identity against the exact tier."""
     ivf = ivf_topk_indexed(spark, sf_dir).select(
         F.lit("ivf").alias("kind"), "vec_id", "label", "cosine"
     )
     sq8 = sq8_topk(spark, sf_dir).select(
         F.lit("sq8").alias("kind"), "vec_id", "label", "cosine"
     )
-    return ivf.unionByName(sq8)
+    rp = rp_topk(spark, sf_dir).select(
+        F.lit("rp").alias("kind"), "vec_id", "label", "cosine"
+    )
+    return ivf.unionByName(sq8).unionByName(rp)
 
 
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,6 +48,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     results: dict[str, dict[int, float]] = {}
 
+    # fixed tokenizer artifact for the bpe_encode family (the trainer has
+    # its own cost model; this row measures APPLICATION)
+    from ct_clickhouse_spark.catalog import load_table as _lt
+    from ct_clickhouse_spark.operators.text import bpe_train
+
+    bpe_merges = bpe_train(_lt(spark, SF_DIR, "documents"), n_merges=16)
+
     def timed(tag: str, k: int, fn):
         fn()  # warm
         # same protocol as bench.py: gc outside the timed window, or the
@@ -242,6 +249,39 @@ def main() -> None:
         timed("bloom_pruned_join", k, lambda: bloom_pruned_join(
             orders, dim_k, "o_custkey", expected_items=max(2000 * k, 2000)
         ).agg(F.count(F.lit(1))).collect())
+
+        # incremental dedup (round 4): Bloom-routed new-batch vs corpus.
+        # Both sides scale k x; the sketch build is linear in corpus keys
+        # and the anti-join sees only the bloom-positive sliver.
+        from ct_clickhouse_spark.operators.dedup import incremental_dedup
+
+        batch_k = docs.filter(F.col("doc_id") % 5 == 0).select(
+            "doc_id", F.md5("text").alias("h")
+        )
+        corpus_k = docs.filter(F.col("doc_id") % 5 != 0).select(
+            F.md5("text").alias("h")
+        )
+        n_corpus = corpus_k.count()
+        timed("incremental_dedup", k, lambda: incremental_dedup(
+            batch_k, corpus_k, "h", expected_items=n_corpus
+        ).agg(F.count(F.lit(1))).collect())
+
+        # KMV sketch (round 4): distinct hash agg + spillable per-group
+        # window top-k; output bounded at k doubles per group
+        from ct_clickhouse_spark.operators.sketches import kmv_sketch
+
+        timed("kmv_sketch", k, lambda: kmv_sketch(
+            li, ["l_returnflag"], "l_partkey", 256
+        ).collect())
+
+        # BPE encode (round 4): rank-greedy application with the
+        # per-partition word memo — linear in corpus words for a fixed
+        # merge table (trained once on the base corpus, outside the loop)
+        from ct_clickhouse_spark.operators.text import bpe_encode
+
+        timed("bpe_encode", k, lambda: bpe_encode(docs, bpe_merges)
+            .agg(F.sum(F.size("tokens")))
+            .collect())
 
     print(json.dumps({"multipliers": ks, "seconds": results}))
     spark.stop()

@@ -1,0 +1,106 @@
+"""Johnson-Lindenstrauss random projection: deterministic across
+partitionings and sessions, inner-product-preserving within JL bounds,
+and the rp_topk search recalls the exact brute-force top-k."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from ct_clickhouse_spark.catalog import load_table
+from ct_clickhouse_spark.operators.similarity import (
+    RP_DIM,
+    cosine_topk,
+    rp_project,
+    rp_topk,
+)
+from tests.conftest import SF_DIR
+
+
+def test_projection_deterministic_across_partitionings(spark):
+    """Same matrix on every executor/partitioning. Equality is to 1e-9
+    (not bitwise): BLAS matmul reorders the d-term summation by batch
+    shape, so the last float ulp legitimately differs — what must NOT
+    vary is the projection itself."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    a = {
+        r.vec_id: np.array(r.rp)
+        for r in rp_project(emb).select("vec_id", "rp").collect()
+    }
+    b = {
+        r.vec_id: np.array(r.rp)
+        for r in rp_project(emb.repartition(13)).select("vec_id", "rp").collect()
+    }
+    assert a.keys() == b.keys()
+    for vid in a:
+        assert np.allclose(a[vid], b[vid], atol=1e-9), vid
+    assert all(len(v) == RP_DIM for v in a.values())
+
+
+def test_projection_within_jl_distance_distortion_bounds(spark):
+    """The JL guarantee is about DISTANCES: ||p(u)-p(v)||^2/||u-v||^2 is
+    a chi^2_r/r variable — mean 1, std sqrt(2/r) (~0.35 at r=16).
+    Checked over all query-anchored pairs of the fixture: mean distortion
+    near 1 with the predicted spread. (Top-k RECALL on this fixture is
+    NOT asserted — its embeddings are isotropic noise with cosine std
+    0.13, the degenerate regime where no distance-gap method can rank;
+    the recall gate lives on planted-cluster data below.)"""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = rp_project(emb).select("vec_id", "embedding", "rp").collect()
+    x = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    p = np.array([list(r.rp) for r in rows], dtype=np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    q = next(i for i, r in enumerate(rows) if r.vec_id == 0)
+    d_exact = np.linalg.norm(xn - xn[q], axis=1)
+    d_proj = np.linalg.norm(p - p[q], axis=1)
+    mask = d_exact > 1e-12
+    ratio = (d_proj[mask] / d_exact[mask]) ** 2
+    # the pair-mean is itself random in the MATRIX draw: every pair
+    # shares one R (and one anchor), so per-pair errors don't average
+    # out — measured across seeds the query-anchored mean lands 0.76-1.28
+    # (std ~0.15). Bounds are 4-sigma of that, not of the per-pair std.
+    assert 0.5 < ratio.mean() < 1.6, ratio.mean()
+    assert 0.15 < ratio.std() < 0.7, ratio.std()  # per-pair ~sqrt(2/16)
+
+
+def test_rp_topk_recalls_on_cluster_structured_data(spark, tmp_path):
+    """Recall gate on data with actual neighbor structure: 10 planted
+    unit-sphere clusters (radius ~0.15) in 64-d. The query's true top-10
+    are its cluster-mates; the 16-dim projection must surface them.
+    (This is the regime the operator exists for — real embedding corpora
+    are clustered; for isotropic noise the exact tier is the right
+    tool, see the distortion test above.)"""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((10, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    vecs, labels = [], []
+    for i in range(500):
+        c = i % 10
+        v = centers[c] + 0.15 * rng.standard_normal(64)
+        vecs.append((v / np.linalg.norm(v)).tolist())
+        labels.append(c)
+    df = spark.createDataFrame(
+        [(i, vecs[i], labels[i]) for i in range(500)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    out = str(tmp_path / "planted")
+    df.write.parquet(out + "/embeddings.parquet")
+    exact_ids = [r.vec_id for r in cosine_topk(spark, out).collect()]
+    rp_ids = [r.vec_id for r in rp_topk(spark, out).collect()]
+    assert len(rp_ids) == len(exact_ids) == 10
+    recall = len(set(exact_ids) & set(rp_ids)) / len(exact_ids)
+    assert recall >= 0.8, (recall, exact_ids, rp_ids)
+    # re-rank means emitted scores are EXACT cosines: shared ids agree
+    exact_scores = {r.vec_id: r.cosine for r in cosine_topk(spark, out).collect()}
+    for r in rp_topk(spark, out).collect():
+        if r.vec_id in exact_scores:
+            assert abs(r.cosine - exact_scores[r.vec_id]) < 1e-9
+
+
+def test_ann_variants_slot_carries_all_three_kinds(spark):
+    from ct_clickhouse_spark.operators.similarity import ann_topk_variants
+
+    kinds = {
+        r.kind for r in ann_topk_variants(spark, SF_DIR).select("kind").collect()
+    }
+    assert kinds == {"ivf", "sq8", "rp"}
