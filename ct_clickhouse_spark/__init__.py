@@ -83,6 +83,14 @@ _FRAME_API = {
     "zorder_write": ("ct_clickhouse_spark.plans.clustering", "zorder_write"),
     "hourly_rollup": ("ct_clickhouse_spark.streaming.rollup", "hourly_rollup"),
     "start_rollup": ("ct_clickhouse_spark.streaming.rollup", "start_rollup"),
+    "backfill_rollup_kmv": (
+        "ct_clickhouse_spark.streaming.rollup",
+        "backfill_rollup_kmv",
+    ),
+    "returning_users": (
+        "ct_clickhouse_spark.streaming.rollup",
+        "returning_users",
+    ),
     "chunk_documents": ("ct_clickhouse_spark.operators.text", "chunk_documents"),
     "bpe_train": ("ct_clickhouse_spark.operators.text", "bpe_train"),
     "bpe_encode": ("ct_clickhouse_spark.operators.text", "bpe_encode"),

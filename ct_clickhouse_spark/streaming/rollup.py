@@ -168,3 +168,99 @@ def batch_rollup_reference(events: DataFrame) -> DataFrame:
             *_ROLLUP_COLS,
         )
     )
+
+
+# ---- KMV user sketches on the rollup (batch/backfill path) ----------------
+#
+# The HLL column answers "distinct users over a range"; it CANNOT answer
+# "how many users appear in BOTH range A and range B" (returning users,
+# cross-period retention) — HLL unions but does not intersect. A KMV
+# column does: k-smallest-of-union is exactly the union's sketch
+# (closure), so range sketches merge from window sketches and pairs of
+# ranges yield intersection/Jaccard estimates (operators/sketches.py).
+#
+# Scope note, stated honestly: the KMV column rides the BATCH/backfill
+# path. Maintaining it in the STREAMING aggregate would need a
+# bounded-state typed aggregate (keep k smallest per group) which Spark
+# SQL does not expose — collect_set-based state grows with per-window
+# distinct users, exactly what a sketch exists to avoid. The deployment
+# shape is the standard split: streaming maintains the algebraic + HLL
+# columns; the KMV column backfills per finalized window from the raw
+# partition (one bounded batch job per window, same cadence as
+# compaction), after which range queries never touch raw data again.
+
+KMV_USERS_K = 256
+
+
+def backfill_rollup_kmv(events: DataFrame, k: int = KMV_USERS_K) -> DataFrame:
+    """Per-(window, event_type) KMV user sketches: (window_start,
+    window_id, event_type, users_kmv array<double>). Join-compatible with
+    the streaming rollup table on (window_id, event_type)."""
+    from ..operators.sketches import kmv_sketch
+
+    windowed = events.select(
+        F.window("ts", ROLLUP_WINDOW).alias("w"), "event_type", "user_id"
+    ).select(
+        F.col("w.start").alias("window_start"),
+        (F.unix_timestamp("w.start") / 3600).cast("long").alias("window_id"),
+        "event_type",
+        "user_id",
+    )
+    sk = kmv_sketch(
+        windowed, ["window_start", "window_id", "event_type"], "user_id", k=k
+    )
+    return sk.withColumnRenamed("kmv", "users_kmv")
+
+
+def _range_kmv(rollup_kmv: DataFrame, start, end, k: int) -> DataFrame:
+    """One merged sketch for every window in [start, end): k smallest
+    distinct values across the per-window sketches — by KMV closure this
+    IS the sketch of the union of the windows' user sets. Same
+    window-granularity snapping rule as distinct_users_over."""
+    from pyspark.sql.window import Window
+
+    vals = (
+        rollup_kmv.filter(
+            (F.col("window_start") >= F.lit(start))
+            & (F.col("window_start") < F.lit(end))
+        )
+        .select(F.explode("users_kmv").alias("_u"))
+        .distinct()
+    )
+    w = Window.orderBy("_u")
+    return (
+        vals.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= k)
+        .agg(F.sort_array(F.collect_list("_u")).alias("kmv"))
+    )
+
+
+def returning_users(
+    rollup_kmv: DataFrame, range_a, range_b, k: int = KMV_USERS_K
+) -> DataFrame:
+    """Cross-range user-overlap estimates FROM THE ROLLUP ALONE:
+    one row (users_a, users_b, users_union, users_both, jaccard) where
+    users_both estimates |users(range_a) ∩ users(range_b)| — the
+    returning-users / retention quantity the HLL column cannot produce.
+    ``range_a``/``range_b`` are (start, end) pairs, window-snapped.
+
+    The global sort inside each range sketch runs over at most
+    n_windows_in_range x k doubles — sketch-sized, never data-sized."""
+    from ..operators.sketches import kmv_distinct_estimate, kmv_set_estimates
+
+    a = _range_kmv(rollup_kmv, range_a[0], range_a[1], k).select(
+        F.col("kmv").alias("_ka")
+    )
+    b = _range_kmv(rollup_kmv, range_b[0], range_b[1], k).select(
+        F.col("kmv").alias("_kb")
+    )
+    union_est, inter_est, jaccard = kmv_set_estimates(
+        F.col("_ka"), F.col("_kb"), k
+    )
+    return a.crossJoin(b).select(
+        F.round(kmv_distinct_estimate(F.col("_ka"), k), 1).alias("users_a"),
+        F.round(kmv_distinct_estimate(F.col("_kb"), k), 1).alias("users_b"),
+        F.round(union_est, 1).alias("users_union"),
+        F.round(inter_est, 1).alias("users_both"),
+        F.round(jaccard, 4).alias("jaccard"),
+    )
