@@ -15,10 +15,13 @@ at 100 TB (contrast with buffering raw events).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -125,5 +128,73 @@ def streaming_asof_last_view(events: DataFrame) -> DataFrame:
         outputStructType=ASOF_OUTPUT_SCHEMA,
         stateStructType=ASOF_STATE_SCHEMA,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+KMV_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("window_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("users_kmv", ArrayType(DoubleType())),
+    ]
+)
+
+KMV_STATE_SCHEMA = StructType([StructField("kmv", ArrayType(DoubleType()))])
+
+
+def streaming_window_kmv(
+    events: DataFrame, k: int = 64, window_hours: int = 1
+) -> DataFrame:
+    """Streaming maintenance of per-(window, event_type) KMV user
+    sketches — the bounded-state typed aggregate Spark SQL doesn't
+    expose, built as a custom stateful operator (the module's purpose).
+    State per group is a sorted array of <= k doubles regardless of how
+    many distinct users the window sees; collect_set-based state would
+    grow with per-window cardinality, which is what a sketch exists to
+    avoid.
+
+    The hash is computed JVM-side BEFORE the stateful boundary with the
+    same canonical expression as ``operators.sketches.kmv_sketch``
+    (xxhash64 of the string cast, mapped to uniform [0,1)), so streamed
+    sketches and batch-backfilled sketches are interchangeable — merge,
+    intersect, and estimate together (tests pin streamed == batch).
+
+    Emits the group's current sketch each micro-batch it changes
+    (update mode); downstream range queries read the latest row per
+    (window_id, event_type). ``events``: (ts timestamp, user_id,
+    event_type)."""
+    import pandas as pd
+
+    from ..operators.sketches import _uniform_hash
+
+    hashed = events.select(
+        F.floor(F.unix_timestamp("ts") / (3600 * window_hours))
+        .cast("long")
+        .alias("window_id"),
+        "event_type",
+        _uniform_hash(F.col("user_id")).alias("_u"),
+    )
+
+    def _update(key, pdf_iter, state: GroupState):
+        window_id, event_type = key
+        vals = set(state.get[0]) if state.exists else set()
+        for pdf in pdf_iter:
+            vals.update(float(u) for u in pdf["_u"])
+        sketch = sorted(vals)[:k]
+        state.update((sketch,))
+        yield pd.DataFrame(
+            {
+                "window_id": [window_id],
+                "event_type": [event_type],
+                "users_kmv": [sketch],
+            }
+        )
+
+    return hashed.groupBy("window_id", "event_type").applyInPandasWithState(
+        _update,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

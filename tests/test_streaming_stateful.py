@@ -131,3 +131,64 @@ def test_streaming_asof_converges_to_batch(spark, tmp_path):
         if vts is not None and pts > boundary >= vts
     ]
     assert crossing, "split produced no cross-batch asof dependency"
+
+
+def test_streaming_kmv_converges_to_batch_sketch(spark, tmp_path):
+    """The streamed per-(window, event_type) KMV sketch must equal the
+    batch kmv_sketch of the same grouping after consuming the whole
+    stream — streamed and backfilled sketches are interchangeable."""
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.operators.sketches import kmv_sketch
+    from ct_clickhouse_spark.streaming.stateful import streaming_window_kmv
+
+    src = str(tmp_path / "src")
+    events = load_table(spark, SF_DIR, "events")
+    # interleaved split (KMV is set-semantics, no in-order assumption):
+    # every window's group spans both chunks, so the cross-batch-state
+    # guard below is non-vacuous
+    first = events.filter(F.col("event_id") % 2 == 0)
+    rest = events.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.parquet(src + "/chunk=0")
+    rest.coalesce(1).write.parquet(src + "/chunk=1")
+
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/chunk=*")
+        .select(F.col("ts").cast("timestamp").alias("ts"), "user_id", "event_type")
+    )
+    q = (
+        streaming_window_kmv(stream, k=64)
+        .writeStream.format("memory")
+        .queryName("kmv_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT * FROM kmv_stream").collect()
+    final = {}
+    for r in rows:  # memory sink preserves batch order: last row wins
+        final[(r.window_id, r.event_type)] = list(r.users_kmv)
+
+    batch = events.select(
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600)
+        .cast("long")
+        .alias("window_id"),
+        "event_type",
+        "user_id",
+    )
+    want = {
+        (r.window_id, r.event_type): list(r.kmv)
+        for r in kmv_sketch(batch, ["window_id", "event_type"], "user_id", k=64)
+        .collect()
+    }
+    assert final == want
+    # state carried across batches: some group must have been updated twice
+    assert len(rows) > len(final)
