@@ -39,6 +39,10 @@ _FRAME_API = {
         "ct_clickhouse_spark.streaming.stateful",
         "streaming_asof_last_view",
     ),
+    "streaming_window_kmv": (
+        "ct_clickhouse_spark.streaming.stateful",
+        "streaming_window_kmv",
+    ),
     "compact_parquet": (
         "ct_clickhouse_spark.plans.maintenance",
         "compact_parquet",

