@@ -765,6 +765,119 @@ def redact_pii(df: DataFrame, col: str = "text") -> DataFrame:
     return out.withColumn(col, redacted)
 
 
+# ---- Bigram LM quality scoring (CCNet-style perplexity filter) -----------
+#
+# CCNet/RedPajama-class pipelines score documents with an n-gram LM
+# trained on a trusted corpus and drop the high-perplexity tail. Here:
+# a bigram LM with add-one smoothing trained on the fixture's
+# ``lang = LM_LANG`` slice, scoring EVERY document with its mean
+# negative log-likelihood. All counts are exact integers; only the final
+# ln/divide is float, summed in a CANONICAL order (the (c12, c1) pairs
+# encoded into one bigint and sorted) so Spark's aggregate() and
+# DuckDB's in-list-order list_sum see identical operand sequences and
+# the driver's value hash can match bit-for-bit after round(4).
+#
+# Scale shape: LM build = one bigram hash aggregate over the trusted
+# slice (map-side combinable); scoring = two equi-joins on word keys
+# (bigram hash, context hash) + one per-doc aggregate whose collect_list
+# is bounded by the document's own word count — the bound the text row
+# already imposes (same argument as span removal's covered-starts).
+LM_LANG = "en"
+_LM_ENC = 1 << 31  # (c12, c1) -> c12 * 2^31 + c1; c1 < 2^31 at any SF the
+# fixture reaches — the encoding is ONLY a cross-engine sum-order
+# canonicalization, swap for a struct sort where counts can exceed 2^31
+
+
+def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver wrapper: score every fixture document against the LM
+    trained on the ``lang = LM_LANG`` slice."""
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_score(docs, docs.filter(F.col("lang") == LM_LANG))
+
+
+def lm_score(docs: DataFrame, lm_docs: DataFrame) -> DataFrame:
+    """Per-document bigram-LM scores of ``docs`` (needs doc_id, text)
+    against an add-one-smoothed bigram LM trained on ``lm_docs`` (needs
+    text): (doc_id, n_bigrams, sum_c12, n_oov, bigram_nll) where
+    bigram_nll = round(mean of -ln((c12+1)/(c1+V)), 4) over the doc's
+    bigrams (NULL when the doc has < 2 words), c12/c1 are the LM's
+    bigram/context counts and V its distinct-continuation count.
+    sum_c12 and n_oov are exact integers — the oracle keeps teeth on the
+    join/count logic independent of float behavior."""
+
+    def _bigrams(df: DataFrame, cols: list) -> DataFrame:
+        with_w = df.withColumn("_w", _words(F.col("text")))
+        return with_w.select(
+            *cols,
+            F.explode(
+                F.when(
+                    F.size("_w") >= 2,
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("_w") - 2),
+                        lambda i: F.struct(
+                            F.element_at(F.col("_w"), (i + 1).cast("int")).alias("w1"),
+                            F.element_at(F.col("_w"), (i + 2).cast("int")).alias("w2"),
+                        ),
+                    ),
+                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+            ).alias("b"),
+        ).select(*cols, "b.w1", "b.w2")
+
+    bg = _bigrams(docs, ["doc_id"])
+    c12 = _bigrams(lm_docs, []).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("c12")
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    v = c12.select("w2").distinct().count()
+
+    scored = (
+        bg.join(c12, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
+            F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("c12").alias("sum_c12"),
+            F.sum(F.when(F.col("c12") == 0, 1).otherwise(0)).alias("n_oov"),
+            F.sort_array(
+                F.collect_list(F.col("c12") * _LM_ENC + F.col("c1"))
+            ).alias("_encs"),
+        )
+        .withColumn(
+            "bigram_nll",
+            F.round(
+                -F.aggregate(
+                    F.col("_encs"),
+                    F.lit(0.0),
+                    lambda acc, e: acc
+                    + F.log(
+                        (F.shiftright(e, 31) + 1)
+                        / (e.bitwiseAND(F.lit(_LM_ENC - 1)) + F.lit(v))
+                    ),
+                )
+                / F.col("n_bigrams"),
+                4,
+            ),
+        )
+        .drop("_encs")
+    )
+    return (
+        docs.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("sum_c12", F.lit(0)).alias("sum_c12"),
+            F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+            "bigram_nll",
+        )
+    )
+
+
 def _stopword_sql(lang: str) -> str:
     return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
@@ -857,7 +970,11 @@ def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = F.when(best <= 0, F.lit("unknown"))
     for lang in STOPWORDS:  # first-match-wins tie break, fixed lang order
         pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
-    return scored.withColumn("pred_lang", pred)
+    # the bigram-LM columns are inherently relational (cross-doc corpus
+    # counts), so unlike the per-row expressions above they join in —
+    # the same shape decontamination uses
+    lm = bigram_lm_scores(spark, sf_dir)
+    return scored.withColumn("pred_lang", pred).join(lm, "doc_id", "left")
 
 
 QUERIES = {
@@ -920,14 +1037,50 @@ ORACLES = {
                    len(list_filter({_WORDS_SQL}, w -> list_contains({_stopword_sql('fr')}, w))) AS score_fr,
                    len(list_filter({_WORDS_SQL}, w -> list_contains({_stopword_sql('es')}, w))) AS score_es
             FROM documents
+        ), doc_bg AS (
+            SELECT doc_id, lang,
+                   unnest(CASE WHEN len({_WORDS_SQL}) >= 2 THEN
+                       list_transform(range(1, len({_WORDS_SQL})),
+                                      i -> {_WORDS_SQL}[i] || chr(1) || {_WORDS_SQL}[i+1])
+                       ELSE [] END) AS bgk
+            FROM documents
+        ), lm_c12 AS (
+            SELECT bgk, count(*) AS c12 FROM doc_bg
+            WHERE lang = '{LM_LANG}' GROUP BY bgk
+        ), lm_c1 AS (
+            SELECT split_part(bgk, chr(1), 1) AS w1, CAST(sum(c12) AS BIGINT) AS c1
+            FROM lm_c12 GROUP BY 1
+        ), lm_v AS (
+            SELECT count(DISTINCT split_part(bgk, chr(1), 2)) AS v FROM lm_c12
+        ), lm_scored AS (
+            SELECT b.doc_id,
+                   count(*) AS n_bigrams,
+                   CAST(sum(coalesce(c.c12, 0)) AS BIGINT) AS sum_c12,
+                   CAST(sum(CASE WHEN c.c12 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+                   round(-list_sum(list_transform(
+                       list_sort(list(coalesce(c.c12, 0) * {_LM_ENC}
+                                      + coalesce(c1.c1, 0))),
+                       e -> ln(((e >> 31) + 1)
+                               / CAST((e & {_LM_ENC - 1}) + v AS DOUBLE))))
+                       / count(*), 4) AS bigram_nll
+            FROM doc_bg b
+            LEFT JOIN lm_c12 c USING (bgk)
+            LEFT JOIN lm_c1 c1 ON c1.w1 = split_part(b.bgk, chr(1), 1)
+            CROSS JOIN lm_v
+            GROUP BY b.doc_id, v
         )
         SELECT p.*, s.lang, s.score_en, s.score_de, s.score_fr, s.score_es,
                CASE WHEN greatest(score_en, score_de, score_fr, score_es) <= 0 THEN 'unknown'
                     WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
                     WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
                     WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'
-                    ELSE 'es' END AS pred_lang
-        FROM profile p JOIN scored s USING (doc_id) ORDER BY doc_id
+                    ELSE 'es' END AS pred_lang,
+               coalesce(l.n_bigrams, 0) AS n_bigrams,
+               coalesce(l.sum_c12, 0) AS sum_c12,
+               coalesce(l.n_oov, 0) AS n_oov,
+               l.bigram_nll
+        FROM profile p JOIN scored s USING (doc_id)
+        LEFT JOIN lm_scored l USING (doc_id) ORDER BY doc_id
     """,
     "text_token_count": f"""
         WITH per_doc AS (

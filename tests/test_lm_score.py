@@ -1,0 +1,69 @@
+"""Bigram-LM quality scoring: hand-checked counts/NLL on a tiny planted
+corpus, OOV behavior, and the in-domain < out-of-domain ordering the
+filter exists to produce."""
+
+from __future__ import annotations
+
+import math
+
+from ct_clickhouse_spark.operators.text import LM_LANG, bigram_lm_scores
+
+
+def _write_docs(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        [
+            (i, text, lang, "src", len(text))
+            for i, (text, lang) in enumerate(rows)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    out = str(tmp_path / "fixture")
+    df.write.parquet(out + "/documents.parquet")
+    return out
+
+
+def test_lm_counts_and_nll_hand_checked(spark, tmp_path):
+    # LM corpus (lang=en): "a b a b" and "a b c"
+    #   bigrams: (a,b)x2 +1 = c12(a,b)=3 ; (b,a)=1 ; (b,c)=1
+    #   c1: a->3, b->2 ; V = distinct w2 = {a, b, c} = 3
+    out = _write_docs(
+        spark,
+        tmp_path,
+        [("a b a b", LM_LANG), ("a b c", LM_LANG), ("a b z", "xx")],
+    )
+    rows = {r.doc_id: r for r in bigram_lm_scores(spark, out).collect()}
+    # doc 0: bigrams (a,b),(b,a),(a,b) -> sum_c12 = 3+1+3 = 7, no OOV
+    assert rows[0].n_bigrams == 3 and rows[0].sum_c12 == 7 and rows[0].n_oov == 0
+    want0 = -(
+        math.log(4 / 6) + math.log(2 / 5) + math.log(4 / 6)
+    ) / 3  # (c12+1)/(c1+V)
+    assert abs(rows[0].bigram_nll - round(want0, 4)) < 1e-9
+    # doc 2 (not in LM): (a,b) seen c12=3 c1=3; (b,z) unseen c12=0 c1=2
+    assert rows[2].n_bigrams == 2 and rows[2].sum_c12 == 3 and rows[2].n_oov == 1
+    want2 = -(math.log(4 / 6) + math.log(1 / 5)) / 2
+    assert abs(rows[2].bigram_nll - round(want2, 4)) < 1e-9
+
+
+def test_lm_orders_in_domain_below_gibberish(spark, tmp_path):
+    lm_text = "the quick brown fox jumps over the lazy dog " * 5
+    out = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (lm_text, LM_LANG),
+            ("the quick brown fox jumps", "xx"),  # in-domain, not in LM
+            ("zq xv qqq plork wunk zzz", "xx"),  # gibberish, not in LM
+        ],
+    )
+    rows = {r.doc_id: r for r in bigram_lm_scores(spark, out).collect()}
+    assert rows[1].bigram_nll < rows[2].bigram_nll
+    assert rows[2].n_oov == rows[2].n_bigrams  # fully OOV
+
+
+def test_lm_short_docs_are_null_not_zero(spark, tmp_path):
+    out = _write_docs(
+        spark, tmp_path, [("hello world", LM_LANG), ("single", LM_LANG)]
+    )
+    rows = {r.doc_id: r for r in bigram_lm_scores(spark, out).collect()}
+    assert rows[1].n_bigrams == 0 and rows[1].bigram_nll is None
+    assert rows[0].n_bigrams == 1 and rows[0].bigram_nll is not None
