@@ -97,6 +97,7 @@ _FRAME_API = {
     ),
     "chunk_documents": ("ct_clickhouse_spark.operators.text", "chunk_documents"),
     "lm_score": ("ct_clickhouse_spark.operators.text", "lm_score"),
+    "hashed_tf": ("ct_clickhouse_spark.operators.text", "hashed_tf"),
     "bpe_train": ("ct_clickhouse_spark.operators.text", "bpe_train"),
     "bpe_encode": ("ct_clickhouse_spark.operators.text", "bpe_encode"),
     "stream_interval_join": (

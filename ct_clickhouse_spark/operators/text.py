@@ -246,6 +246,51 @@ def chunk_documents(
     )
 
 
+def hashed_tf(
+    df: DataFrame,
+    dim: int = 64,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("doc_id",),
+    l2_normalize: bool = True,
+) -> DataFrame:
+    """Feature-hashing TF vectors: ``keep_cols + (embedding
+    array<double>)`` where embedding[j] counts the document's words
+    hashing to bucket j (xxhash64 mod dim), optionally L2-normalized.
+
+    The model-free bridge from the text tier to the vector tier: hashed
+    TF cosine approximates word-multiset overlap, so every downstream
+    vector operator (cosine pairs, IVF/SQ8/RP ANN, SemDeDup, embedding
+    connected components) applies to raw text with no external model —
+    the classic hashing trick (Weinberger et al. 2009).
+
+    Pure JVM, no shuffle: split once, hash each word to its bucket,
+    densify with one transform over [0, dim) counting that bucket's
+    hits. O(words x dim) per row in whole-stage codegen — at dim=64
+    that is ~10^4 integer compares per document, noise next to the
+    split itself. Linear in corpus; per-row state is the dim-array."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    out = df.withColumn("_hw", _words(F.col(text_col))).withColumn(
+        "_hb",
+        F.transform(F.col("_hw"), lambda w: F.pmod(F.xxhash64(w), F.lit(dim))),
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.size(F.filter(F.col("_hb"), lambda h: h == j)).cast(
+            "double"
+        ),
+    )
+    out = out.withColumn("_e", dense)
+    if l2_normalize:
+        nrm = F.sqrt(F.aggregate(F.col("_e"), F.lit(0.0), lambda a, x: a + x * x))
+        vec = F.when(
+            nrm > 0, F.transform(F.col("_e"), lambda x: x / nrm)
+        ).otherwise(F.col("_e"))
+    else:
+        vec = F.col("_e")
+    return out.select(*keep_cols, vec.alias("embedding"))
+
+
 # BPE tokenizer training: merge count and the deterministic training
 # sample fraction (training on a content-keyed sample is standard
 # practice — the merge table converges long before the full corpus).
