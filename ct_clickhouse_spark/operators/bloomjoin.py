@@ -133,6 +133,11 @@ def bloom_prune_prebuilt(fact: DataFrame, key: str, bitmap: list[int]) -> DataFr
     """``bloom_prune`` against an already-built word array — the probe
     half on its own, for callers that cache the sketch (build once, probe
     per query: the same artifact lifecycle as the persisted IVF index)."""
+    if not bitmap:
+        # m_bits=0 makes pmod(hash, 0) NULL and the membership predicate
+        # NULL — every fact row silently dropped (the same hazard
+        # build_bloom's expected_items guard exists for)
+        raise ValueError("bitmap must be non-empty")
     arr = F.array(*[F.lit(w) for w in bitmap])
     tagged = fact.withColumn("_bf_words", arr)
     return tagged.filter(

@@ -217,6 +217,11 @@ def incremental_dedup(
 
     keys = corpus.select(key)
     if prebuilt_bloom is not None:
+        if not prebuilt_bloom:
+            # an empty word array makes the membership predicate NULL,
+            # which fails BOTH branch filters — the whole batch would
+            # silently vanish instead of being returned as all-new
+            raise ValueError("prebuilt_bloom must be non-empty")
         bitmap = prebuilt_bloom
     else:
         if expected_items is None:

@@ -154,6 +154,9 @@ def wav_parse_header(payload: bytes) -> tuple[int, int, int, int] | None:
     if fmt_tag != 1 or block_align == 0:  # PCM only
         return None
     (data_len,) = struct.unpack("<I", payload[40:44])
+    # clamp to the bytes actually present: a truncated file with intact
+    # headers must not report samples that don't exist
+    data_len = min(data_len, len(payload) - 44)
     return rate, channels, bits, data_len // block_align
 
 

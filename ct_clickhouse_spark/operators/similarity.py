@@ -867,11 +867,19 @@ def rp_topk(
     zip_with/aggregate over the reduced arrays), TakeOrdered k*refine
     candidates, exact-cosine re-rank of only those (broadcast id list).
     Recall is pytest-gated against the exact brute-force tier."""
-    proj = rp_project(load_table(spark, sf_dir, "embeddings")).select(
-        "vec_id", "label", "rp"
-    )
+    emb_all = load_table(spark, sf_dir, "embeddings")
+    proj = rp_project(emb_all).select("vec_id", "label", "rp")
+    # project ONLY the query row for the collect: a filter above
+    # rp_project cannot push below the mapInPandas boundary, so
+    # filtering `proj` would run the full-corpus GEMM just to fetch one
+    # vector (and a second time for the candidate scan below). The
+    # seeded matrix makes the one-row projection identical by
+    # construction — the same cheap-query-side pattern as sq8_topk.
     qrp = (
-        proj.filter(F.col("vec_id") == QUERY_VEC_ID).select("rp").collect()[0].rp
+        rp_project(emb_all.filter(F.col("vec_id") == QUERY_VEC_ID))
+        .select("rp")
+        .collect()[0]
+        .rp
     )
     approx = F.aggregate(
         F.zip_with(

@@ -54,9 +54,12 @@ def kmv_sketch(
     is then exact)."""
     if k < 2:
         raise ValueError(f"k must be >= 2 ((k-1)/u_(k) estimator), got {k}")
+    # NULLs are excluded BEFORE hashing: xxhash64(NULL) returns the seed
+    # (never NULL), so a post-hash null filter is dead code and every
+    # NULL would count as one phantom element at u = 0.5
     hashed = (
-        df.select(*group_cols, _uniform_hash(F.col(value_col)).alias("_u"))
-        .filter(F.col("_u").isNotNull())
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, _uniform_hash(F.col(value_col)).alias("_u"))
         .distinct()
     )
     w = Window.partitionBy(*group_cols).orderBy("_u")
@@ -69,11 +72,22 @@ def kmv_sketch(
 
 
 def kmv_distinct_estimate(kmv: Column, k: int = DEFAULT_K) -> Column:
-    """Distinct-count estimate from a sketch column: exact size when the
-    sketch is unsaturated (fewer than k values), else (k-1)/u_(k)."""
-    return F.when(
-        F.size(kmv) < k, F.size(kmv).cast("double")
-    ).otherwise(F.lit(k - 1) / F.element_at(kmv, k))
+    """Distinct-count estimate from a sketch column: (k-1)/u_(k) when
+    the sketch holds at least k values, else the exact size.
+
+    ``k`` must be <= the k the sketch was BUILT with (sketches don't
+    carry their k). Estimating with a smaller k than the build is valid
+    KMV (uses the first k order statistics); a LARGER k than the build
+    would silently misread a saturated sketch as exact — keep one k per
+    deployment (the callers here all pass their build k through). The
+    branch keys on the k-th value existing, not on size < k, so an
+    under-k estimate on a bigger sketch stays correct. (F.get, not
+    element_at: ANSI mode makes out-of-bounds element_at an error,
+    while the unsaturated branch relies on NULL.)"""
+    kth = F.get(kmv, k - 1)
+    return F.when(kth.isNotNull(), F.lit(k - 1) / kth).otherwise(
+        F.size(kmv).cast("double")
+    )
 
 
 def kmv_merge(a: Column, b: Column, k: int = DEFAULT_K) -> Column:

@@ -417,7 +417,14 @@ def bpe_encode(
     per-row cost collapses to a dict lookup for every repeated word —
     the same vocabulary-not-corpus working-set argument as the trainer.
     The merge table itself is a k-entry driver artifact broadcast with
-    the closure (like the IVF centroids), never a shuffled table."""
+    the closure (like the IVF centroids), never a shuffled table.
+
+    Tokenization happens JVM-SIDE with the trainer's own split
+    expression (``_words`` + empty filter) and the array crosses the
+    Arrow boundary — a Python re-split would disagree with the Java
+    regex on Unicode whitespace (Java ``\\s`` is ASCII-only while
+    ``str.split()`` splits all Unicode space), silently applying the
+    merge table to words the trainer never saw."""
     import pandas as pd
 
     ranks = {(a, b): i for i, (a, b, _) in enumerate(merges)}
@@ -453,20 +460,22 @@ def bpe_encode(
         memo: dict[str, list[str]] = {}
         for pdf in batches:
             toks = []
-            for text in pdf[text_col]:
-                words = (text or "").lower().strip().split()
+            for words in pdf["_bpe_w"]:
                 row: list[str] = []
                 for w in words:
                     row.extend(_encode_word(w, memo))
                 toks.append(row)
-            pdf = pdf.copy()
+            pdf = pdf.drop(columns=["_bpe_w"])
             pdf["tokens"] = toks
             yield pdf
 
+    prepped = docs.withColumn(
+        "_bpe_w", F.filter(_words(F.col(text_col)), lambda w: F.length(w) > 0)
+    )
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in out_fields
     )
-    return docs.mapInPandas(_encode, schema + ", tokens array<string>")
+    return prepped.mapInPandas(_encode, schema + ", tokens array<string>")
 
 
 PACK_MAX = 2000  # bin capacity (chars) for the driver packing slot
@@ -833,47 +842,86 @@ _LM_ENC = 1 << 31  # (c12, c1) -> c12 * 2^31 + c1; c1 < 2^31 at any SF the
 # canonicalization, swap for a struct sort where counts can exceed 2^31
 
 
+def _doc_bigrams(df: DataFrame, cols: list) -> DataFrame:
+    with_w = df.withColumn("_w", _words(F.col("text")))
+    return with_w.select(
+        *cols,
+        F.explode(
+            F.when(
+                F.size("_w") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_w") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("_w"), (i + 1).cast("int")).alias("w1"),
+                        F.element_at(F.col("_w"), (i + 2).cast("int")).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("b"),
+    ).select(*cols, "b.w1", "b.w2")
+
+
+def train_bigram_lm(lm_docs: DataFrame) -> tuple[DataFrame, int]:
+    """The LM artifact: (persisted bigram-count table (w1, w2, c12), V =
+    distinct continuations). Persisted because every scoring call reads
+    it twice (the c12 join and the derived c1 aggregate) — without it
+    the trusted-corpus explode+aggregate re-runs per consumer. The V
+    count doubles as the eager materialization. Callers that score many
+    batches hold one artifact and unpersist when done (the slot path
+    caches it per (session, sf) like the BPE/media/SQ8 artifacts)."""
+    c12 = (
+        _doc_bigrams(lm_docs, [])
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .persist()
+    )
+    v = c12.select("w2").distinct().count()
+    return c12, v
+
+
+_LM_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+
+
 def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver wrapper: score every fixture document against the LM
-    trained on the ``lang = LM_LANG`` slice."""
+    trained on the ``lang = LM_LANG`` slice (trained once per
+    (session, sf))."""
+    from ..catalog import _session_key, bounded_cache_put
+
     docs = load_table(spark, sf_dir, "documents")
-    return lm_score(docs, docs.filter(F.col("lang") == LM_LANG))
+    key = (_session_key(spark), sf_dir)
+    lm = _LM_CACHE.get(key)
+    if lm is None:
+        lm = bounded_cache_put(
+            _LM_CACHE,
+            key,
+            train_bigram_lm(docs.filter(F.col("lang") == LM_LANG)),
+            release=lambda val: val[0].unpersist(),
+        )
+    return lm_score(docs, lm=lm)
 
 
-def lm_score(docs: DataFrame, lm_docs: DataFrame) -> DataFrame:
+def lm_score(
+    docs: DataFrame,
+    lm_docs: DataFrame | None = None,
+    lm: tuple[DataFrame, int] | None = None,
+) -> DataFrame:
     """Per-document bigram-LM scores of ``docs`` (needs doc_id, text)
     against an add-one-smoothed bigram LM trained on ``lm_docs`` (needs
-    text): (doc_id, n_bigrams, sum_c12, n_oov, bigram_nll) where
-    bigram_nll = round(mean of -ln((c12+1)/(c1+V)), 4) over the doc's
-    bigrams (NULL when the doc has < 2 words), c12/c1 are the LM's
-    bigram/context counts and V its distinct-continuation count.
+    text) — or a prebuilt ``lm`` artifact from ``train_bigram_lm`` when
+    scoring repeatedly: (doc_id, n_bigrams, sum_c12, n_oov, bigram_nll)
+    where bigram_nll = round(mean of -ln((c12+1)/(c1+V)), 4) over the
+    doc's bigrams (NULL when the doc has < 2 words), c12/c1 are the
+    LM's bigram/context counts and V its distinct-continuation count.
     sum_c12 and n_oov are exact integers — the oracle keeps teeth on the
     join/count logic independent of float behavior."""
-
-    def _bigrams(df: DataFrame, cols: list) -> DataFrame:
-        with_w = df.withColumn("_w", _words(F.col("text")))
-        return with_w.select(
-            *cols,
-            F.explode(
-                F.when(
-                    F.size("_w") >= 2,
-                    F.transform(
-                        F.sequence(F.lit(0), F.size("_w") - 2),
-                        lambda i: F.struct(
-                            F.element_at(F.col("_w"), (i + 1).cast("int")).alias("w1"),
-                            F.element_at(F.col("_w"), (i + 2).cast("int")).alias("w2"),
-                        ),
-                    ),
-                ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
-            ).alias("b"),
-        ).select(*cols, "b.w1", "b.w2")
-
-    bg = _bigrams(docs, ["doc_id"])
-    c12 = _bigrams(lm_docs, []).groupBy("w1", "w2").agg(
-        F.count(F.lit(1)).alias("c12")
-    )
+    if lm is None:
+        if lm_docs is None:
+            raise ValueError("pass lm_docs or a prebuilt lm")
+        lm = train_bigram_lm(lm_docs)
+    c12, v = lm
+    bg = _doc_bigrams(docs, ["doc_id"])
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    v = c12.select("w2").distinct().count()
 
     scored = (
         bg.join(c12, ["w1", "w2"], "left")

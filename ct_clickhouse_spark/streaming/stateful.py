@@ -168,7 +168,9 @@ def streaming_window_kmv(
 
     from ..operators.sketches import _uniform_hash
 
-    hashed = events.select(
+    # NULL user_ids are excluded BEFORE hashing (xxhash64(NULL) is the
+    # seed, not NULL — the same phantom-element hazard kmv_sketch guards)
+    hashed = events.filter(F.col("user_id").isNotNull()).select(
         F.floor(F.unix_timestamp("ts") / (3600 * window_hours))
         .cast("long")
         .alias("window_id"),

@@ -100,3 +100,15 @@ def test_build_bloom_rejects_zero_expected_items(spark):
     dim = spark.range(5).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="expected_items"):
         build_bloom(dim, "k", expected_items=0)
+
+
+def test_prebuilt_probe_rejects_empty_bitmap(spark):
+    """An empty word array makes the membership predicate NULL and
+    silently drops every row — must error instead."""
+    import pytest
+
+    from ct_clickhouse_spark.operators.bloomjoin import bloom_prune_prebuilt
+
+    fact = spark.range(5).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="non-empty"):
+        bloom_prune_prebuilt(fact, "k", [])

@@ -131,3 +131,16 @@ def test_bpe_encode_compresses_and_caches(spark):
         .collect()[0][0]
     )
     assert n8_repart == n8
+
+
+def test_bpe_encode_uses_trainer_tokenization_on_unicode_whitespace(spark):
+    """Java \\s is ASCII-only: 'foo\\u00a0bar' is ONE word to the trainer
+    and must be ONE word to the encoder (a Python re-split would see
+    two). With no merges it encodes to its chars + one boundary mark."""
+    from ct_clickhouse_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "foo\u00a0bar")], "doc_id long, text string"
+    )
+    toks = bpe_encode(docs, []).collect()[0].tokens
+    assert list(toks) == list("foo\u00a0bar") + ["</w>"]

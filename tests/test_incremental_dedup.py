@@ -96,3 +96,11 @@ def test_prebuilt_bloom_equals_inline_build(spark):
     got = incremental_dedup(batch, corpus, "k", prebuilt_bloom=bitmap)
     want = incremental_dedup(batch, corpus, "k")
     assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+
+def test_empty_prebuilt_bloom_rejected(spark):
+    import pytest
+
+    batch, corpus = _frames(spark)
+    with pytest.raises(ValueError, match="non-empty"):
+        incremental_dedup(batch, corpus, "k", prebuilt_bloom=[])

@@ -67,3 +67,23 @@ def test_lm_short_docs_are_null_not_zero(spark, tmp_path):
     rows = {r.doc_id: r for r in bigram_lm_scores(spark, out).collect()}
     assert rows[1].n_bigrams == 0 and rows[1].bigram_nll is None
     assert rows[0].n_bigrams == 1 and rows[0].bigram_nll is not None
+
+
+def test_prebuilt_lm_artifact_matches_direct(spark, tmp_path):
+    from ct_clickhouse_spark.catalog import load_table
+    from ct_clickhouse_spark.operators.text import lm_score, train_bigram_lm
+
+    out = _write_docs(
+        spark,
+        tmp_path,
+        [("a b a b", LM_LANG), ("a b c", LM_LANG), ("a b z", "xx")],
+    )
+    docs = load_table(spark, out, "documents")
+    lm = train_bigram_lm(docs.filter("lang = '%s'" % LM_LANG))
+    got = {tuple(r) for r in lm_score(docs, lm=lm).collect()}
+    want = {
+        tuple(r)
+        for r in lm_score(docs, docs.filter("lang = '%s'" % LM_LANG)).collect()
+    }
+    assert got == want
+    lm[0].unpersist()

@@ -154,3 +154,12 @@ def test_decode_features_parses_real_wav_headers(spark):
 def test_wav_parse_rejects_non_wav():
     assert multimodal.wav_parse_header(b"plain text payload" * 4) is None
     assert multimodal.wav_parse_header(b"RIFF1234WAVEfmt " + b"x" * 40) is None
+
+
+def test_wav_parse_clamps_truncated_data_chunk():
+    """Intact headers + truncated sample data must not report samples
+    that don't exist."""
+    full = multimodal.wav_encode(b"0123456789", 8000)
+    truncated = full[: 44 + 6]  # 3 of 10 samples survive
+    parsed = multimodal.wav_parse_header(truncated)
+    assert parsed is not None and parsed[3] == 3

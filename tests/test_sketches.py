@@ -144,3 +144,26 @@ def test_ref_sketches_kmv_section_on_fixture(spark):
             if len(sets[a] | sets[b]) < 256:
                 assert r.value == true_inter, (r.key, r.value, true_inter)
     assert saw_pair
+
+
+def test_nulls_are_not_phantom_elements(spark):
+    """xxhash64(NULL) returns the seed (not NULL) — NULLs must be
+    excluded before hashing or each one becomes a phantom u=0.5 value."""
+    with_nulls = spark.createDataFrame(
+        [(0, "a"), (0, None), (0, "b")], "g int, v string"
+    )
+    without = spark.createDataFrame([(0, "a"), (0, "b")], "g int, v string")
+    sa = kmv_sketch(with_nulls, ["g"], "v", k=16).collect()[0].kmv
+    sb = kmv_sketch(without, ["g"], "v", k=16).collect()[0].kmv
+    assert sa == sb and len(sa) == 2
+
+
+def test_estimate_with_smaller_k_is_valid_on_bigger_sketch(spark):
+    """Estimating with k < build-k uses the first k order statistics —
+    a valid KMV estimate, not a silent size readout."""
+    df = spark.range(20_000).select(F.lit(0).alias("g"), F.col("id").alias("v"))
+    sk = kmv_sketch(df, ["g"], "v", k=256)
+    est64 = sk.select(
+        kmv_distinct_estimate(F.col("kmv"), 64).alias("e")
+    ).collect()[0].e
+    assert abs(est64 - 20_000) / 20_000 < 0.5  # ~12.5% stderr, 4 sigma
