@@ -95,6 +95,18 @@ _FRAME_API = {
         "ct_clickhouse_spark.streaming.rollup",
         "returning_users",
     ),
+    "backfill_rollup_histogram": (
+        "ct_clickhouse_spark.streaming.rollup",
+        "backfill_rollup_histogram",
+    ),
+    "range_quantiles": (
+        "ct_clickhouse_spark.streaming.rollup",
+        "range_quantiles",
+    ),
+    "start_incremental_dedup": (
+        "ct_clickhouse_spark.streaming.ingest",
+        "start_incremental_dedup",
+    ),
     "chunk_documents": ("ct_clickhouse_spark.operators.text", "chunk_documents"),
     "lm_score": ("ct_clickhouse_spark.operators.text", "lm_score"),
     "hashed_tf": ("ct_clickhouse_spark.operators.text", "hashed_tf"),

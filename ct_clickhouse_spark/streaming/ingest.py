@@ -97,3 +97,47 @@ def start_ingest(
     else:
         writer = writer.trigger(processingTime="5 seconds")
     return writer.start()
+
+
+def start_incremental_dedup(
+    stream: DataFrame,
+    corpus_bloom: list[int],
+    corpus_keys: DataFrame,
+    key: str,
+    out_path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Continuous vs-CORPUS dedup of an ingest stream — the streaming
+    composition of ``operators.dedup.incremental_dedup``. Within-stream
+    dedup is ``dropDuplicatesWithinWatermark`` (ingest_stream above);
+    this removes rows whose ``key`` already exists in the HISTORICAL
+    corpus, per micro-batch via foreachBatch:
+
+    - the corpus Bloom sketch (the maintained artifact
+      ``incremental_dedup`` documents) routes each batch: bloom-negative
+      rows are definitely new and skip the anti-join;
+    - the bloom-positive sliver is confirmed against ``corpus_keys``
+      exactly, so false positives never drop a genuinely new row.
+
+    foreachBatch is at-least-once; downstream exactly-once comes from
+    the same watermark-dedup / idempotent-sink patterns the ingest and
+    rollup paths use. The sketch is a point-in-time snapshot of the
+    corpus — rows arriving twice ACROSS batches are the within-stream
+    dedup's job, not this operator's."""
+    from ..operators.dedup import incremental_dedup
+
+    def _dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        survivors = incremental_dedup(
+            batch, corpus_keys, key, prebuilt_bloom=corpus_bloom
+        )
+        survivors.write.mode("append").parquet(out_path)
+
+    writer = stream.writeStream.option(
+        "checkpointLocation", checkpoint
+    ).foreachBatch(_dedup_batch)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -235,6 +235,129 @@ def _range_kmv(rollup_kmv: DataFrame, start, end, k: int) -> DataFrame:
     )
 
 
+# ---- Mergeable fixed-bin histograms on the rollup -------------------------
+#
+# Per-window quantile NUMBERS don't merge (like distinct counts); a
+# fixed-bin histogram merges EXACTLY (bin counts add), so range
+# quantiles come from summed per-window histograms with error bounded
+# by one bin width. The streaming-maintenance story is clean here —
+# unlike KMV, bin counts are an algebraic aggregate (a sum per bin), so
+# the same column could ride the streaming agg directly; it lives with
+# the batch backfill for symmetry with the KMV column.
+
+HIST_BINS = 64
+
+
+def backfill_rollup_histogram(
+    events: DataFrame,
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Per-(window, event_type) fixed-bin histograms of ``value`` over
+    [lo, hi): (window_start, window_id, event_type, hist array<long> of
+    length bins+2) — index 0 underflow, 1..bins the equal-width bins,
+    bins+1 overflow. The [lo, hi) frame is fixed at backfill time (like
+    any histogram index); re-bin to change it."""
+    if hi <= lo or bins < 1:
+        raise ValueError(f"need hi > lo and bins >= 1, got [{lo}, {hi}) x {bins}")
+    width = (hi - lo) / bins
+    bin_idx = F.when(F.col("value") < lo, 0).when(
+        F.col("value") >= hi, bins + 1
+    ).otherwise(
+        F.least(
+            F.floor((F.col("value") - F.lit(lo)) / F.lit(width)).cast("int")
+            + 1,
+            F.lit(bins),
+        )
+    )
+    windowed = events.select(
+        F.window("ts", ROLLUP_WINDOW).alias("w"), "event_type", "value"
+    ).select(
+        F.col("w.start").alias("window_start"),
+        (F.unix_timestamp("w.start") / 3600).cast("long").alias("window_id"),
+        "event_type",
+        bin_idx.alias("b"),
+    )
+    counted = windowed.groupBy(
+        "window_start", "window_id", "event_type", "b"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    # densify to a fixed-length array: transform over [0, bins+1] against
+    # a bin->count map (bounded at bins+2 entries per group)
+    return (
+        counted.groupBy("window_start", "window_id", "event_type")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("b"), F.col("n")))
+            ).alias("_m")
+        )
+        .select(
+            "window_start",
+            "window_id",
+            "event_type",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bins + 1)),
+                lambda j: F.coalesce(
+                    F.element_at(F.col("_m"), j.cast("int")), F.lit(0)
+                ).cast("long"),
+            ).alias("hist"),
+        )
+    )
+
+
+def range_quantiles(
+    rollup_hist: DataFrame,
+    start,
+    end,
+    qs: list[float],
+    lo: float,
+    hi: float,
+    bins: int = HIST_BINS,
+) -> DataFrame:
+    """Quantile estimates over [start, end) FROM THE ROLLUP ALONE: sum
+    the per-window histograms (exact merge — counts add) and read each
+    quantile off the cumulative bin counts as the left edge of the
+    containing bin. Error <= one bin width for in-frame values; an
+    under/overflow-bin hit returns lo/hi (the frame's honest answer).
+    Same window-granularity snapping as distinct_users_over; (lo, hi,
+    bins) must match the backfill frame."""
+    width = (hi - lo) / bins
+    merged = (
+        rollup_hist.filter(
+            (F.col("window_start") >= F.lit(start))
+            & (F.col("window_start") < F.lit(end))
+        )
+        .select(F.posexplode("hist").alias("b", "n"))
+        .groupBy("b")
+        .agg(F.sum("n").alias("n"))
+        .orderBy("b")
+        .collect()
+    )
+    counts = {int(r.b): int(r.n) for r in merged}
+    total = sum(counts.values())
+    rows = []
+    for q in qs:
+        if total == 0:
+            rows.append((float(q), None))
+            continue
+        target = q * total
+        acc = 0.0
+        est = hi
+        for b in range(bins + 2):
+            acc += counts.get(b, 0)
+            if acc >= target:
+                if b == 0:
+                    est = lo
+                elif b == bins + 1:
+                    est = hi
+                else:
+                    est = lo + (b - 1) * width
+                break
+        rows.append((float(q), float(est)))
+    spark = rollup_hist.sparkSession
+    return spark.createDataFrame(rows, "q double, value_est double")
+
+
 def returning_users(
     rollup_kmv: DataFrame, range_a, range_b, k: int = KMV_USERS_K
 ) -> DataFrame:

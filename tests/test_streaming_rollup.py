@@ -226,3 +226,53 @@ def test_kmv_range_merge_equals_direct_sketch(spark):
         .kmv
     )
     assert merged == direct
+
+
+def test_histogram_rollup_range_quantiles(spark):
+    """Merged per-window histograms must yield range quantiles within
+    one bin width of the exact percentile over the raw range, and the
+    merge must be exact (summed bins == direct histogram of the range)."""
+    from ct_clickhouse_spark.streaming.rollup import (
+        backfill_rollup_histogram,
+        range_quantiles,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value",
+        "user_id",
+    )
+    lo_v, hi_v = [
+        float(x)
+        for x in events.agg(F.min("value"), F.max("value")).collect()[0]
+    ]
+    hi_v += 1e-9
+    hist = backfill_rollup_histogram(events, lo_v, hi_v, bins=64)
+    t0, t1 = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    mid = t0 + (t1 - t0) / 2
+    qs = [0.1, 0.5, 0.9]
+    got = {
+        r.q: r.value_est
+        for r in range_quantiles(hist, t0, mid, qs, lo_v, hi_v, 64).collect()
+    }
+    starts = events.select(
+        F.window("ts", "1 hour").start.alias("ws"), "value"
+    ).filter((F.col("ws") >= F.lit(t0)) & (F.col("ws") < F.lit(mid)))
+    exact = starts.approxQuantile("value", qs, 0.0)
+    width = (hi_v - lo_v) / 64
+    for q, e in zip(qs, exact):
+        assert abs(got[q] - e) <= width + 1e-9, (q, got[q], e, width)
+    # exact-merge property: summed bins equal the direct histogram
+    merged = (
+        hist.filter((F.col("window_start") >= F.lit(t0)) & (F.col("window_start") < F.lit(mid)))
+        .select(F.posexplode("hist").alias("b", "n"))
+        .groupBy("b").agg(F.sum("n").alias("n")).collect()
+    )
+    in_range = events.withColumn(
+        "_ws", F.window("ts", "1 hour").start
+    ).filter((F.col("_ws") >= F.lit(t0)) & (F.col("_ws") < F.lit(mid))).drop("_ws")
+    direct = (
+        backfill_rollup_histogram(in_range, lo_v, hi_v, bins=64)
+        .select(F.posexplode("hist").alias("b", "n"))
+        .groupBy("b").agg(F.sum("n").alias("n")).collect()
+    )
+    assert {(r.b, r.n) for r in merged} == {(r.b, r.n) for r in direct}
