@@ -283,6 +283,36 @@ def main() -> None:
             .agg(F.sum(F.size("tokens")))
             .collect())
 
+        # bigram-LM scoring (round 4): LM build (one bigram hash agg over
+        # the trusted slice) + two word-keyed joins + per-doc bounded
+        # aggregate. Timed END-TO-END including training — the worst case;
+        # production holds the LM artifact across batches.
+        from ct_clickhouse_spark.operators.text import lm_score
+
+        timed("lm_score", k, lambda: lm_score(
+            docs, docs.filter(F.col("lang") == "en")
+        ).agg(F.sum("sum_c12"), F.avg("bigram_nll")).collect())
+
+        # feature-hashing TF (round 4): pure-JVM projection, no shuffle
+        from ct_clickhouse_spark.operators.text import hashed_tf
+
+        timed("hashed_tf", k, lambda: hashed_tf(docs)
+            .agg(F.sum(F.get(F.col("embedding"), 0)))
+            .collect())
+
+        # mergeable histogram backfill (round 4): one bucket hash agg +
+        # per-group densify; output fixed at bins+2 longs per group
+        from ct_clickhouse_spark.streaming.rollup import (
+            backfill_rollup_histogram,
+        )
+
+        ev_for_hist = events_k.select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+        )
+        timed("histogram_backfill", k, lambda: backfill_rollup_histogram(
+            ev_for_hist, 0.0, 1000.0
+        ).agg(F.count(F.lit(1))).collect())
+
     print(json.dumps({"multipliers": ks, "seconds": results}))
     spark.stop()
 

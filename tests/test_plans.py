@@ -93,3 +93,42 @@ def test_asof_join_is_window_not_range_join(spark):
     assert "CartesianProduct" not in plan and "NestedLoop" not in plan, plan[:1500]
     assert plan.count("Window") == 1, plan[:1500]
     assert "hashpartitioning(user_id" in plan, plan[:1500]
+
+
+def test_incremental_dedup_filters_before_join(spark):
+    """The bloom routing must plan as codegen Filters over the batch scan
+    (no Python eval), and the only join is the confirm anti-join over
+    the positive sliver — no cartesian anywhere."""
+    from ct_clickhouse_spark.operators.dedup import incremental_dedup
+
+    batch = spark.range(0, 1000).select(F.col("id").cast("string").alias("k"))
+    corpus = spark.range(0, 500).select(F.col("id").cast("string").alias("k"))
+    plan = plans.executed_plan(incremental_dedup(batch, corpus, "k"))
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+    assert "xxhash64" in plan  # membership predicate compiled to expressions
+    assert "LeftAnti" in plan, plan[:2000]
+
+
+def test_lm_scoring_aggregates_map_side(spark):
+    """The LM build and the per-doc aggregate must be partial hash
+    aggregates (map-side combine) — a bigram count that shuffles raw
+    rows would move the whole exploded corpus."""
+    from ct_clickhouse_spark.catalog import load_table
+    from ct_clickhouse_spark.operators.text import lm_score
+
+    docs = load_table(spark, SF_DIR, "documents")
+    lm_df = lm_score(docs, docs.filter(F.col("lang") == "en"))
+    plan = plans.executed_plan(lm_df)
+    assert "partial_count" in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan  # pure JVM end-to-end
+
+
+def test_hashed_tf_is_shuffle_free(spark):
+    """hashed_tf is a projection: no Exchange may appear above the scan."""
+    from ct_clickhouse_spark.catalog import load_table
+    from ct_clickhouse_spark.operators.text import hashed_tf
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plans.executed_plan(hashed_tf(docs))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "BatchEvalPython" not in plan
