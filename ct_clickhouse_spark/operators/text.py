@@ -971,6 +971,77 @@ def lm_score(
     )
 
 
+# ---- Corpus quality filter (the composition step) -------------------------
+
+# Default thresholds: the public-pipeline ballpark (Gopher/C4/CCNet
+# class rules). Every threshold is a parameter — these are defaults,
+# not truths.
+QF_MIN_WORDS = 10
+QF_MAX_JUNK = 0.3
+QF_MAX_DUP_WORD = 0.5
+QF_MAX_NLL = 12.0  # drop the high-perplexity tail when an LM is given
+
+
+def quality_filter(
+    docs: DataFrame,
+    lm: tuple | None = None,
+    min_words: int = QF_MIN_WORDS,
+    max_junk: float = QF_MAX_JUNK,
+    max_dup_word: float = QF_MAX_DUP_WORD,
+    max_nll: float = QF_MAX_NLL,
+) -> DataFrame:
+    """The pipeline composition step: every cheap per-doc quality signal
+    plus (optionally) the bigram-LM perplexity, fused into one verdict
+    per document — input columns + ``keep boolean`` + ``drop_reasons
+    array<string>`` (empty when kept, every failed rule named when not:
+    a filtered corpus you can't audit is a filtered corpus you can't
+    debug).
+
+    One scan for the per-row signals (the same fused-projection argument
+    as the profile slot); the LM signal joins in only when ``lm`` (from
+    ``train_bigram_lm``) is provided. Thresholds are parameters with
+    public-pipeline defaults."""
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_words = F.size(words)
+    junk = F.length(
+        F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")
+    ) / F.greatest(F.length("text"), F.lit(1))
+    dup_word = F.when(
+        n_words > 0, 1 - F.size(F.array_distinct(words)) / n_words
+    ).otherwise(F.lit(0.0))
+
+    out = docs
+    checks = [
+        ("too_short", n_words < min_words),
+        ("junk_ratio", junk > max_junk),
+        ("repetitive", dup_word > max_dup_word),
+    ]
+    if lm is not None:
+        out = out.join(
+            lm_score(docs, lm=lm).select("doc_id", "bigram_nll"),
+            "doc_id",
+            "left",
+        )
+        checks.append(
+            ("high_perplexity", F.col("bigram_nll") > max_nll)
+        )
+    reasons = F.filter(
+        F.array(
+            *[
+                F.when(cond, F.lit(name)).otherwise(F.lit(None))
+                for name, cond in checks
+            ]
+        ),
+        lambda x: x.isNotNull(),
+    )
+    out = out.withColumn("drop_reasons", reasons).withColumn(
+        "keep", F.size("drop_reasons") == 0
+    )
+    if lm is not None:
+        out = out.drop("bigram_nll")
+    return out
+
+
 def _stopword_sql(lang: str) -> str:
     return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 

@@ -87,3 +87,45 @@ def test_prebuilt_lm_artifact_matches_direct(spark, tmp_path):
     }
     assert got == want
     lm[0].unpersist()
+
+
+def test_quality_filter_reasons_are_auditable(spark, tmp_path):
+    """Every failed rule is named; keep == no reasons; the LM rule only
+    engages when an LM artifact is passed."""
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.catalog import load_table
+    from ct_clickhouse_spark.operators.text import (
+        quality_filter,
+        train_bigram_lm,
+    )
+
+    good = "this is a perfectly reasonable document with many plain words"
+    out = _write_docs(
+        spark,
+        tmp_path,
+        [
+            (good + " " + good, LM_LANG),        # passes everything
+            ("too short", LM_LANG),              # too_short
+            ("@@@@ #### $$$$ %%%% ^^^^ &&&& **** (((( )))) ____ ++++", LM_LANG),  # junk (+short)
+            (("spam " * 40).strip(), LM_LANG),   # repetitive
+            ("zq xv qq plork wunk vex gr tk lm po wq az dd ee ff gg", "xx"),  # OOV -> high nll
+        ],
+    )
+    docs = load_table(spark, out, "documents")
+    lm = train_bigram_lm(docs.filter(F.col("lang") == LM_LANG))
+    # max_nll sized to the tiny test LM: its fully-OOV NLL is ln(c1+V)
+    # ~= 3.2, far below the web-scale default threshold
+    rows = {
+        r.doc_id: r
+        for r in quality_filter(docs, lm=lm, max_nll=2.5).collect()
+    }
+    assert rows[0].keep and list(rows[0].drop_reasons) == []
+    assert "too_short" in rows[1].drop_reasons and not rows[1].keep
+    assert "junk_ratio" in rows[2].drop_reasons
+    assert "repetitive" in rows[3].drop_reasons
+    assert "high_perplexity" in rows[4].drop_reasons
+    # without an LM the perplexity rule never fires
+    no_lm = {r.doc_id: r for r in quality_filter(docs).collect()}
+    assert all("high_perplexity" not in r.drop_reasons for r in no_lm.values())
+    lm[0].unpersist()
