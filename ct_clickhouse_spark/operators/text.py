@@ -470,7 +470,14 @@ def bpe_encode(
             yield pdf
 
     prepped = docs.withColumn(
-        "_bpe_w", F.filter(_words(F.col(text_col)), lambda w: F.length(w) > 0)
+        "_bpe_w",
+        # coalesce: _words(NULL text) is NULL, which would arrive in
+        # pandas as None and crash the word loop — NULL docs tokenize
+        # to [] like the pre-JVM-split behavior
+        F.coalesce(
+            F.filter(_words(F.col(text_col)), lambda w: F.length(w) > 0),
+            F.array().cast("array<string>"),
+        ),
     )
     schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in out_fields
@@ -861,20 +868,25 @@ def _doc_bigrams(df: DataFrame, cols: list) -> DataFrame:
     ).select(*cols, "b.w1", "b.w2")
 
 
-def train_bigram_lm(lm_docs: DataFrame) -> tuple[DataFrame, int]:
-    """The LM artifact: (persisted bigram-count table (w1, w2, c12), V =
-    distinct continuations). Persisted because every scoring call reads
-    it twice (the c12 join and the derived c1 aggregate) — without it
-    the trusted-corpus explode+aggregate re-runs per consumer. The V
+def train_bigram_lm(
+    lm_docs: DataFrame, persist: bool = True
+) -> tuple[DataFrame, int]:
+    """The LM artifact: (bigram-count table (w1, w2, c12), V = distinct
+    continuations), persisted by default because every scoring call
+    reads it twice (the c12 join and the derived c1 aggregate) — the V
     count doubles as the eager materialization. Callers that score many
     batches hold one artifact and unpersist when done (the slot path
-    caches it per (session, sf) like the BPE/media/SQ8 artifacts)."""
+    caches it per (session, sf) like the BPE/media/SQ8 artifacts);
+    ``persist=False`` is the one-shot mode (lm_score's internal train),
+    trading two recomputes of the aggregate for not pinning storage
+    memory the caller has no handle to release."""
     c12 = (
         _doc_bigrams(lm_docs, [])
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
-        .persist()
     )
+    if persist:
+        c12 = c12.persist()
     v = c12.select("w2").distinct().count()
     return c12, v
 
@@ -918,7 +930,8 @@ def lm_score(
     if lm is None:
         if lm_docs is None:
             raise ValueError("pass lm_docs or a prebuilt lm")
-        lm = train_bigram_lm(lm_docs)
+        # one-shot: no persist — the caller gets no handle to release it
+        lm = train_bigram_lm(lm_docs, persist=False)
     c12, v = lm
     bg = _doc_bigrams(docs, ["doc_id"])
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
@@ -998,10 +1011,15 @@ def quality_filter(
     debug).
 
     One scan for the per-row signals (the same fused-projection argument
-    as the profile slot); the LM signal joins in only when ``lm`` (from
-    ``train_bigram_lm``) is provided. Thresholds are parameters with
-    public-pipeline defaults."""
-    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    as the profile slot, and the same ``_words`` tokenization as the
+    trainer/scorer — a diverging inline re-split is exactly the bug the
+    BPE Unicode fix removed); the LM signal joins in only when ``lm``
+    (from ``train_bigram_lm``) is provided. Thresholds are parameters
+    with public-pipeline defaults. NULL text is its own named reason:
+    every other check is NULL for it, and a NULL condition filtered out
+    of the reasons array would otherwise KEEP the document with an
+    empty audit trail."""
+    words = _words(F.col("text"))
     n_words = F.size(words)
     junk = F.length(
         F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")
@@ -1012,6 +1030,7 @@ def quality_filter(
 
     out = docs
     checks = [
+        ("null_text", F.col("text").isNull()),
         ("too_short", n_words < min_words),
         ("junk_ratio", junk > max_junk),
         ("repetitive", dup_word > max_dup_word),

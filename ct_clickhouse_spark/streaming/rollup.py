@@ -271,7 +271,10 @@ def backfill_rollup_histogram(
             F.lit(bins),
         )
     )
-    windowed = events.select(
+    # NULL values are excluded up front: every bin_idx branch is NULL
+    # for them, and a NULL bin would blow up the map densify (same
+    # null-exclusion rule as the KMV builders)
+    windowed = events.filter(F.col("value").isNotNull()).select(
         F.window("ts", ROLLUP_WINDOW).alias("w"), "event_type", "value"
     ).select(
         F.col("w.start").alias("window_start"),
@@ -330,7 +333,6 @@ def range_quantiles(
         .select(F.posexplode("hist").alias("b", "n"))
         .groupBy("b")
         .agg(F.sum("n").alias("n"))
-        .orderBy("b")
         .collect()
     )
     counts = {int(r.b): int(r.n) for r in merged}

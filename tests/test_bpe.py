@@ -144,3 +144,14 @@ def test_bpe_encode_uses_trainer_tokenization_on_unicode_whitespace(spark):
     )
     toks = bpe_encode(docs, []).collect()[0].tokens
     assert list(toks) == list("foo\u00a0bar") + ["</w>"]
+
+
+def test_bpe_encode_null_text_tokenizes_empty(spark):
+    from ct_clickhouse_spark.operators.text import bpe_encode
+
+    docs = spark.createDataFrame(
+        [(0, "hello world"), (1, None)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: list(r.tokens) for r in bpe_encode(docs, []).collect()}
+    assert rows[1] == []
+    assert rows[0]

@@ -129,3 +129,16 @@ def test_quality_filter_reasons_are_auditable(spark, tmp_path):
     no_lm = {r.doc_id: r for r in quality_filter(docs).collect()}
     assert all("high_perplexity" not in r.drop_reasons for r in no_lm.values())
     lm[0].unpersist()
+
+
+def test_quality_filter_null_text_is_named_not_kept(spark):
+    docs = spark.createDataFrame(
+        [(0, "a perfectly fine document with plenty of ordinary words here"),
+         (1, None)],
+        "doc_id long, text string",
+    )
+    from ct_clickhouse_spark.operators.text import quality_filter
+
+    rows = {r.doc_id: r for r in quality_filter(docs, min_words=3).collect()}
+    assert rows[0].keep
+    assert not rows[1].keep and list(rows[1].drop_reasons) == ["null_text"]

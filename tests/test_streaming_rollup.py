@@ -276,3 +276,14 @@ def test_histogram_rollup_range_quantiles(spark):
         .groupBy("b").agg(F.sum("n").alias("n")).collect()
     )
     assert {(r.b, r.n) for r in merged} == {(r.b, r.n) for r in direct}
+
+
+def test_histogram_backfill_skips_null_values(spark):
+    from ct_clickhouse_spark.streaming.rollup import backfill_rollup_histogram
+
+    ev = spark.createDataFrame(
+        [("2024-01-01 00:10:00", "a", 5.0), ("2024-01-01 00:20:00", "a", None)],
+        "ts string, event_type string, value double",
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    hist = backfill_rollup_histogram(ev, 0.0, 10.0, bins=4).collect()
+    assert len(hist) == 1 and sum(hist[0].hist) == 1
