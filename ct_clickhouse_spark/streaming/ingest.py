@@ -120,9 +120,12 @@ def start_incremental_dedup(
     - the bloom-positive sliver is confirmed against ``corpus_keys``
       exactly, so false positives never drop a genuinely new row.
 
-    foreachBatch is at-least-once; downstream exactly-once comes from
-    the same watermark-dedup / idempotent-sink patterns the ingest and
-    rollup paths use. The sketch is a point-in-time snapshot of the
+    foreachBatch is at-least-once; writing each batch's survivors into
+    a ``batch_id=<id>`` partition with dynamic partition overwrite makes
+    replay idempotent (a retried batch rewrites ITS OWN partition with
+    the same rows, never appending duplicates or touching other
+    batches) — the same upgrade-to-exactly-once the rollup sink uses
+    with window ids. The sketch is a point-in-time snapshot of the
     corpus — rows arriving twice ACROSS batches are the within-stream
     dedup's job, not this operator's."""
     from ..operators.dedup import incremental_dedup
@@ -133,7 +136,13 @@ def start_incremental_dedup(
         survivors = incremental_dedup(
             batch, corpus_keys, key, prebuilt_bloom=corpus_bloom
         )
-        survivors.write.mode("append").parquet(out_path)
+        (
+            survivors.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
 
     writer = stream.writeStream.option(
         "checkpointLocation", checkpoint
