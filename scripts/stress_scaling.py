@@ -5,6 +5,11 @@ report wall-clock vs multiplier. Near-linear growth is the evidence that
 the plans scale by data volume, not by some super-linear term.
 
 Usage: python scripts/stress_scaling.py [k ...]   (default 1 2 4)
+
+Set SPARK_GRAFT_STRESS_ONLY=fam1,fam2 to run a subset of families —
+the big multipliers (100x) are affordable for the linear families but
+not for the deliberately-worst-case replication families (shingle
+self-join under 100-way duplication, GEMM at 100x kernel work).
 """
 
 from __future__ import annotations
@@ -55,7 +60,13 @@ def main() -> None:
 
     bpe_merges = bpe_train(_lt(spark, SF_DIR, "documents"), n_merges=16)
 
+    only = {
+        f for f in os.environ.get("SPARK_GRAFT_STRESS_ONLY", "").split(",") if f
+    }
+
     def timed(tag: str, k: int, fn):
+        if only and tag not in only:
+            return
         fn()  # warm
         # same protocol as bench.py: gc outside the timed window, or the
         # accumulated session state lands multi-second stalls inside
