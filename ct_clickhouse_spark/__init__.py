@@ -47,6 +47,10 @@ _FRAME_API = {
         "ct_clickhouse_spark.plans.maintenance",
         "compact_parquet",
     ),
+    "delete_where": (
+        "ct_clickhouse_spark.plans.maintenance",
+        "delete_where",
+    ),
     "register_tables": ("ct_clickhouse_spark.catalog", "register_tables"),
     "hash_sample": ("ct_clickhouse_spark.operators.sampling", "hash_sample"),
     "redact_pii": ("ct_clickhouse_spark.operators.text", "redact_pii"),

@@ -115,3 +115,97 @@ def compact_parquet(
 
     after, _ = data_file_stats(spark, path)
     return before, after
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    partition_col: str | None = None,
+) -> tuple[int, int]:
+    """Row-level delete from a Parquet table — the ClickHouse
+    ``ALTER TABLE ... DELETE WHERE`` mutation analog, and the
+    right-to-be-forgotten operation a training-data store needs
+    (delete every row for a domain/fingerprint/user without rewriting
+    the corpus).
+
+    Partition-scoped like the ClickHouse mutation: with
+    ``partition_col`` given (a Hive partition column), ONE pruned scan
+    finds the partitions containing matches, and only those partitions
+    are rewritten (dynamic partition overwrite keeps every other
+    partition's files byte-identical — test-asserted). Partitions whose
+    every row matches are dropped at the filesystem level (dynamic
+    overwrite cannot write an empty partition). Without
+    ``partition_col`` the whole table is rewritten through the same
+    temp-dir + double-rename swap compaction uses.
+
+    ``predicate`` is a Column or SQL string. Returns
+    (rows_deleted, partitions_rewritten_or_dropped); (0, 0) means no
+    match — and no write at all.
+    """
+    from pyspark.sql import functions as F
+
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    df = spark.read.parquet(path)
+
+    if partition_col is None:
+        n_del = df.filter(cond).count()
+        if n_del == 0:
+            return 0, 0
+        survivors = df.filter(~cond)
+        tmp = path.rstrip("/") + "__deleting"
+        survivors.write.mode("overwrite").parquet(tmp)
+        fs, jpath = _fs(spark, path)
+        _, jtmp = _fs(spark, tmp)
+        trash = path.rstrip("/") + "__old"
+        _, jtrash = _fs(spark, trash)
+        if not fs.rename(jpath, jtrash):
+            fs.delete(jtmp, True)
+            raise IOError(f"delete_where: failed to move {path} aside")
+        if not fs.rename(jtmp, jpath):
+            restored = fs.rename(jtrash, jpath)
+            fs.delete(jtmp, True)
+            raise IOError(
+                f"delete_where: failed to swap at {path}"
+                + ("" if restored else " AND could not restore original")
+            )
+        fs.delete(jtrash, True)
+        return n_del, 1
+
+    # partition-scoped path: one pruned scan for affected partitions
+    affected = (
+        df.filter(cond)
+        .groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("_n_del"))
+        .collect()
+    )
+    if not affected:
+        return 0, 0
+    n_del = sum(int(r._n_del) for r in affected)
+    values = [r[partition_col] for r in affected]
+
+    scoped = df.filter(F.col(partition_col).isin(values))
+    survivors = scoped.filter(~cond)
+    surviving_values = {
+        r[partition_col]
+        for r in survivors.select(partition_col).distinct().collect()
+    }
+    if surviving_values:
+        (
+            survivors.filter(F.col(partition_col).isin(list(surviving_values)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    # fully-deleted partitions: dynamic overwrite can't express "this
+    # partition now has zero rows" — drop their directories
+    fs, jpath = _fs(spark, path)
+    jvm = spark._jvm
+    for v in values:
+        if v not in surviving_values:
+            pdir = jvm.org.apache.hadoop.fs.Path(
+                path.rstrip("/") + f"/{partition_col}={v}"
+            )
+            fs.delete(pdir, True)
+    return n_del, len(values)

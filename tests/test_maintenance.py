@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from ct_clickhouse_spark.plans.maintenance import compact_parquet, data_file_stats
 from tests.conftest import SF_DIR
 
@@ -34,3 +36,82 @@ def test_compaction_reduces_files_preserves_data(spark, tmp_path):
     assert after.count() == before_rows
     after_sig = after.selectExpr("sum(cast(xxhash64(fingerprint, domain) as decimal(38,0))) s").collect()[0].s
     assert after_sig == before_sig
+
+
+def test_delete_where_partition_scoped(spark, tmp_path):
+    """ALTER DELETE analog: only partitions containing matches are
+    rewritten (unaffected partitions stay byte-identical), matching rows
+    are gone, every other row survives."""
+    from ct_clickhouse_spark.cert_domains import write_cert_domains
+    from ct_clickhouse_spark.plans.maintenance import delete_where
+
+    out = str(tmp_path / "cd")
+    write_cert_domains(spark, SF_DIR, out)
+    before = spark.read.parquet(out)
+    months = sorted(r.month for r in before.select("month").distinct().collect())
+    assert len(months) >= 2
+    target_month = months[0]
+    victim = (
+        before.filter(F.col("month") == target_month)
+        .select("fingerprint").first().fingerprint
+    )
+    n_before = before.count()
+    n_victim = before.filter(F.col("fingerprint") == victim).count()
+    assert n_victim > 0
+    victim_months = {
+        r.month
+        for r in before.filter(F.col("fingerprint") == victim)
+        .select("month").distinct().collect()
+    }
+    untouched = [m for m in months if m not in victim_months]
+    assert untouched, "need at least one unaffected partition"
+
+    def listing(month):
+        import os
+        d = os.path.join(out, f"month={month}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    files_before = {m: listing(m) for m in untouched}
+    n_del, n_parts = delete_where(
+        spark, out, F.col("fingerprint") == victim, partition_col="month"
+    )
+    assert n_del == n_victim and n_parts == len(victim_months)
+    after = spark.read.parquet(out)
+    assert after.filter(F.col("fingerprint") == victim).count() == 0
+    assert after.count() == n_before - n_victim
+    for m in untouched:
+        assert listing(m) == files_before[m], f"partition {m} was rewritten"
+    # no-match predicate: no write at all
+    assert delete_where(
+        spark, out, "fingerprint = 'no-such-fp'", partition_col="month"
+    ) == (0, 0)
+
+
+def test_delete_where_drops_fully_deleted_partition(spark, tmp_path):
+    import os
+
+    from ct_clickhouse_spark.plans.maintenance import delete_where
+
+    out = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id long, p string"
+    )
+    df.write.partitionBy("p").parquet(out)
+    n_del, n_parts = delete_where(spark, out, "p = 'a'", partition_col="p")
+    assert (n_del, n_parts) == (2, 1)
+    assert not os.path.exists(os.path.join(out, "p=a"))
+    assert [r.id for r in spark.read.parquet(out).collect()] == [3]
+
+
+def test_delete_where_unpartitioned_swap(spark, tmp_path):
+    from ct_clickhouse_spark.plans.maintenance import delete_where
+
+    out = str(tmp_path / "u")
+    spark.range(100).write.parquet(out)
+    n_del, n = delete_where(spark, out, "id % 10 = 0")
+    assert n_del == 10 and n == 1
+    assert spark.read.parquet(out).count() == 90
+    assert spark.read.parquet(out).filter("id % 10 = 0").count() == 0
