@@ -51,6 +51,14 @@ _FRAME_API = {
         "ct_clickhouse_spark.plans.maintenance",
         "delete_where",
     ),
+    "update_where": (
+        "ct_clickhouse_spark.plans.maintenance",
+        "update_where",
+    ),
+    "merge_upsert": (
+        "ct_clickhouse_spark.plans.maintenance",
+        "merge_upsert",
+    ),
     "register_tables": ("ct_clickhouse_spark.catalog", "register_tables"),
     "hash_sample": ("ct_clickhouse_spark.operators.sampling", "hash_sample"),
     "redact_pii": ("ct_clickhouse_spark.operators.text", "redact_pii"),

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 TARGET_FILE_BYTES = 128 * 1024 * 1024  # standard HDFS-ish target
 
@@ -209,3 +209,115 @@ def delete_where(
             )
             fs.delete(pdir, True)
     return n_del, len(values)
+
+
+def update_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    assignments: dict,
+    partition_col: str,
+) -> tuple[int, int]:
+    """Row-level update — the ``ALTER TABLE ... UPDATE col = expr WHERE``
+    mutation analog, partition-scoped exactly like ``delete_where``:
+    one pruned scan finds the partitions containing matches, only those
+    rewrite (every other partition's files stay byte-identical), and
+    rows that don't match keep their values inside the rewritten
+    partitions. ``assignments`` maps column name -> Column or SQL
+    string. The partition column itself cannot be assigned (that is a
+    row MOVE between directories — express it as delete + insert).
+    Returns (rows_updated, partitions_rewritten)."""
+    from pyspark.sql import functions as F
+
+    if partition_col in assignments:
+        raise ValueError(
+            "update_where cannot reassign the partition column — a row "
+            "move between partitions is delete + insert"
+        )
+    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    df = spark.read.parquet(path)
+    affected = (
+        df.filter(cond)
+        .groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    )
+    if not affected:
+        return 0, 0
+    n_upd = sum(int(r._n) for r in affected)
+    values = [r[partition_col] for r in affected]
+
+    scoped = df.filter(F.col(partition_col).isin(values))
+    updated = scoped
+    for col, expr in assignments.items():
+        new_val = F.expr(expr) if isinstance(expr, str) else expr
+        updated = updated.withColumn(
+            col, F.when(cond, new_val).otherwise(F.col(col))
+        )
+    (
+        updated.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return n_upd, len(values)
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_col: str,
+    version_col: str | None = None,
+) -> tuple[int, int]:
+    """Upsert a batch into a partitioned table — the
+    ReplacingMergeTree merge analog (ClickHouse dedups rows sharing the
+    sort key at merge time, keeping the max ``ver`` when given;
+    reference init.sql:16-18 uses plain MergeTree and re-deduplicates
+    per query — this is the operator that makes dedup a property of the
+    TABLE instead).
+
+    Only partitions the update batch touches are rewritten: existing
+    rows of those partitions union the updates, and one row per
+    ``key_cols`` survives — highest ``version_col`` (ties broken toward
+    the update) or simply the update row when no version column is
+    given. Other partitions' files stay byte-identical. New partition
+    values insert cleanly (dynamic overwrite creates them). Returns
+    (rows_upserted, partitions_rewritten)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    values = [
+        r[partition_col]
+        for r in updates.select(partition_col).distinct().collect()
+    ]
+    if not values:
+        return 0, 0
+    n_upserted = updates.count()
+
+    current = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(values)
+    )
+    cols = current.columns
+    tagged = current.select(*cols).withColumn("_is_update", F.lit(0)).unionByName(
+        updates.select(*cols).withColumn("_is_update", F.lit(1))
+    )
+    order = (
+        [F.col(version_col).desc(), F.col("_is_update").desc()]
+        if version_col
+        else [F.col("_is_update").desc()]
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    merged = (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_is_update")
+    )
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+    return n_upserted, len(values)

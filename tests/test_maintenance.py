@@ -115,3 +115,80 @@ def test_delete_where_unpartitioned_swap(spark, tmp_path):
     assert n_del == 10 and n == 1
     assert spark.read.parquet(out).count() == 90
     assert spark.read.parquet(out).filter("id % 10 = 0").count() == 0
+
+
+def test_update_where_partition_scoped(spark, tmp_path):
+    import os
+
+    from ct_clickhouse_spark.plans.maintenance import update_where
+
+    out = str(tmp_path / "upd")
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)],
+        "id long, p string, v double",
+    ).write.partitionBy("p").parquet(out)
+
+    def listing(p):
+        d = os.path.join(out, f"p={p}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    b_files = listing("b")
+    n_upd, n_parts = update_where(
+        spark, out, "id = 1", {"v": "v * 2"}, partition_col="p"
+    )
+    assert (n_upd, n_parts) == (1, 1)
+    rows = {r.id: r.v for r in spark.read.parquet(out).collect()}
+    assert rows == {1: 20.0, 2: 20.0, 3: 30.0}
+    assert listing("b") == b_files  # untouched partition byte-identical
+    import pytest
+
+    with pytest.raises(ValueError, match="partition column"):
+        update_where(spark, out, "id = 1", {"p": "'c'"}, partition_col="p")
+
+
+def test_merge_upsert_keeps_latest_version(spark, tmp_path):
+    import os
+
+    from ct_clickhouse_spark.plans.maintenance import merge_upsert
+
+    out = str(tmp_path / "mu")
+    spark.createDataFrame(
+        [(1, "a", 1, "old1"), (2, "a", 5, "keep2"), (3, "b", 1, "old3")],
+        "id long, p string, ver int, payload string",
+    ).write.partitionBy("p").parquet(out)
+
+    def listing(p):
+        d = os.path.join(out, f"p={p}")
+        return sorted(
+            (f, os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d) if f.endswith(".parquet")
+        )
+
+    b_files = listing("b")
+    updates = spark.createDataFrame(
+        [(1, "a", 2, "new1"),     # higher ver -> replaces
+         (2, "a", 3, "stale2"),   # LOWER ver -> existing row wins
+         (4, "a", 1, "ins4"),     # new key -> insert
+         (5, "c", 1, "ins5")],    # new partition -> created
+        "id long, p string, ver int, payload string",
+    )
+    n_up, n_parts = merge_upsert(
+        spark, out, updates, ["id"], partition_col="p", version_col="ver"
+    )
+    assert (n_up, n_parts) == (4, 2)  # partitions a and c
+    rows = {r.id: (r.p, r.ver, r.payload) for r in spark.read.parquet(out).collect()}
+    assert rows == {
+        1: ("a", 2, "new1"),
+        2: ("a", 5, "keep2"),
+        3: ("b", 1, "old3"),
+        4: ("a", 1, "ins4"),
+        5: ("c", 1, "ins5"),
+    }
+    assert listing("b") == b_files  # untouched partition byte-identical
+    # idempotent replay: applying the same batch again changes nothing
+    merge_upsert(spark, out, updates, ["id"], partition_col="p", version_col="ver")
+    again = {r.id: (r.p, r.ver, r.payload) for r in spark.read.parquet(out).collect()}
+    assert again == rows
