@@ -95,26 +95,37 @@ def compact_parquet(
         writer = writer.partitionBy(*partition_cols)
     writer.parquet(tmp)
 
+    _swap_in(spark, path, tmp, op="compact_parquet")
+
+    after, _ = data_file_stats(spark, path)
+    return before, after
+
+
+def _swap_in(spark: SparkSession, path: str, tmp: str, op: str) -> None:
+    """Replace ``path`` with the already-written ``tmp`` directory via
+    two renames, restoring the original if the swap-in fails (shared by
+    compaction and the unpartitioned mutations). A stale ``__old`` trash
+    dir from an earlier crashed swap is cleared first — otherwise the
+    rename-aside nests into it."""
     fs, jpath = _fs(spark, path)
     _, jtmp = _fs(spark, tmp)
     trash = path.rstrip("/") + "__old"
     _, jtrash = _fs(spark, trash)
+    if fs.exists(jtrash):
+        fs.delete(jtrash, True)
     if not fs.rename(jpath, jtrash):
         fs.delete(jtmp, True)
-        raise IOError(f"compact_parquet: failed to move {path} aside to {trash}")
+        raise IOError(f"{op}: failed to move {path} aside to {trash}")
     if not fs.rename(jtmp, jpath):
         # restore the original before surfacing the error
         restored = fs.rename(jtrash, jpath)
         fs.delete(jtmp, True)
         raise IOError(
-            f"compact_parquet: failed to swap in compacted data at {path}"
+            f"{op}: failed to swap in rewritten data at {path}"
             + ("" if restored else f" AND could not restore original from {trash}")
         )
     if fs.exists(jpath):
         fs.delete(jtrash, True)
-
-    after, _ = data_file_stats(spark, path)
-    return before, after
 
 
 def delete_where(
@@ -139,37 +150,30 @@ def delete_where(
     ``partition_col`` the whole table is rewritten through the same
     temp-dir + double-rename swap compaction uses.
 
-    ``predicate`` is a Column or SQL string. Returns
-    (rows_deleted, partitions_rewritten_or_dropped); (0, 0) means no
-    match — and no write at all.
+    ``predicate`` is a Column or SQL string; rows where it evaluates
+    NULL are KEPT (SQL DELETE semantics: only predicate-TRUE rows go).
+    Returns (rows_deleted, partitions_rewritten_or_dropped); (0, 0)
+    means no match — and no write at all. NULL partition values are not
+    addressable by the scoped path (Hive's default-partition directory)
+    — matches there raise rather than silently surviving.
     """
     from pyspark.sql import functions as F
 
-    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    raw = F.expr(predicate) if isinstance(predicate, str) else predicate
+    # NULL-safe: ~cond of a NULL predicate is NULL, which filter() drops
+    # — without the coalesce, rows where the predicate can't evaluate
+    # would silently vanish UNCOUNTED instead of being kept
+    cond = F.coalesce(raw, F.lit(False))
     df = spark.read.parquet(path)
 
     if partition_col is None:
         n_del = df.filter(cond).count()
         if n_del == 0:
             return 0, 0
-        survivors = df.filter(~cond)
+        survivors = df.filter(~cond).localCheckpoint(eager=True)
         tmp = path.rstrip("/") + "__deleting"
         survivors.write.mode("overwrite").parquet(tmp)
-        fs, jpath = _fs(spark, path)
-        _, jtmp = _fs(spark, tmp)
-        trash = path.rstrip("/") + "__old"
-        _, jtrash = _fs(spark, trash)
-        if not fs.rename(jpath, jtrash):
-            fs.delete(jtmp, True)
-            raise IOError(f"delete_where: failed to move {path} aside")
-        if not fs.rename(jtmp, jpath):
-            restored = fs.rename(jtrash, jpath)
-            fs.delete(jtmp, True)
-            raise IOError(
-                f"delete_where: failed to swap at {path}"
-                + ("" if restored else " AND could not restore original")
-            )
-        fs.delete(jtrash, True)
+        _swap_in(spark, path, tmp, op="delete_where")
         return n_del, 1
 
     # partition-scoped path: one pruned scan for affected partitions
@@ -183,32 +187,67 @@ def delete_where(
         return 0, 0
     n_del = sum(int(r._n_del) for r in affected)
     values = [r[partition_col] for r in affected]
+    if any(v is None for v in values):
+        raise ValueError(
+            "delete_where: matches in the NULL partition "
+            "(__HIVE_DEFAULT_PARTITION__) are not addressable by the "
+            "scoped path — use the unpartitioned mode"
+        )
 
     scoped = df.filter(F.col(partition_col).isin(values))
-    survivors = scoped.filter(~cond)
+    # materialize survivors BEFORE the overwrite: the write plan would
+    # otherwise read the very partition directories the commit replaces,
+    # and a post-commit task recomputation would re-read deleted files
+    survivors = scoped.filter(~cond).localCheckpoint(eager=True)
     surviving_values = {
         r[partition_col]
         for r in survivors.select(partition_col).distinct().collect()
     }
     if surviving_values:
         (
-            survivors.filter(F.col(partition_col).isin(list(surviving_values)))
-            .write.mode("overwrite")
+            survivors.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(partition_col)
             .parquet(path)
         )
     # fully-deleted partitions: dynamic overwrite can't express "this
-    # partition now has zero rows" — drop their directories
-    fs, jpath = _fs(spark, path)
-    jvm = spark._jvm
-    for v in values:
-        if v not in surviving_values:
-            pdir = jvm.org.apache.hadoop.fs.Path(
-                path.rstrip("/") + f"/{partition_col}={v}"
-            )
-            fs.delete(pdir, True)
+    # partition now has zero rows" — drop their directories, located by
+    # LISTING (Hive escapes special chars in dir names, so building the
+    # name by hand would miss e.g. colons and silently keep the data)
+    fully_deleted = {v for v in values if v not in surviving_values}
+    if fully_deleted:
+        _drop_partition_dirs(spark, path, partition_col, fully_deleted)
     return n_del, len(values)
+
+
+def _drop_partition_dirs(
+    spark: SparkSession, path: str, partition_col: str, values: set
+) -> None:
+    """Delete the directories of the given partition VALUES, matching by
+    Hive-unescaping each listed child name (never by hand-built paths)."""
+    from urllib.parse import unquote
+
+    fs, jpath = _fs(spark, path)
+    wanted = {str(v) for v in values}
+    dropped = set()
+    for status in fs.listStatus(jpath):
+        name = status.getPath().getName()
+        if not name.startswith(f"{partition_col}="):
+            continue
+        value = unquote(name.split("=", 1)[1])
+        if value in wanted:
+            if not fs.delete(status.getPath(), True):
+                raise IOError(
+                    f"failed to drop partition directory {name} under {path}"
+                )
+            dropped.add(value)
+    missing = wanted - dropped
+    if missing:
+        raise IOError(
+            f"fully-deleted partition value(s) {sorted(missing)} had no "
+            f"matching directory under {path} — data may survive a "
+            "reported delete"
+        )
 
 
 def update_where(
@@ -224,7 +263,10 @@ def update_where(
     rewrite (every other partition's files stay byte-identical), and
     rows that don't match keep their values inside the rewritten
     partitions. ``assignments`` maps column name -> Column or SQL
-    string. The partition column itself cannot be assigned (that is a
+    string; ALL right-hand sides and the predicate evaluate against the
+    ORIGINAL row (SQL UPDATE semantics — one select, not chained
+    withColumns, so ``{"v": "v * 2", "flag": "v"}`` reads the old v in
+    both). The partition column itself cannot be assigned (that is a
     row MOVE between directories — express it as delete + insert).
     Returns (rows_updated, partitions_rewritten)."""
     from pyspark.sql import functions as F
@@ -234,7 +276,8 @@ def update_where(
             "update_where cannot reassign the partition column — a row "
             "move between partitions is delete + insert"
         )
-    cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+    raw = F.expr(predicate) if isinstance(predicate, str) else predicate
+    cond = F.coalesce(raw, F.lit(False))  # NULL predicate = not matched
     df = spark.read.parquet(path)
     affected = (
         df.filter(cond)
@@ -246,14 +289,26 @@ def update_where(
         return 0, 0
     n_upd = sum(int(r._n) for r in affected)
     values = [r[partition_col] for r in affected]
+    if any(v is None for v in values):
+        raise ValueError(
+            "update_where: matches in the NULL partition are not "
+            "addressable by the scoped rewrite"
+        )
 
     scoped = df.filter(F.col(partition_col).isin(values))
-    updated = scoped
-    for col, expr in assignments.items():
-        new_val = F.expr(expr) if isinstance(expr, str) else expr
-        updated = updated.withColumn(
-            col, F.when(cond, new_val).otherwise(F.col(col))
-        )
+    # single select: every assignment's RHS and the predicate resolve
+    # against the original columns, and results don't depend on dict
+    # order (chained withColumn would feed updated values into later
+    # expressions and re-evaluate the predicate against them)
+    projected = []
+    for c in scoped.columns:
+        if c in assignments:
+            expr = assignments[c]
+            new_val = F.expr(expr) if isinstance(expr, str) else expr
+            projected.append(F.when(cond, new_val).otherwise(F.col(c)).alias(c))
+        else:
+            projected.append(F.col(c))
+    updated = scoped.select(*projected).localCheckpoint(eager=True)
     (
         updated.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
@@ -282,9 +337,19 @@ def merge_upsert(
     rows of those partitions union the updates, and one row per
     ``key_cols`` survives — highest ``version_col`` (ties broken toward
     the update) or simply the update row when no version column is
-    given. Other partitions' files stay byte-identical. New partition
-    values insert cleanly (dynamic overwrite creates them). Returns
-    (rows_upserted, partitions_rewritten)."""
+    given; residual ties (duplicate same-key rows in the batch itself)
+    break DETERMINISTICALLY by content hash, so a replay converges.
+    Other partitions' files stay byte-identical. New partition values
+    insert cleanly (dynamic overwrite creates them).
+
+    CONTRACT: the key must determine the partition (the standard
+    partitioned-upsert invariant — e.g. partition = a hash/date OF the
+    key). The merge looks only at touched partitions, so a key that
+    moved partitions would leave its old row in the untouched partition;
+    that is a delete + insert, not an upsert. Returns
+    (rows_applied, partitions_rewritten) — rows_applied counts update
+    rows that actually WON their key (a stale lower-version row applies
+    nothing and is not counted)."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -294,7 +359,6 @@ def merge_upsert(
     ]
     if not values:
         return 0, 0
-    n_upserted = updates.count()
 
     current = spark.read.parquet(path).filter(
         F.col(partition_col).isin(values)
@@ -303,21 +367,23 @@ def merge_upsert(
     tagged = current.select(*cols).withColumn("_is_update", F.lit(0)).unionByName(
         updates.select(*cols).withColumn("_is_update", F.lit(1))
     )
-    order = (
-        [F.col(version_col).desc(), F.col("_is_update").desc()]
-        if version_col
-        else [F.col("_is_update").desc()]
-    )
+    content_hash = F.xxhash64(*[F.col(c).cast("string") for c in cols])
+    order = [F.col(version_col).desc()] if version_col else []
+    order += [F.col("_is_update").desc(), content_hash.asc()]
     w = Window.partitionBy(*key_cols).orderBy(*order)
+    # materialize before the overwrite (the plan reads the partitions
+    # the commit replaces — same hazard note as delete_where)
     merged = (
         tagged.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
-        .drop("_rn", "_is_update")
+        .localCheckpoint(eager=True)
     )
+    n_applied = merged.filter(F.col("_is_update") == 1).count()
     (
-        merged.write.mode("overwrite")
+        merged.drop("_rn", "_is_update")
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(partition_col)
         .parquet(path)
     )
-    return n_upserted, len(values)
+    return n_applied, len(values)

@@ -299,10 +299,11 @@ def main() -> None:
         # like the BPE merge table above) and scoring batches ride it
         from ct_clickhouse_spark.operators.text import lm_score, train_bigram_lm
 
-        lm_artifact = train_bigram_lm(docs.filter(F.col("lang") == "en"))
-        timed("lm_score", k, lambda: lm_score(docs, lm=lm_artifact)
-            .agg(F.sum("sum_c12"), F.avg("bigram_nll")).collect())
-        lm_artifact[0].unpersist()
+        if not only or "lm_score" in only:  # the artifact build is eager
+            lm_artifact = train_bigram_lm(docs.filter(F.col("lang") == "en"))
+            timed("lm_score", k, lambda: lm_score(docs, lm=lm_artifact)
+                .agg(F.sum("sum_c12"), F.avg("bigram_nll")).collect())
+            lm_artifact[0].unpersist()
 
         # feature-hashing TF (round 4): pure-JVM projection, no shuffle
         from ct_clickhouse_spark.operators.text import hashed_tf

@@ -178,7 +178,9 @@ def test_merge_upsert_keeps_latest_version(spark, tmp_path):
     n_up, n_parts = merge_upsert(
         spark, out, updates, ["id"], partition_col="p", version_col="ver"
     )
-    assert (n_up, n_parts) == (4, 2)  # partitions a and c
+    # 3 applied (the stale ver=3 row LOSES to the existing ver=5 and is
+    # not counted), partitions a and c rewritten
+    assert (n_up, n_parts) == (3, 2)
     rows = {r.id: (r.p, r.ver, r.payload) for r in spark.read.parquet(out).collect()}
     assert rows == {
         1: ("a", 2, "new1"),
@@ -192,3 +194,86 @@ def test_merge_upsert_keeps_latest_version(spark, tmp_path):
     merge_upsert(spark, out, updates, ["id"], partition_col="p", version_col="ver")
     again = {r.id: (r.p, r.ver, r.payload) for r in spark.read.parquet(out).collect()}
     assert again == rows
+
+
+def test_delete_where_keeps_null_predicate_rows(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL are
+    KEPT (they used to vanish uncounted — neither deleted nor written
+    back)."""
+    from ct_clickhouse_spark.plans.maintenance import delete_where
+
+    out = str(tmp_path / "np")
+    spark.createDataFrame(
+        [(1, "a", "x"), (2, "a", None), (3, "a", "y")],
+        "id long, p string, name string",
+    ).write.partitionBy("p").parquet(out)
+    n_del, _ = delete_where(spark, out, "name = 'x'", partition_col="p")
+    assert n_del == 1
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [2, 3]
+    # unpartitioned path too
+    out2 = str(tmp_path / "np2")
+    spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y")], "id long, name string"
+    ).write.parquet(out2)
+    delete_where(spark, out2, "name = 'x'")
+    assert sorted(r.id for r in spark.read.parquet(out2).collect()) == [2, 3]
+
+
+def test_delete_where_escaped_partition_value(spark, tmp_path):
+    """Hive escapes special chars in partition dir names (':' ->
+    '%3A'); dropping a fully-deleted partition must locate the real
+    directory, not a hand-built unescaped path."""
+    import os
+
+    from ct_clickhouse_spark.plans.maintenance import delete_where
+
+    out = str(tmp_path / "esc")
+    spark.createDataFrame(
+        [(1, "aa:bb"), (2, "plain")], "id long, p string"
+    ).write.partitionBy("p").parquet(out)
+    assert any(":" not in d and "%3A" in d for d in os.listdir(out) if d.startswith("p="))
+    n_del, n_parts = delete_where(spark, out, "p = 'aa:bb'", partition_col="p")
+    assert (n_del, n_parts) == (1, 1)
+    assert [r.id for r in spark.read.parquet(out).collect()] == [2]
+    assert not any("%3A" in d for d in os.listdir(out))
+
+
+def test_update_where_assignments_see_original_values(spark, tmp_path):
+    """All RHS expressions and the predicate evaluate against the
+    ORIGINAL row: {'v': 'v * 2', 'w': 'v'} must set w to the OLD v, and
+    the predicate must not re-evaluate against the updated column."""
+    from ct_clickhouse_spark.plans.maintenance import update_where
+
+    out = str(tmp_path / "orig")
+    spark.createDataFrame(
+        [(1, "a", 10.0, 0.0)], "id long, p string, v double, w double"
+    ).write.partitionBy("p").parquet(out)
+    n_upd, _ = update_where(
+        spark, out, "v = 10", {"v": "v * 2", "w": "v"}, partition_col="p"
+    )
+    assert n_upd == 1
+    row = spark.read.parquet(out).collect()[0]
+    assert (row.v, row.w) == (20.0, 10.0)
+
+
+def test_merge_upsert_duplicate_update_keys_deterministic(spark, tmp_path):
+    """A batch with duplicate same-key rows and no version column must
+    resolve deterministically (content-hash tiebreak): replaying the
+    merge converges instead of flapping with task order."""
+    from ct_clickhouse_spark.plans.maintenance import merge_upsert
+
+    out = str(tmp_path / "dup")
+    spark.createDataFrame(
+        [(1, "a", "orig")], "id long, p string, payload string"
+    ).write.partitionBy("p").parquet(out)
+    updates = spark.createDataFrame(
+        [(1, "a", "xx"), (1, "a", "yy")], "id long, p string, payload string"
+    )
+    merge_upsert(spark, out, updates, ["id"], partition_col="p")
+    first = spark.read.parquet(out).collect()[0].payload
+    assert first in ("xx", "yy")
+    for _ in range(3):
+        merge_upsert(
+            spark, out, updates.repartition(5), ["id"], partition_col="p"
+        )
+        assert spark.read.parquet(out).collect()[0].payload == first
