@@ -122,6 +122,7 @@ _FRAME_API = {
     "chunk_documents": ("ct_clickhouse_spark.operators.text", "chunk_documents"),
     "lm_score": ("ct_clickhouse_spark.operators.text", "lm_score"),
     "quality_filter": ("ct_clickhouse_spark.operators.text", "quality_filter"),
+    "normalize_text": ("ct_clickhouse_spark.operators.text", "normalize_text"),
     "hashed_tf": ("ct_clickhouse_spark.operators.text", "hashed_tf"),
     "bpe_train": ("ct_clickhouse_spark.operators.text", "bpe_train"),
     "bpe_encode": ("ct_clickhouse_spark.operators.text", "bpe_encode"),

@@ -984,6 +984,52 @@ def lm_score(
     )
 
 
+def normalize_text(
+    df: DataFrame,
+    col: str = "text",
+    form: str = "NFKC",
+    strip_controls: bool = True,
+) -> DataFrame:
+    """Unicode-normalize a text column (NFC/NFKC/NFD/NFKD) and optionally
+    strip control characters (category Cc except \\t \\n \\r) — the
+    cleaning step that runs BEFORE hashing/dedup: visually identical
+    strings in different normal forms ("é" composed vs "e"+combining
+    accent) hash differently, so exact and near dedup silently miss
+    them until the corpus is normalized.
+
+    Spark SQL has no unicode-normalization builtin, so this is an
+    Arrow-batched pandas UDF (one str.normalize pass per batch — the
+    vectorized pandas path, not per-row Python). Every other column
+    passes through; the column is replaced in place."""
+    import unicodedata
+
+    import pandas as pd
+
+    if form not in ("NFC", "NFKC", "NFD", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+
+    def _norm_fn(s):
+        out = s.str.normalize(form)
+        if strip_controls:
+            out = out.map(
+                lambda t: None
+                if t is None
+                else "".join(
+                    ch
+                    for ch in t
+                    if ch in "\t\n\r" or unicodedata.category(ch) != "Cc"
+                )
+            )
+        return out
+
+    # real class objects, not string hints: the module's `from
+    # __future__ import annotations` would stringify inline hints and
+    # pyspark's type inference can't resolve the function-local pd
+    _norm_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _norm = F.pandas_udf(_norm_fn, "string")
+    return df.withColumn(col, _norm(F.col(col)))
+
+
 # ---- Corpus quality filter (the composition step) -------------------------
 
 # Default thresholds: the public-pipeline ballpark (Gopher/C4/CCNet

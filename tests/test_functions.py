@@ -89,3 +89,49 @@ def test_parse_entries_mapinpandas(spark):
     assert len(rows) == 1
     assert rows[0].domains == ["a.example.com", "b.example.com"]
     assert rows[0].entry_index == 0
+
+
+def test_normalize_text_unifies_normal_forms_for_dedup(spark):
+    """NFC vs NFD spellings of the same string must hash identically
+    after normalization (the dedup miss the operator exists to fix),
+    control chars are stripped (except tab/newline), and NULLs pass
+    through."""
+    import unicodedata
+
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.operators.text import normalize_text
+
+    nfc = unicodedata.normalize("NFC", "résumé café")
+    nfd = unicodedata.normalize("NFD", "résumé café")
+    assert nfc != nfd  # genuinely different byte sequences
+    docs = spark.createDataFrame(
+        [(0, nfc), (1, nfd), (2, "a\x00b\x07c\td\ne"), (3, None)],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in normalize_text(docs, form="NFKC").collect()
+    }
+    assert out[0] == out[1]  # both forms normalize to one spelling
+    assert out[2] == "abc\td\ne"  # Cc stripped, tab/newline kept
+    assert out[3] is None
+    # and the dedup consequence: md5 groups collapse after normalization
+    n_groups_raw = docs.filter("text is not null").select(
+        F.md5("text")
+    ).distinct().count()
+    n_groups_norm = (
+        normalize_text(docs.filter("text is not null"))
+        .select(F.md5("text")).distinct().count()
+    )
+    assert n_groups_raw == 3 and n_groups_norm == 2
+
+
+def test_normalize_text_rejects_unknown_form(spark):
+    import pytest
+
+    from ct_clickhouse_spark.operators.text import normalize_text
+
+    docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="normalization form"):
+        normalize_text(docs, form="NFX")
