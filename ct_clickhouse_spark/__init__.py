@@ -123,6 +123,7 @@ _FRAME_API = {
     "lm_score": ("ct_clickhouse_spark.operators.text", "lm_score"),
     "quality_filter": ("ct_clickhouse_spark.operators.text", "quality_filter"),
     "normalize_text": ("ct_clickhouse_spark.operators.text", "normalize_text"),
+    "corpus_report": ("ct_clickhouse_spark.operators.text", "corpus_report"),
     "hashed_tf": ("ct_clickhouse_spark.operators.text", "hashed_tf"),
     "bpe_train": ("ct_clickhouse_spark.operators.text", "bpe_train"),
     "bpe_encode": ("ct_clickhouse_spark.operators.text", "bpe_encode"),

@@ -984,6 +984,58 @@ def lm_score(
     )
 
 
+def corpus_report(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-call corpus summary, long format (sect, key, value double):
+    'size' rows (n_docs, total_words, total_chars, distinct_texts,
+    exact_dup_rate), plus per-value doc counts for every low-cardinality
+    string column present (lang, source — 'by_<col>' sections). The
+    first look a pipeline owner takes at a new corpus, computed in one
+    scan plus one tiny aggregate per section.
+
+    NULL texts count as zero-word zero-char docs (they appear in
+    n_docs, never in distinct_texts)."""
+    words = F.size(
+        F.coalesce(
+            F.filter(_words(F.col(text_col)), lambda w: F.length(w) > 0),
+            F.array().cast("array<string>"),
+        )
+    )
+    base = df.select(
+        words.alias("_nw"),
+        F.coalesce(F.length(text_col), F.lit(0)).alias("_nc"),
+        F.md5(text_col).alias("_h"),
+        *[c for c in ("lang", "source") if c in df.columns],
+    )
+    size = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nw").alias("total_words"),
+        F.sum("_nc").alias("total_chars"),
+        F.count_distinct("_h").alias("distinct_texts"),
+    ).selectExpr(
+        "stack(5, 'n_docs', CAST(n_docs AS DOUBLE),"
+        " 'total_words', CAST(total_words AS DOUBLE),"
+        " 'total_chars', CAST(total_chars AS DOUBLE),"
+        " 'distinct_texts', CAST(distinct_texts AS DOUBLE),"
+        " 'exact_dup_rate', CASE WHEN n_docs > 0 THEN"
+        "   round(1.0 - distinct_texts / n_docs, 4) ELSE 0.0 END)"
+        " AS (key, value)"
+    ).select(F.lit("size").alias("sect"), "key", "value")
+    out = size
+    for c in ("lang", "source"):
+        if c in df.columns:
+            sec = (
+                base.groupBy(c)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .select(
+                    F.lit(f"by_{c}").alias("sect"),
+                    F.coalesce(F.col(c), F.lit("<null>")).alias("key"),
+                    F.col("n").cast("double").alias("value"),
+                )
+            )
+            out = out.unionByName(sec)
+    return out
+
+
 def normalize_text(
     df: DataFrame,
     col: str = "text",

@@ -135,3 +135,29 @@ def test_normalize_text_rejects_unknown_form(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="normalization form"):
         normalize_text(docs, form="NFX")
+
+
+def test_corpus_report_sections(spark):
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.operators.text import corpus_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three", "en", "web"),
+            (1, "one two three", "en", "web"),      # exact dup
+            (2, "vier funf", "de", "books"),
+            (3, None, None, "web"),                  # null text/lang
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {
+        (r.sect, r.key): r.value for r in corpus_report(docs).collect()
+    }
+    assert rows[("size", "n_docs")] == 4.0
+    assert rows[("size", "total_words")] == 3 + 3 + 2 + 0
+    assert rows[("size", "distinct_texts")] == 2.0
+    assert rows[("size", "exact_dup_rate")] == 0.5
+    assert rows[("by_lang", "en")] == 2.0
+    assert rows[("by_lang", "<null>")] == 1.0
+    assert rows[("by_source", "web")] == 3.0 and rows[("by_source", "books")] == 1.0
