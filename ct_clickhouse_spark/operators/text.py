@@ -270,7 +270,13 @@ def hashed_tf(
     split itself. Linear in corpus; per-row state is the dim-array."""
     if dim < 1:
         raise ValueError(f"dim must be >= 1, got {dim}")
-    out = df.withColumn("_hw", _words(F.col(text_col))).withColumn(
+    # NULL text must yield a ZERO vector, not all-NULL buckets (under
+    # ANSI/Spark 4, size(filter(NULL)) is NULL per bucket, which would
+    # poison downstream cosine/ANN math) — same coalesce as bpe_encode
+    words = F.coalesce(
+        _words(F.col(text_col)), F.array().cast("array<string>")
+    )
+    out = df.withColumn("_hw", words).withColumn(
         "_hb",
         F.transform(F.col("_hw"), lambda w: F.pmod(F.xxhash64(w), F.lit(dim))),
     )

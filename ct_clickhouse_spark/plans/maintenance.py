@@ -359,6 +359,16 @@ def merge_upsert(
     ]
     if not values:
         return 0, 0
+    if any(v is None for v in values):
+        # a NULL batch partition would never match isin() below, so the
+        # merge would exclude existing __HIVE_DEFAULT_PARTITION__ rows
+        # while dynamic overwrite still rewrote that directory with only
+        # the batch rows — silently dropping pre-existing NULL-partition
+        # data (same guard as delete_where/update_where)
+        raise ValueError(
+            "merge_upsert: NULL values in the update batch's partition "
+            "column are not addressable by the scoped merge"
+        )
 
     current = spark.read.parquet(path).filter(
         F.col(partition_col).isin(values)

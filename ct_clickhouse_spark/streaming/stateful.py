@@ -143,8 +143,20 @@ KMV_OUTPUT_SCHEMA = StructType(
 KMV_STATE_SCHEMA = StructType([StructField("kmv", ArrayType(DoubleType()))])
 
 
+def resolve_kmv_k(k: int | None) -> int:
+    """The streaming default k MUST match the batch side
+    (operators.sketches.DEFAULT_K == rollup.KMV_USERS_K): merging a
+    smaller streamed sketch into a k=256 batch sketch and then
+    estimating at k=256 silently misreads a saturated sketch as exact —
+    the hazard kmv_distinct_estimate's own docstring warns about. One
+    shared constant, resolved here so tests can pin the equality."""
+    from ..operators.sketches import DEFAULT_K
+
+    return DEFAULT_K if k is None else k
+
+
 def streaming_window_kmv(
-    events: DataFrame, k: int = 64, window_hours: int = 1
+    events: DataFrame, k: int | None = None, window_hours: int = 1
 ) -> DataFrame:
     """Streaming maintenance of per-(window, event_type) KMV user
     sketches — the bounded-state typed aggregate Spark SQL doesn't
@@ -167,6 +179,8 @@ def streaming_window_kmv(
     import pandas as pd
 
     from ..operators.sketches import _uniform_hash
+
+    k = resolve_kmv_k(k)
 
     # NULL user_ids are excluded BEFORE hashing (xxhash64(NULL) is the
     # seed, not NULL — the same phantom-element hazard kmv_sketch guards)

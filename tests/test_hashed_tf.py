@@ -81,3 +81,15 @@ def test_hashed_tf_feeds_the_vector_tier(spark):
     assert labels[0] == labels[1]
     assert labels[10] == labels[11]
     assert len({labels[0], labels[10], labels[20]}) == 3
+
+
+def test_hashed_tf_null_text_is_zero_vector(spark):
+    """NULL text must yield a ZERO vector, not all-NULL buckets (under
+    ANSI semantics size(filter(NULL)) is NULL per bucket) — NULL cells
+    would poison downstream cosine/ANN math."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, "hello world")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r.embedding for r in hashed_tf(docs, dim=8).collect()}
+    assert rows[1] == [0.0] * 8
+    assert all(v is not None for v in rows[2])

@@ -277,3 +277,27 @@ def test_merge_upsert_duplicate_update_keys_deterministic(spark, tmp_path):
             spark, out, updates.repartition(5), ["id"], partition_col="p"
         )
         assert spark.read.parquet(out).collect()[0].payload == first
+
+
+def test_merge_upsert_rejects_null_batch_partition(spark, tmp_path):
+    """A NULL partition value in the update batch never matches isin(),
+    so the merge would exclude the existing NULL-partition rows while
+    dynamic overwrite still rewrote that directory with only the batch
+    rows — silently dropping data. Guarded like delete/update_where."""
+    import pytest
+
+    from ct_clickhouse_spark.plans.maintenance import merge_upsert
+
+    out = str(tmp_path / "mun")
+    spark.createDataFrame(
+        [(1, "a", "orig"), (2, None, "null-part")],
+        "id long, p string, payload string",
+    ).write.partitionBy("p").parquet(out)
+    updates = spark.createDataFrame(
+        [(3, None, "ins")], "id long, p string, payload string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        merge_upsert(spark, out, updates, ["id"], partition_col="p")
+    # nothing was rewritten: the NULL-partition row survives intact
+    rows = {r.id: r.payload for r in spark.read.parquet(out).collect()}
+    assert rows == {1: "orig", 2: "null-part"}

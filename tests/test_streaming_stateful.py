@@ -192,3 +192,15 @@ def test_streaming_kmv_converges_to_batch_sketch(spark, tmp_path):
     assert final == want
     # state carried across batches: some group must have been updated twice
     assert len(rows) > len(final)
+
+
+def test_streaming_kmv_default_k_matches_batch_side():
+    """Streamed and batch sketches must default to the SAME k: merging a
+    saturated smaller sketch then estimating at the larger k silently
+    over-reports (the hazard kmv_distinct_estimate documents)."""
+    from ct_clickhouse_spark.operators.sketches import DEFAULT_K
+    from ct_clickhouse_spark.streaming.rollup import KMV_USERS_K
+    from ct_clickhouse_spark.streaming.stateful import resolve_kmv_k
+
+    assert resolve_kmv_k(None) == DEFAULT_K == KMV_USERS_K
+    assert resolve_kmv_k(64) == 64
