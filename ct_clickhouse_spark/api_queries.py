@@ -311,7 +311,16 @@ def sketch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("key"),
         F.round(F.col("est_intersection")).cast("long").alias("value"),
     )
-    return s.unionByName(t).unionByName(per_log).unionByName(pairwise)
+    # 'returning' rows: cross-range retention estimates answered FROM THE
+    # ROLLUP KMV ARTIFACT alone (streaming/rollup.py) — the driver-visible
+    # gate for the rollup sketch tier (r4 verdict #2); streamed == batch
+    # stays pinned by the streaming tests.
+    from .streaming.rollup import returning_users_section
+
+    ret = returning_users_section(spark, sf_dir).select(
+        F.lit("returning").alias("sect"), "key", "value"
+    )
+    return s.unionByName(t).unionByName(per_log).unionByName(pairwise).unionByName(ret)
 
 
 QUERIES = {

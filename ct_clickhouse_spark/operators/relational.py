@@ -693,7 +693,16 @@ def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").cast("string").alias("key"),
         F.col("balance_quartile").cast("double").alias("value"),
     )
-    return li.unionByName(nt)
+    # 'range_hist' rows: week-1 event-value quantiles read off the merged
+    # per-window rollup HISTOGRAMS (streaming/rollup.py) — the mergeable-
+    # histogram member of the sketch-quantile family under the driver
+    # gate (r4 verdict #2); bin counts add exactly, error <= 1 bin width.
+    from ..streaming.rollup import range_quantiles_section
+
+    rh = range_quantiles_section(spark, sf_dir).select(
+        F.lit("range_hist").alias("kind"), "key", "value"
+    )
+    return li.unionByName(nt).unionByName(rh)
 
 
 QUERIES = {

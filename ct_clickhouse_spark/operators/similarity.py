@@ -356,6 +356,18 @@ def semdedup_pairs(
     assigned = emb.mapInPandas(
         _assign, "cluster int, vec_id long, embedding array<float>"
     )
+    return _cell_scoped_pairs(assigned, threshold)
+
+
+def _cell_scoped_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
+    """The shared cell-local pair kernel: exact cosine all-pairs strictly
+    WITHIN each ``cluster`` group of an (cluster, vec_id, embedding)
+    frame — one shuffle groups each cell, a dense numpy kernel scores it,
+    dropDuplicates collapses pairs co-probed into several cells. Used by
+    both the k-means SemDeDup assignment and the deterministic grid-cell
+    assignment the driver gate rides."""
+    import numpy as np
+    import pandas as pd
 
     empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
 
@@ -375,6 +387,38 @@ def semdedup_pairs(
         .applyInPandas(_cluster_pairs, "id_a long, id_b long, cosine double")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# Deterministic SQL-portable cell assignment for the driver gate: cell =
+# the sign bits of the first GRID_CELL_BITS embedding components. The
+# k-means cells SemDeDup uses in production are deterministic but not
+# ANSI-SQL-expressible (Lloyd iterations), so the hard gate runs the SAME
+# cell-scoped machinery — assignment -> within-cell exact-cosine pairs ->
+# connected components -> keeper per group — over cells DuckDB can
+# recompute, while the k-means recall/soundness properties stay
+# pytest-gated (tests/test_semdedup.py).
+GRID_CELL_BITS = 3
+
+
+def _grid_cell_col():
+    cell = F.lit(0)
+    for j in range(GRID_CELL_BITS):
+        cell = cell + F.when(
+            F.element_at(F.col("embedding"), j + 1) >= 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+    return cell.cast("int")
+
+
+def grid_cell_pairs(
+    spark: SparkSession, sf_dir: str, threshold: float = PAIR_THRESHOLD
+) -> DataFrame:
+    """Cell-scoped exact-cosine pairs over the deterministic sign-bit
+    grid cells — the oracle-replayable stand-in for the k-means cell
+    assignment, sharing ``_cell_scoped_pairs`` verbatim."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        _grid_cell_col().alias("cluster"), "vec_id", "embedding"
+    )
+    return _cell_scoped_pairs(emb, threshold)
 
 
 def semantic_dedup_groups(
@@ -1103,6 +1147,31 @@ def _label_propagate_rounds(
     return labels.unionByName(isolated), rounds
 
 
+def groups_global_and_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_embedding_groups slot, tagged union (kind, vec_id,
+    canonical_id, is_keeper):
+
+    - kind='global': connected components over the size-routed pair
+      source (exact GEMM small / banded LSH at scale) — the r3 slot;
+    - kind='semdedup_cell': the SemDeDup group/keeper machinery under
+      the hard gate (r4 verdict #3) — cell-scoped pairs (deterministic
+      sign-bit cells, so the DuckDB recursive-CTE oracle can replay the
+      cell restriction) -> pointer-doubled components -> keeper = cell
+      component minimum. A pair leaked across cells, a missed within-
+      cell pair, or a wrong keeper all break the value hash. The k-means
+      cell variant (semantic_dedup_groups) keeps its pytest gates."""
+    g = embedding_dedup_groups(spark, sf_dir).select(
+        F.lit("global").alias("kind"), "vec_id", "canonical_id", "is_keeper"
+    )
+    s = embedding_dedup_groups(spark, sf_dir, pairs_fn=grid_cell_pairs).select(
+        F.lit("semdedup_cell").alias("kind"),
+        "vec_id",
+        "canonical_id",
+        "is_keeper",
+    )
+    return g.unionByName(s)
+
+
 def topk_and_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact-similarity tier under one slot, long format (sect, key,
     label, value): brute-force cosine top-k against the query vector
@@ -1127,7 +1196,7 @@ def topk_and_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "sim_cosine_pairs": cosine_pairs,
     "sim_topk_centroids": topk_and_centroids,
-    "dedup_embedding_groups": embedding_dedup_groups,
+    "dedup_embedding_groups": groups_global_and_semdedup,
     "sim_ivf_topk": ann_topk_variants,  # rows-only (approximate indexes: ivf + sq8)
 }
 
@@ -1136,6 +1205,14 @@ _COS_SQL = (
     "(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))) * "
     "sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))"
 )
+
+
+def _GRID_CELL_SQL(alias: str) -> str:
+    """The sign-bit grid cell of _grid_cell_col, DuckDB dialect."""
+    return " + ".join(
+        f"CASE WHEN {alias}.embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END"
+        for j in range(GRID_CELL_BITS)
+    )
 
 ORACLES = {
     "sim_topk_centroids": f"""
@@ -1165,7 +1242,9 @@ ORACLES = {
     # Connected components ARE ANSI-SQL-expressible: reach(id, r) is the
     # transitive closure of the symmetric near-dup edge set (min-label
     # propagation's fixpoint), so min(r) per id is the component minimum —
-    # exactly the Spark loop's converged label.
+    # exactly the Spark loop's converged label. The semdedup_cell section
+    # replays the cell restriction with the same sign-bit cell expression
+    # (pure comparisons — no float arithmetic to disagree on).
     "dedup_embedding_groups": f"""
         WITH RECURSIVE pairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1178,9 +1257,26 @@ ORACLES = {
             SELECT vec_id, vec_id FROM embeddings
             UNION
             SELECT e.id_a, reach.r FROM edges e JOIN reach ON e.id_b = reach.id
+        ), cpairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE ({_GRID_CELL_SQL('a')}) = ({_GRID_CELL_SQL('b')})
+              AND round({_COS_SQL}, 4) >= {PAIR_THRESHOLD}
+        ), cedges AS (
+            SELECT id_a, id_b FROM cpairs
+            UNION ALL SELECT id_b AS id_a, id_a AS id_b FROM cpairs
+        ), creach(id, r) AS (
+            SELECT vec_id, vec_id FROM embeddings
+            UNION
+            SELECT e.id_a, creach.r
+            FROM cedges e JOIN creach ON e.id_b = creach.id
         )
-        SELECT id AS vec_id, min(r) AS canonical_id,
+        SELECT 'global' AS kind, id AS vec_id, min(r) AS canonical_id,
                (id = min(r)) AS is_keeper
-        FROM reach GROUP BY id ORDER BY vec_id
+        FROM reach GROUP BY id
+        UNION ALL
+        SELECT 'semdedup_cell', id, min(r), (id = min(r))
+        FROM creach GROUP BY id
+        ORDER BY kind, vec_id
     """,
 }

@@ -1106,6 +1106,7 @@ def quality_filter(
     max_junk: float = QF_MAX_JUNK,
     max_dup_word: float = QF_MAX_DUP_WORD,
     max_nll: float = QF_MAX_NLL,
+    nll_col: str | None = None,
 ) -> DataFrame:
     """The pipeline composition step: every cheap per-doc quality signal
     plus (optionally) the bigram-LM perplexity, fused into one verdict
@@ -1118,11 +1119,16 @@ def quality_filter(
     as the profile slot, and the same ``_words`` tokenization as the
     trainer/scorer — a diverging inline re-split is exactly the bug the
     BPE Unicode fix removed); the LM signal joins in only when ``lm``
-    (from ``train_bigram_lm``) is provided. Thresholds are parameters
+    (from ``train_bigram_lm``) is provided — or, when the caller has
+    ALREADY joined a per-doc nll column (the profile slot does),
+    ``nll_col`` names it and the perplexity check reads it directly
+    instead of re-running lm_score. Thresholds are parameters
     with public-pipeline defaults. NULL text is its own named reason:
     every other check is NULL for it, and a NULL condition filtered out
     of the reasons array would otherwise KEEP the document with an
     empty audit trail."""
+    if lm is not None and nll_col is not None:
+        raise ValueError("pass lm or nll_col, not both")
     words = _words(F.col("text"))
     n_words = F.size(words)
     junk = F.length(
@@ -1148,6 +1154,8 @@ def quality_filter(
         checks.append(
             ("high_perplexity", F.col("bigram_nll") > max_nll)
         )
+    elif nll_col is not None:
+        checks.append(("high_perplexity", F.col(nll_col) > max_nll))
     reasons = F.filter(
         F.array(
             *[
@@ -1235,6 +1243,7 @@ def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = docs.select(
         "doc_id",
         "lang",
+        "text",
         F.size(words).alias("n_words"),
         n_chars.alias("n_chars_actual"),
         F.round(junk_ratio, 4).alias("junk_ratio"),
@@ -1261,7 +1270,17 @@ def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # counts), so unlike the per-row expressions above they join in —
     # the same shape decontamination uses
     lm = bigram_lm_scores(spark, sf_dir)
-    return scored.withColumn("pred_lang", pred).join(lm, "doc_id", "left")
+    joined = scored.withColumn("pred_lang", pred).join(lm, "doc_id", "left")
+    # quality_filter rides the same pipeline (text carried through the
+    # projection; the perplexity check reads the ALREADY-joined nll via
+    # nll_col instead of re-running lm_score) — its fused keep verdict +
+    # named drop reasons become oracle-gated columns (r4 verdict #3)
+    qf = quality_filter(joined, nll_col="bigram_nll")
+    return qf.select(
+        *[c for c in joined.columns if c != "text"],
+        F.col("keep").alias("qf_keep"),
+        F.concat_ws(",", "drop_reasons").alias("qf_reasons"),
+    )
 
 
 QUERIES = {
@@ -1279,6 +1298,18 @@ _WORDS_SQL = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 _T1 = f"regexp_replace(text, '{PII_PATTERNS['EMAIL']}', '[EMAIL]', 'g')"
 _T2 = f"regexp_replace({_T1}, '{PII_PATTERNS['IP']}', '[IP]', 'g')"
 _T3 = f"regexp_replace({_T2}, '{PII_PATTERNS['PHONE']}', '[PHONE]', 'g')"
+# quality_filter's reasons array, DuckDB-side: same check order as the
+# Spark checks list; CASE yields NULL for a non-firing (or NULL) check
+# and list_filter drops it — mirroring F.when(...).otherwise(None) +
+# F.filter. Referenced twice in the final select (keep + joined string).
+_QF_LIST_SQL = f"""list_filter([
+                   CASE WHEN _qf_null THEN 'null_text' END,
+                   CASE WHEN _qf_short THEN 'too_short' END,
+                   CASE WHEN _qf_junk THEN 'junk_ratio' END,
+                   CASE WHEN _qf_rep THEN 'repetitive' END,
+                   CASE WHEN l.bigram_nll > {QF_MAX_NLL} THEN 'high_perplexity' END
+               ], x -> x IS NOT NULL)"""
+
 _PII_COLS_SQL = f"""
                    len(regexp_extract_all(text, '{PII_PATTERNS['EMAIL']}')) AS n_email,
                    len(regexp_extract_all({_T1}, '{PII_PATTERNS['IP']}')) AS n_ip,
@@ -1315,7 +1346,15 @@ ORACLES = {
                               len({_WORDS_SQL})
                               - floor(greatest(len({_WORDS_SQL}) - {CHUNK_WORDS - CHUNK_STRIDE + 1}, 0)
                                       / {CHUNK_STRIDE}) * {CHUNK_STRIDE})
-                        AS BIGINT) AS last_chunk_words
+                        AS BIGINT) AS last_chunk_words,
+                   text IS NULL AS _qf_null,
+                   len({_WORDS_SQL}) < {QF_MIN_WORDS} AS _qf_short,
+                   length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                       / greatest(length(text), 1) > {QF_MAX_JUNK} AS _qf_junk,
+                   (CASE WHEN len({_WORDS_SQL}) > 0
+                         THEN 1 - len(list_distinct({_WORDS_SQL}))
+                                  / len({_WORDS_SQL})
+                         ELSE 0.0 END) > {QF_MAX_DUP_WORD} AS _qf_rep
             FROM documents
         ), scored AS (
             SELECT doc_id, lang,
@@ -1356,7 +1395,11 @@ ORACLES = {
             CROSS JOIN lm_v
             GROUP BY b.doc_id, v
         )
-        SELECT p.*, s.lang, s.score_en, s.score_de, s.score_fr, s.score_es,
+        SELECT p.* EXCLUDE (_qf_null, _qf_short, _qf_junk, _qf_rep),
+               len({_QF_LIST_SQL}) = 0 AS qf_keep,
+               coalesce(array_to_string({_QF_LIST_SQL}, ','), '')
+                   AS qf_reasons,
+               s.lang, s.score_en, s.score_de, s.score_fr, s.score_es,
                CASE WHEN greatest(score_en, score_de, score_fr, score_es) <= 0 THEN 'unknown'
                     WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
                     WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'

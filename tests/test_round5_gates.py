@@ -1,0 +1,133 @@
+"""Round-5 driver-gate additions: SemDeDup cell section, quality_filter
+columns, and the rollup KMV/histogram sections."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_DIR
+
+
+def test_embedding_groups_slot_matches_oracle(spark, duck):
+    from ct_clickhouse_spark.operators import similarity as sim
+    from ct_clickhouse_spark.testing import assert_matches_oracle
+
+    assert_matches_oracle(
+        sim.groups_global_and_semdedup(spark, SF_DIR),
+        duck,
+        sim.ORACLES["dedup_embedding_groups"],
+        name="dedup_embedding_groups",
+    )
+
+
+def test_grid_cell_pairs_are_sound_subset(spark):
+    """Every grid-cell pair is a true >=threshold cosine pair (exact
+    cosine within the cell = global cosine), and the cell restriction
+    actually drops some cross-cell pairs — the section is non-trivial."""
+    from ct_clickhouse_spark.operators import similarity as sim
+
+    cell = {
+        (r.id_a, r.id_b)
+        for r in sim.grid_cell_pairs(spark, SF_DIR).collect()
+    }
+    full = {
+        (r.id_a, r.id_b) for r in sim.cosine_pairs(spark, SF_DIR).collect()
+    }
+    assert cell, "cell-scoped pairs empty — the gate has no teeth"
+    assert cell <= full
+    assert cell < full, "no cross-cell pair dropped — cells are vacuous"
+
+
+def test_quality_filter_nll_col_equals_lm_mode(spark):
+    """The precomputed-nll mode the profile slot uses must produce the
+    same verdicts as handing quality_filter the LM artifact."""
+    from ct_clickhouse_spark.catalog import load_table
+    from ct_clickhouse_spark.operators.text import (
+        LM_LANG,
+        lm_score,
+        quality_filter,
+        train_bigram_lm,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    lm = train_bigram_lm(
+        load_table(spark, SF_DIR, "documents").filter(F.col("lang") == LM_LANG),
+        persist=False,
+    )
+    via_lm = {
+        r.doc_id: (r.keep, tuple(r.drop_reasons))
+        for r in quality_filter(docs, lm=lm).collect()
+    }
+    pre = docs.join(
+        lm_score(docs, lm=lm).select("doc_id", "bigram_nll"), "doc_id"
+    )
+    via_col = {
+        r.doc_id: (r.keep, tuple(r.drop_reasons))
+        for r in quality_filter(pre, nll_col="bigram_nll").collect()
+    }
+    assert via_lm == via_col
+
+
+def test_returning_users_section_exact_at_fixture_scale(spark):
+    """With k >= the fixture's distinct users, every KMV estimate is
+    EXACT: the section's users_both must equal the true cross-week
+    overlap computed from raw events."""
+    from ct_clickhouse_spark.catalog import load_table
+    from ct_clickhouse_spark.streaming.rollup import (
+        RANGE_A,
+        RANGE_B,
+        returning_users_section,
+    )
+
+    got = {
+        r.key: r.value for r in returning_users_section(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+
+    def users(lo, hi):
+        return {
+            r.user_id
+            for r in ev.filter(
+                (F.col("ts") >= F.lit(lo)) & (F.col("ts") < F.lit(hi))
+            )
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+
+    a, b = users(*RANGE_A), users(*RANGE_B)
+    assert got["users_a"] == len(a)
+    assert got["users_b"] == len(b)
+    assert got["users_both"] == len(a & b)
+    assert got["users_union"] == len(a | b)
+
+
+def test_range_quantiles_section_within_one_bin(spark):
+    """Histogram quantiles must land within one bin width of the exact
+    week-1 quantiles (the operator's documented error bound)."""
+    from ct_clickhouse_spark.catalog import load_table
+    from ct_clickhouse_spark.streaming.rollup import (
+        HIST_BINS,
+        RANGE_A,
+        RANGE_QS,
+        ROLLUP_HIST_HI,
+        ROLLUP_HIST_LO,
+        range_quantiles_section,
+    )
+
+    width = (ROLLUP_HIST_HI - ROLLUP_HIST_LO) / HIST_BINS
+    got = {
+        r.key: r.value for r in range_quantiles_section(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events").filter(
+        (F.col("ts") >= F.lit(RANGE_A[0])) & (F.col("ts") < F.lit(RANGE_A[1]))
+    )
+    exact = ev.agg(
+        *[
+            F.expr(f"percentile(value, {q})").alias(f"p{int(q * 100)}")
+            for q in RANGE_QS
+        ]
+    ).collect()[0]
+    for q in RANGE_QS:
+        key = f"p{int(q * 100)}"
+        assert abs(got[key] - exact[key]) <= width, (key, got[key], exact[key])
