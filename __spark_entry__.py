@@ -93,3 +93,17 @@ def oracle_sql() -> dict[str, str]:
     for mod in _modules():
         out.update(mod.ORACLES)
     return out
+
+
+def sections() -> dict[str, dict[str, Callable[[SparkSession, str], DataFrame]]]:
+    """Per-section callables for merged slots (bench attribution only —
+    not part of the driver contract): slot name -> {section -> builder}.
+    bench.py times each section beside the slot total so BENCH deltas
+    self-attribute without the SURVEY ledger."""
+    out: dict[str, dict[str, Callable[[SparkSession, str], DataFrame]]] = {}
+    declared = queries()
+    for mod in _modules():
+        for slot, secs in getattr(mod, "SECTIONS", {}).items():
+            if slot in declared:
+                out[slot] = secs
+    return out

@@ -24,6 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 RUNS = 5
+SECTION_RUNS = 3  # diagnostic per-section attribution, cheaper than slots
 
 
 def main() -> None:
@@ -53,12 +54,38 @@ def main() -> None:
         except Exception as e:  # one broken query must not void the metric
             errors[name] = str(e)[:200]
 
+    # Per-section attribution for merged slots: each tagged section is
+    # timed independently (1 warmup + median of SECTION_RUNS) so a slot's
+    # round-over-round delta names its cause without the SURVEY ledger.
+    # Section timings are diagnostic — the headline metric stays the sum
+    # of the SLOT timings above (sections re-run work the slots share).
+    sections: dict[str, dict[str, float]] = {}
+    for slot, secs in getattr(entrymod, "sections", dict)().items():
+        if slot not in timings:
+            continue
+        per: dict[str, float] = {}
+        for sect, fn in secs.items():
+            try:
+                fn(spark, SF_DIR).collect()
+                samples = []
+                for _ in range(SECTION_RUNS):
+                    spark.sparkContext._jvm.System.gc()
+                    t0 = time.time()
+                    fn(spark, SF_DIR).collect()
+                    samples.append(time.time() - t0)
+                per[sect] = round(statistics.median(samples), 4)
+            except Exception as e:
+                errors[f"{slot}.{sect}"] = str(e)[:200]
+        if per:
+            sections[slot] = per
+
     total = round(sum(timings.values()), 4)
     payload = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "sections": sections,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:

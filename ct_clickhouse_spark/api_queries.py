@@ -334,3 +334,28 @@ QUERIES = {
     "ref_table_sizes": table_sizes,  # rows-only by design
     "ref_log_allowlist": log_allowlist,
 }
+
+
+# Per-section bench attribution (r4 verdict #5) — see operators/dedup.py.
+def _kmv_section(s, d):
+    from .operators.sketches import kmv_pairwise, kmv_sketch
+
+    return kmv_pairwise(
+        kmv_sketch(build_cert_domains(s, d), ["log_name"], "domain"), "log_name"
+    )
+
+
+def _returning_section(s, d):
+    from .streaming.rollup import returning_users_section
+
+    return returning_users_section(s, d)
+
+
+SECTIONS = {
+    "ref_sketches": {
+        "stats": stats_approx,
+        "topk": base_domain_topk_sketch,
+        "kmv": _kmv_section,
+        "returning": _returning_section,
+    },
+}

@@ -1082,3 +1082,31 @@ ORACLES = {
         ORDER BY doc_a, doc_b
     """,
 }
+
+
+# Per-section bench attribution (r4 verdict #5): the driver's bench
+# times each slot; for merged slots these callables time each tagged
+# section independently so BENCH deltas self-attribute without the
+# SURVEY ledger. Section plans are the SAME code paths the slot unions.
+SECTIONS = {
+    "dedup_cert_exact": {
+        "exact": cert_dedup_exact,
+        "mutations": cert_mutations_sections,
+    },
+    "dedup_doc_exact": {
+        "exact": doc_dedup_exact,
+        "span_removal": lambda s, d: remove_duplicate_spans(
+            _doc_base_cached(s, d), grams=_span_grams_cached(s, d)
+        ),
+        "incremental": doc_incremental_new,
+    },
+    "dedup_lsh_pairs": {
+        "minhash": doc_minhash_lsh_pairs,
+        "hyperplane": lambda s, d: __import__(
+            "ct_clickhouse_spark.operators.similarity", fromlist=["x"]
+        ).lsh_candidate_pairs(s, d),
+        "semdedup": lambda s, d: __import__(
+            "ct_clickhouse_spark.operators.similarity", fromlist=["x"]
+        ).semdedup_pairs(s, d),
+    },
+}

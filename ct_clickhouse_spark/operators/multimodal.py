@@ -542,3 +542,13 @@ ORACLES = {
         FROM media WHERE kind = 'image' GROUP BY format
     """,
 }
+
+
+# Per-section bench attribution (r4 verdict #5) — see operators/dedup.py.
+SECTIONS = {
+    "mm_media_stats": {
+        "meta": media_meta_stats,
+        "frames": frame_sample_counts,
+        "resize": resize_media,
+    },
+}

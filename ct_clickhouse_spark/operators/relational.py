@@ -876,3 +876,38 @@ ORACLES = {
         GROUP BY r_name
     """,
 }
+
+
+# Per-section bench attribution (r4 verdict #5) — see operators/dedup.py.
+def _range_hist_section(s, d):
+    from ..streaming.rollup import range_quantiles_section
+
+    return range_quantiles_section(s, d)
+
+
+def _cust_quartile_section(s, d):
+    from .windows import spend_quartiles_approx
+
+    return spend_quartiles_approx(s, d)
+
+
+SECTIONS = {
+    "rel_region_revenue": {
+        "star": region_revenue,
+        "salted_join": salted_join_section,
+    },
+    "rel_set_and_semi_joins": {
+        "setops": setop_customers,
+        "semi_anti": semi_anti_joins,
+        "bloom": bloom_join_section,
+    },
+    "rel_grouping_sets": {
+        "rollup": rollup_sales,
+        "cube": cube_sales,
+    },
+    "rel_sketch_quantiles": {
+        "li_approx": approx_quantiles,
+        "cust_quartile": _cust_quartile_section,
+        "range_hist": _range_hist_section,
+    },
+}

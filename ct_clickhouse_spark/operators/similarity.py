@@ -1280,3 +1280,23 @@ ORACLES = {
         ORDER BY kind, vec_id
     """,
 }
+
+
+# Per-section bench attribution (r4 verdict #5) — see operators/dedup.py.
+SECTIONS = {
+    "dedup_embedding_groups": {
+        "global": embedding_dedup_groups,
+        "semdedup_cell": lambda s, d: embedding_dedup_groups(
+            s, d, pairs_fn=grid_cell_pairs
+        ),
+    },
+    "sim_ivf_topk": {
+        "ivf": ivf_topk_indexed,
+        "sq8": sq8_topk,
+        "rp": rp_topk,
+    },
+    "sim_topk_centroids": {
+        "topk": cosine_topk,
+        "centroids": label_centroids,
+    },
+}

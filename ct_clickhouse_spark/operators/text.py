@@ -1530,3 +1530,30 @@ def _fill_sampling_thresholds() -> None:
 
 
 _fill_sampling_thresholds()
+
+
+# Per-section bench attribution (r4 verdict #5) — see operators/dedup.py.
+def _bpe_encode_section(s, d):
+    docs = load_table(s, d, "documents")
+    return bpe_encode(docs, _bpe_merges_cached(s, d))
+
+
+def _pack_section(s, d):
+    from .sampling import pack_documents
+
+    return pack_documents(
+        load_table(s, d, "documents"), "doc_id", "n_chars", PACK_MAX,
+        group_col="source",
+    )
+
+
+SECTIONS = {
+    "text_doc_fingerprint": {
+        "fp": doc_fingerprint,
+        "pack": _pack_section,
+        "bpe_encode": _bpe_encode_section,
+    },
+    "text_doc_profile": {
+        "lm_scores": bigram_lm_scores,
+    },
+}
