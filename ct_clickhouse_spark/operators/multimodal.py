@@ -6,16 +6,21 @@ column with a typed metadata struct — Parquet's Dremel-style nested
 encoding makes the struct columns prunable, so metadata-only queries never
 touch the payload bytes (the dominant scan cost at 100 TB).
 
-Two formats are REAL end-to-end with pure-Python codecs (no library
-needed): png payloads are fully valid PNGs (``png_encode`` /
-``png_parse_ihdr``) and wav payloads fully valid mono 16-bit PCM WAVs
+All four formats carry REAL containers built with pure-Python codecs (no
+library needed): png payloads are fully valid PNGs (``png_encode`` /
+``png_parse_ihdr``), wav payloads fully valid mono 16-bit PCM WAVs
 (``wav_encode`` / ``wav_parse_header``, readable by the stdlib ``wave``
-module). The container has no jpeg/mp4 codecs, so those formats keep a
-deterministic byte-level fake clearly marked below; a library codec
-drops into ``_decode_payload`` behind the same mapInPandas plumbing —
-schema, Arrow batching, partitioning are all real and tested. Payloads
-are synthesized deterministically from ``documents.text`` so the DuckDB
-oracle can rebuild the identical media table for the metadata queries.
+module), jpeg payloads real JPEG marker streams whose SOF0 frame header
+carries the true dimensions (``jpeg_encode`` / ``jpeg_parse_sof`` — the
+post-SOS entropy data is a byte stand-in, stated honestly: real
+Huffman-coded scan data needs a codec library this container lacks), and
+mp4 payloads real ISO-BMFF box trees whose moov/mvhd carries the true
+timescale/duration (``mp4_encode`` / ``mp4_parse_mvhd`` — no track/codec
+boxes, same honesty note). A library pixel/sample decoder drops into
+``_decode_payload`` behind the same mapInPandas plumbing — schema, Arrow
+batching, partitioning are all real and tested. Payloads are synthesized
+deterministically from ``documents.text`` so the DuckDB oracle can
+rebuild the identical media table for the metadata queries.
 
 Media table schema:
   media_id long, kind string (image|audio|video), format string,
@@ -101,6 +106,167 @@ def png_parse_ihdr(payload: bytes) -> tuple[int, int, int] | None:
     return w, h, payload[24]
 
 
+_JPEG_SOI = b"\xff\xd8"
+# Fixed header overhead of jpeg_encode's marker stream:
+# SOI(2) + APP0/JFIF(18) + SOF0(19, 3 components) + SOS(14) + EOI(2).
+JPEG_OVERHEAD = 55
+# SOF markers carrying frame dimensions: C0-CF minus DHT(C4)/JPG(C8)/DAC(CC)
+_SOF_MARKERS = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def jpeg_encode(data: bytes, w: int, h: int) -> bytes:
+    """A minimal structurally valid JPEG container (real marker stream:
+    SOI, APP0/JFIF, SOF0 with the true dimensions, SOS, EOI — every
+    segment length correct, stdlib struct only). The post-SOS entropy
+    data is ``data`` verbatim, NOT Huffman-coded scan data (stated
+    honestly: a real pixel decoder needs a codec library this container
+    lacks); the header walk any JPEG dimension probe performs is fully
+    real, and the total length is CLOSED-FORM: len(data) +
+    JPEG_OVERHEAD — keeping the media table's byte accounting
+    SQL-expressible (same design rule as png_encode/wav_encode)."""
+    import struct
+
+    app0 = (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+    # SOF0: len(17) = 2 + precision 1 + h 2 + w 2 + ncomp 1 + 3 per comp
+    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + bytes(
+        (1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
+    )
+    # SOS: len(12) = 2 + ncomp 1 + 2 per comp + 3 spectral bytes
+    sos = b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes(
+        (1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)
+    )
+    return _JPEG_SOI + app0 + sof0 + sos + data + b"\xff\xd9"
+
+
+def jpeg_parse_sof(payload: bytes) -> tuple[int, int, int, int] | None:
+    """(width, height, precision, n_components) via a REAL JPEG marker
+    walk: check SOI, then skip marker segments by their declared lengths
+    until an SOF0-SOF15 frame header (the walk every JPEG dimension
+    probe does — works on any baseline/progressive JPEG, not just
+    jpeg_encode's). None for anything that isn't a JPEG marker stream."""
+    import struct
+
+    if len(payload) < 4 or payload[:2] != _JPEG_SOI:
+        return None
+    i = 2
+    while i + 4 <= len(payload):
+        if payload[i] != 0xFF:
+            return None
+        marker = payload[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone marker, no length field
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            return None
+        (seg_len,) = struct.unpack(">H", payload[i + 2 : i + 4])
+        if marker in _SOF_MARKERS:
+            if i + 4 + 6 > len(payload):
+                return None
+            precision, h, w, ncomp = struct.unpack(
+                ">BHHB", payload[i + 4 : i + 10]
+            )
+            return w, h, precision, ncomp
+        if marker == 0xDA:  # SOS: entropy data follows, no SOF seen
+            return None
+        i += 2 + seg_len
+    return None
+
+
+MP4_TIMESCALE = 600  # the classic QuickTime default
+# Fixed overhead of mp4_encode's box tree: ftyp(20) + moov(8 + mvhd 108)
+# + mdat header(8).
+MP4_OVERHEAD = 144
+
+
+def mp4_encode(data: bytes, duration_s: int, timescale: int = MP4_TIMESCALE) -> bytes:
+    """A minimal valid MP4/ISO-BMFF box tree (real size+type framing,
+    stdlib struct only): ftyp('isom') + moov[mvhd v0 with the true
+    timescale/duration] + mdat carrying ``data``. No track/codec boxes
+    (a real sample decoder needs a codec library this container lacks —
+    stated honestly); the box walk and the mvhd duration read are fully
+    real, and the total length is CLOSED-FORM: len(data) +
+    MP4_OVERHEAD."""
+    import struct
+
+    ftyp = struct.pack(">I", 20) + b"ftypisom" + struct.pack(">I", 0) + b"isom"
+    mvhd = (
+        struct.pack(">I", 108)
+        + b"mvhd"
+        + struct.pack(">BBH", 0, 0, 0)  # version 0 + flags
+        + struct.pack(">IIII", 0, 0, timescale, duration_s * timescale)
+        + struct.pack(">IHH", 0x00010000, 0x0100, 0)  # rate, volume, reserved
+        + bytes(8)  # reserved
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + bytes(24)  # pre_defined
+        + struct.pack(">I", 2)  # next_track_id
+    )
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    mdat = struct.pack(">I", 8 + len(data)) + b"mdat" + data
+    return ftyp + moov + mdat
+
+
+def _walk_boxes(payload: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for the sibling boxes
+    in payload[start:end] — real ISO-BMFF framing incl. 64-bit largesize."""
+    import struct
+
+    i = start
+    while i + 8 <= end:
+        (size,) = struct.unpack(">I", payload[i : i + 4])
+        typ = payload[i + 4 : i + 8]
+        body = i + 8
+        if size == 1:  # 64-bit largesize follows the type
+            if i + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", payload[i + 8 : i + 16])
+            body = i + 16
+        elif size == 0:  # box extends to end of enclosing container
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield typ, body, i + size
+        i += size
+
+
+def mp4_parse_mvhd(payload: bytes) -> tuple[int, int, int] | None:
+    """(timescale, duration, version) from the moov/mvhd box — a REAL
+    nested box walk (handles version 1's 64-bit fields and largesize
+    framing). None for anything that isn't an ISO-BMFF stream with a
+    movie header."""
+    import struct
+
+    for typ, body, box_end in _walk_boxes(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for ityp, ibody, _ in _walk_boxes(payload, body, box_end):
+            if ityp != b"mvhd":
+                continue
+            version = payload[ibody]
+            if version == 0:
+                if ibody + 20 > box_end:
+                    return None
+                timescale, duration = struct.unpack(
+                    ">II", payload[ibody + 12 : ibody + 20]
+                )
+            else:
+                if ibody + 32 > box_end:
+                    return None
+                (timescale,) = struct.unpack(
+                    ">I", payload[ibody + 20 : ibody + 24]
+                )
+                (duration,) = struct.unpack(
+                    ">Q", payload[ibody + 24 : ibody + 32]
+                )
+            return timescale, duration, version
+    return None
+
+
 _WAV_SAMPLE_RATES = (8000, 12000, 16000, 24000)  # media_id % 4 picks one
 
 
@@ -172,6 +338,29 @@ def _png_payload_udf(text: pd.Series, width: pd.Series, height: pd.Series) -> pd
 
 
 @F.pandas_udf(BinaryType())
+def _jpeg_payload_udf(text: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            jpeg_encode((t or "").encode("utf-8"), int(w), int(h))
+            for t, w, h in zip(text, width, height)
+        ],
+        dtype=object,
+    )
+
+
+# video duration: media_id % 30 + 1 seconds — derivable by both engines
+@F.pandas_udf(BinaryType())
+def _mp4_payload_udf(text: pd.Series, media_id: pd.Series) -> pd.Series:
+    return pd.Series(
+        [
+            mp4_encode((t or "").encode("utf-8"), int(m) % 30 + 1)
+            for t, m in zip(text, media_id)
+        ],
+        dtype=object,
+    )
+
+
+@F.pandas_udf(BinaryType())
 def _wav_payload_udf(text: pd.Series, media_id: pd.Series) -> pd.Series:
     return pd.Series(
         [
@@ -193,13 +382,12 @@ _MEDIA_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def build_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic media table from documents. png-format rows carry a
-    REAL (fully valid, closed-form-length) PNG built from the text bytes
-    by ``png_encode``; wav-format rows a REAL mono 16-bit PCM WAV from
-    ``wav_encode`` (sample rate derived from media_id); the remaining
-    formats (jpeg/mp4 — codecs genuinely absent here) keep utf-8 text
-    bytes as a stand-in. Metadata derives from doc_id so both engines
-    can reconstruct it."""
+    """Deterministic media table from documents. Every format row carries
+    a REAL closed-form-length container built from the text bytes:
+    png via ``png_encode``, jpeg via ``jpeg_encode`` (true SOF
+    dimensions), wav via ``wav_encode`` (sample rate from media_id),
+    mp4 via ``mp4_encode`` (duration = media_id % 30 + 1 s). Metadata
+    derives from doc_id so both engines can reconstruct it."""
     from ..catalog import _session_key
 
     ckey = (_session_key(spark), sf_dir)
@@ -236,13 +424,26 @@ def build_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     png = base.filter(F.col("format") == "png").withColumn(
         "payload", _png_payload_udf(F.col("text"), F.col("width"), F.col("height"))
     )
+    jpeg = base.filter(F.col("format") == "jpeg").withColumn(
+        "payload", _jpeg_payload_udf(F.col("text"), F.col("width"), F.col("height"))
+    )
     wav = base.filter(F.col("format") == "wav").withColumn(
         "payload", _wav_payload_udf(F.col("text"), F.col("media_id"))
     )
-    rest = base.filter(~F.col("format").isin("png", "wav")).withColumn(
-        "payload", F.encode("text", "utf-8")
+    mp4 = base.filter(F.col("format") == "mp4").withColumn(
+        "payload", _mp4_payload_udf(F.col("text"), F.col("media_id"))
     )
-    media = png.unionByName(wav).unionByName(rest).drop("text").persist()
+    rest = base.filter(
+        ~F.col("format").isin("png", "jpeg", "wav", "mp4")
+    ).withColumn("payload", F.encode("text", "utf-8"))
+    media = (
+        png.unionByName(jpeg)
+        .unionByName(wav)
+        .unionByName(mp4)
+        .unionByName(rest)
+        .drop("text")
+        .persist()
+    )
     _bounded_cache_put(_MEDIA_CACHE, ckey, media, release=lambda v: v.unpersist())
     return media
 
@@ -276,6 +477,8 @@ DECODE_SCHEMA = StructType(
         StructField("audio_sample_rate", IntegerType()),
         StructField("audio_channels", IntegerType()),
         StructField("audio_n_samples", IntegerType()),
+        StructField("video_timescale", IntegerType()),
+        StructField("video_duration_s", DoubleType()),
     ]
 )
 
@@ -283,15 +486,15 @@ DECODE_SCHEMA = StructType(
 def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode each payload into features via Arrow-batched mapInPandas.
 
-    PNG payloads get a REAL decode of their dimensions (``png_parse_ihdr``
-    reads width/height/bit-depth from the IHDR chunk) and WAV payloads a
-    REAL decode of their audio parameters (``wav_parse_header`` reads
-    sample rate / channels / bit depth / sample count from the RIFF
-    headers) — both magic-checked, pure Python, no codec library. The
-    remaining formats fall back to deterministic byte statistics; a full
-    pixel/sample decoder (PIL/librosa/pyav per ``kind``) drops into
-    ``_decode_payload`` behind the same plumbing — the batch iterator,
-    schema, and partition parallelism don't change.
+    Every format gets a REAL header decode, pure Python, magic-checked:
+    PNG dimensions from the IHDR chunk (``png_parse_ihdr``), JPEG
+    dimensions from the SOF frame header via a real marker walk
+    (``jpeg_parse_sof``), WAV audio parameters from the RIFF headers
+    (``wav_parse_header``), and MP4 timescale/duration from the nested
+    moov/mvhd box walk (``mp4_parse_mvhd``). Byte statistics ride along
+    for all rows; a full pixel/sample decoder (PIL/librosa/pyav per
+    ``kind``) drops into ``_decode_payload`` behind the same plumbing —
+    the batch iterator, schema, and partition parallelism don't change.
     """
 
     import numpy as np
@@ -302,19 +505,30 @@ def decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         # is exact in float64, so this matches sum(arr)/len(arr) bit-for-
         # bit while removing the per-byte Python loop (the decode hot spot)
         a = np.frombuffer(arr, dtype=np.uint8)
-        ihdr = png_parse_ihdr(arr) if kind == "image" else None
+        img = None
+        if kind == "image":
+            ihdr = png_parse_ihdr(arr)
+            if ihdr is not None:
+                img = ihdr  # (w, h, bit_depth)
+            else:
+                sof = jpeg_parse_sof(arr)
+                if sof is not None:
+                    img = (sof[0], sof[1], sof[2])  # precision = bit depth
         wavh = wav_parse_header(arr) if kind == "audio" else None
+        mvhd = mp4_parse_mvhd(arr) if kind == "video" else None
         return {
             "n_bytes": len(arr),
             "mean_byte": round(int(a.sum()) / len(arr), 4) if arr else 0.0,
             "max_byte": int(a.max()) if arr else 0,
             "header_hex": arr[:8].hex(),
-            "img_width": ihdr[0] if ihdr else None,
-            "img_height": ihdr[1] if ihdr else None,
-            "img_bit_depth": ihdr[2] if ihdr else None,
+            "img_width": img[0] if img else None,
+            "img_height": img[1] if img else None,
+            "img_bit_depth": img[2] if img else None,
             "audio_sample_rate": wavh[0] if wavh else None,
             "audio_channels": wavh[1] if wavh else None,
             "audio_n_samples": wavh[3] if wavh else None,
+            "video_timescale": mvhd[0] if mvhd else None,
+            "video_duration_s": round(mvhd[1] / mvhd[0], 4) if mvhd else None,
         }
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -511,12 +725,16 @@ _MEDIA_SQL = """
     FROM documents
 """
 
-# png payloads are real PNGs with the closed-form length png_encode
-# guarantees (h*(w+1) + 68); wav payloads real PCM WAVs at 44 + 2 bytes
-# per text byte (wav_encode); everything else is the raw text bytes.
-_PAYLOAD_LEN_SQL = """
+# Every format's payload length is CLOSED-FORM (the codecs guarantee
+# it): png h*(w+1)+68 (stored-block zlib), wav 44 + 2 bytes/text byte,
+# jpeg text + JPEG_OVERHEAD (marker stream), mp4 text + MP4_OVERHEAD
+# (box tree). octet_length(payload) below is the TEXT length — _MEDIA_SQL
+# carries encode(text) as its payload stand-in.
+_PAYLOAD_LEN_SQL = f"""
     CASE WHEN format = 'png' THEN height * (width + 1) + 68
          WHEN format = 'wav' THEN 44 + 2 * octet_length(payload)
+         WHEN format = 'jpeg' THEN octet_length(payload) + {JPEG_OVERHEAD}
+         WHEN format = 'mp4' THEN octet_length(payload) + {MP4_OVERHEAD}
          ELSE octet_length(payload) END
 """
 
@@ -530,7 +748,8 @@ ORACLES = {
         UNION ALL
         SELECT 'frames' AS sect, CAST(media_id AS VARCHAR) AS key,
                CAST(NULL AS VARCHAR) AS format,
-               CAST(ceil(greatest(octet_length(payload) // {FRAME_BYTES}, 1)
+               CAST(ceil(greatest((octet_length(payload) + {MP4_OVERHEAD})
+                                      // {FRAME_BYTES}, 1)
                          / {FRAME_STRIDE}.0) AS BIGINT) AS n,
                CAST(NULL AS BIGINT) AS total_bytes,
                CAST(NULL AS DOUBLE) AS avg_pixels

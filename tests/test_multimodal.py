@@ -82,9 +82,9 @@ def test_png_encode_produces_valid_closed_form_png():
 
 
 def test_decode_features_parses_real_png_dimensions(spark):
-    """The driver-visible decode path must emit the true IHDR dimensions
-    for every png payload (matching the metadata it was built from) and
-    nulls for formats without a wired decoder."""
+    """The driver-visible decode path must emit the true header
+    dimensions for every image payload (png IHDR and jpeg SOF both match
+    the metadata the payload was built from) and nulls for non-images."""
     meta = {
         r.media_id: (r.format, r.width, r.height)
         for r in multimodal.build_media(spark, SF_DIR).collect()
@@ -97,6 +97,8 @@ def test_decode_features_parses_real_png_dimensions(spark):
             n_png += 1
             assert (r.img_width, r.img_height, r.img_bit_depth) == (w, h, 8), r
             assert r.n_bytes == h * (w + 1) + 68
+        elif fmt == "jpeg":
+            assert (r.img_width, r.img_height, r.img_bit_depth) == (w, h, 8), r
         else:
             assert r.img_width is None and r.img_height is None
     assert n_png > 0, "fixture contains no png media — vacuous"
@@ -163,3 +165,81 @@ def test_wav_parse_clamps_truncated_data_chunk():
     truncated = full[: 44 + 6]  # 3 of 10 samples survive
     parsed = multimodal.wav_parse_header(truncated)
     assert parsed is not None and parsed[3] == 3
+
+
+def test_jpeg_roundtrip_and_marker_walk():
+    from ct_clickhouse_spark.operators.multimodal import (
+        JPEG_OVERHEAD,
+        jpeg_encode,
+        jpeg_parse_sof,
+    )
+
+    j = jpeg_encode(b"entropy stand-in", 320, 240)
+    assert len(j) == 16 + JPEG_OVERHEAD
+    assert jpeg_parse_sof(j) == (320, 240, 8, 3)
+    # the walk is generic: an extra COM segment before SOF is skipped
+    import struct
+
+    with_com = j[:2] + b"\xff\xfe" + struct.pack(">H", 7) + b"hello" + j[2:]
+    assert jpeg_parse_sof(with_com) == (320, 240, 8, 3)
+    assert jpeg_parse_sof(b"not a jpeg") is None
+    assert jpeg_parse_sof(j[:6]) is None  # truncated before SOF
+
+
+def test_mp4_roundtrip_and_box_walk():
+    import struct
+
+    from ct_clickhouse_spark.operators.multimodal import (
+        MP4_OVERHEAD,
+        MP4_TIMESCALE,
+        mp4_encode,
+        mp4_parse_mvhd,
+    )
+
+    m = mp4_encode(b"sample data", 7)
+    assert len(m) == 11 + MP4_OVERHEAD
+    assert mp4_parse_mvhd(m) == (MP4_TIMESCALE, 7 * MP4_TIMESCALE, 0)
+    # a free box before moov is skipped by the sibling walk
+    free = struct.pack(">I", 12) + b"free" + b"pad!"
+    shifted = m[:20] + free + m[20:]
+    assert mp4_parse_mvhd(shifted) == (MP4_TIMESCALE, 7 * MP4_TIMESCALE, 0)
+    # version-1 mvhd (64-bit times) parses too
+    mvhd1 = (
+        struct.pack(">I", 120) + b"mvhd" + struct.pack(">BBH", 1, 0, 0)
+        + struct.pack(">QQIQ", 0, 0, 90000, 123456789)
+        + bytes(80)
+    )
+    moov = struct.pack(">I", 8 + len(mvhd1)) + b"moov" + mvhd1
+    assert mp4_parse_mvhd(moov) == (90000, 123456789, 1)
+    assert mp4_parse_mvhd(b"junkjunkjunk") is None
+
+
+def test_decode_features_real_dims_all_formats(spark):
+    """Every format emits REAL decoded header features: jpeg rows get
+    SOF dimensions matching the metadata columns, mp4 rows the mvhd
+    duration media_id % 30 + 1."""
+    from ct_clickhouse_spark.operators.multimodal import (
+        MP4_TIMESCALE,
+        build_media,
+        decode_features,
+    )
+
+    feats = {r.media_id: r for r in decode_features(spark, SF_DIR).collect()}
+    meta = {r.media_id: r for r in build_media(spark, SF_DIR).collect()}
+    n_jpeg = n_mp4 = 0
+    for mid, m in meta.items():
+        f = feats[mid]
+        if m.format == "jpeg":
+            n_jpeg += 1
+            assert (f.img_width, f.img_height, f.img_bit_depth) == (
+                m.width,
+                m.height,
+                8,
+            )
+        elif m.format == "mp4":
+            n_mp4 += 1
+            assert f.video_timescale == MP4_TIMESCALE
+            assert f.video_duration_s == float(mid % 30 + 1)
+        if m.format in ("jpeg", "mp4"):
+            assert f.header_hex  # byte stats still present
+    assert n_jpeg > 0 and n_mp4 > 0
