@@ -51,20 +51,27 @@ def compact_parquet(
     clustering (plans/clustering.py) for balanced min/max skipping on
     EVERY listed column — the OPTIMIZE-ZORDER maintenance shape.
 
-    Returns (files_before, files_after). The rewrite goes through a
-    sibling temp dir + two renames; each rename's boolean return is
-    checked, and the original directory is restored if the swap-in fails,
-    so a reader can never be left with a missing table and the old copy
-    is deleted only after the new path verifiably exists. (The window
-    between the two renames is the known non-atomicity of plain-FS table
-    swaps — a metastore pointer flip removes even that at 100 TB.)
+    Returns (files_before, files_after). For a PLAIN directory the
+    rewrite goes through a sibling temp dir + two renames; each rename's
+    boolean return is checked, and the original directory is restored if
+    the swap-in fails, so a reader can never be left with a missing
+    table and the old copy is deleted only after the new path verifiably
+    exists — but the window between the two renames is the known
+    non-atomicity of plain-FS table swaps. For a VERSIONED table
+    (plans/versioned.py layout) there is no window at all: the compacted
+    data lands in a fresh version directory and publishes with one
+    marker-file create (crash-injection tested).
     """
+    from .versioned import current_path, is_versioned, rewrite_versioned
+
     if sort_by and zorder_by:
         raise ValueError("compact_parquet: give sort_by or zorder_by, not both")
-    before, total = data_file_stats(spark, path)
+    versioned = is_versioned(spark, path)
+    data_root = current_path(spark, path) if versioned else path
+    before, total = data_file_stats(spark, data_root)
     n_files = max(1, math.ceil(total / target_file_bytes))
 
-    df = spark.read.parquet(path)
+    df = spark.read.parquet(data_root)
     partition_cols = [c for c in df.columns if c == "month"]
     tmp = path.rstrip("/") + "__compacting"
     if zorder_by:
@@ -90,6 +97,13 @@ def compact_parquet(
         )
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
+    if versioned:
+        new_path = rewrite_versioned(
+            spark, path, out, partition_by=partition_cols or None
+        )
+        # marker file is not a data file; stats count parquet only
+        after, _ = data_file_stats(spark, new_path)
+        return before, after
     writer = out.write.mode("overwrite")
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
@@ -159,22 +173,35 @@ def delete_where(
     """
     from pyspark.sql import functions as F
 
+    from .versioned import current_path, is_versioned, rewrite_versioned
+
     raw = F.expr(predicate) if isinstance(predicate, str) else predicate
     # NULL-safe: ~cond of a NULL predicate is NULL, which filter() drops
     # — without the coalesce, rows where the predicate can't evaluate
     # would silently vanish UNCOUNTED instead of being kept
     cond = F.coalesce(raw, F.lit(False))
-    df = spark.read.parquet(path)
+    versioned = is_versioned(spark, path)
+    df = spark.read.parquet(current_path(spark, path) if versioned else path)
 
     if partition_col is None:
         n_del = df.filter(cond).count()
         if n_del == 0:
             return 0, 0
         survivors = df.filter(~cond).localCheckpoint(eager=True)
+        if versioned:
+            # atomic publish: new version dir + one marker create — no
+            # rename window (plans/versioned.py)
+            rewrite_versioned(spark, path, survivors)
+            return n_del, 1
         tmp = path.rstrip("/") + "__deleting"
         survivors.write.mode("overwrite").parquet(tmp)
         _swap_in(spark, path, tmp, op="delete_where")
         return n_del, 1
+    if versioned:
+        raise ValueError(
+            "delete_where: partition-scoped mode operates on the plain "
+            "Hive layout — versioned tables take the unpartitioned path"
+        )
 
     # partition-scoped path: one pruned scan for affected partitions
     affected = (
