@@ -79,7 +79,14 @@ def create_app(spark: SparkSession, table_path: str):
     cert.createOrReplaceTempView("cert_domains_serving")
 
     def table():
-        return spark.table("cert_domains_serving")
+        # re-resolve the relation per request: a DataFrame pins its
+        # file-listing snapshot (InMemoryFileIndex) at creation, so a
+        # long-lived handle would never serve rows a streaming ingest
+        # appends AFTER app start (the reference's ClickHouse reads are
+        # always live — this is the Spark-side equivalent; the listing
+        # cost is bounded by the table's partition directories, and the
+        # e2e stream-serving test pins the freshness)
+        return spark.read.parquet(table_path)
 
     @app.before_request
     def restrict_by_ip():  # app.py:42-53 parity

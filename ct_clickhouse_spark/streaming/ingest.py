@@ -35,15 +35,27 @@ from ..sources.ct_log import register
 WATERMARK = "1 hour"
 
 
-def ingest_stream(spark: SparkSession, log_dir: str, max_per_trigger: int = 512) -> DataFrame:
-    """The unbounded cert_domains DataFrame (pre-sink)."""
+def ingest_stream(
+    spark: SparkSession,
+    log_dir: str | None = None,
+    max_per_trigger: int = 512,
+    urls: str | None = None,
+) -> DataFrame:
+    """The unbounded cert_domains DataFrame (pre-sink). Source = either a
+    recorded log directory (``log_dir``) or live HTTP endpoints
+    (``urls`` = "Name=http://...," — the reference's transport,
+    ct_ingestor.py:100-111)."""
     register(spark)
-    raw = (
-        spark.readStream.format("ct_log")
-        .option("path", log_dir)
-        .option("maxEntriesPerTrigger", str(max_per_trigger))
-        .load()
+    reader = spark.readStream.format("ct_log").option(
+        "maxEntriesPerTrigger", str(max_per_trigger)
     )
+    if urls is not None:
+        reader = reader.option("urls", urls)
+    else:
+        if log_dir is None:
+            raise ValueError("ingest_stream: give log_dir or urls")
+        reader = reader.option("path", log_dir)
+    raw = reader.load()
     parsed = parse_entries(raw)
     exploded = (
         # ts stays TIMESTAMP (not NTZ) until after the stateful dedup:
@@ -74,15 +86,16 @@ def ingest_stream(spark: SparkSession, log_dir: str, max_per_trigger: int = 512)
 
 def start_ingest(
     spark: SparkSession,
-    log_dir: str,
+    log_dir: str | None,
     table_path: str,
     checkpoint: str,
     available_now: bool = True,
+    urls: str | None = None,
 ) -> StreamingQuery:
     """Start the ingest query. availableNow=True is the backfill/test mode
     (reference T4: frozen-log completion); processingTime='5 seconds'
     mirrors the reference's POLL_INTERVAL (ct_ingestor.py:24) in live mode."""
-    df = ingest_stream(spark, log_dir).withColumn(
+    df = ingest_stream(spark, log_dir, urls=urls).withColumn(
         "month", F.date_format("ts", "yyyyMM")
     )
     writer = (
