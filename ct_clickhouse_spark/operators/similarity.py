@@ -440,11 +440,27 @@ def semantic_dedup_groups(
 _CENTROID_CACHE: dict[tuple[str, str], object] = {}
 
 
+# SemDeDup's linearity argument requires the MEAN CELL SIZE to stay
+# constant as the corpus grows (k ≈ n / target_size — Abbas et al. §2);
+# a fixed k would let the per-cell all-pairs kernel grow quadratically
+# with the corpus (at 100x fixture scale a fixed k=8 means ~50k-row
+# cells = 20 GB sims matrices). The cluster count therefore adapts to
+# the corpus: k = max(IVF_CLUSTERS, ceil(n / SEMDEDUP_TARGET_CELL)) —
+# identical to the fixed k at every fixture SF (n <= 8 * 1024), growing
+# only when cells would otherwise outgrow their kernel budget.
+SEMDEDUP_TARGET_CELL = 1024
+
+
+def _adaptive_clusters(n_vectors: int) -> int:
+    return max(IVF_CLUSTERS, -(-n_vectors // SEMDEDUP_TARGET_CELL))
+
+
 def _ivf_centroids(spark: SparkSession, sf_dir: str):
     """Distributed deterministic k-means-lite coarse quantizer.
 
     Seeds = the k lowest vec_ids (an orderBy(vec_id).limit(k) — only k
-    rows ever reach the driver), then IVF_ITERS Lloyd iterations where
+    rows ever reach the driver; k is size-adaptive, see
+    _adaptive_clusters), then IVF_ITERS Lloyd iterations where
     assignment + per-cluster mean run as a distributed mapInPandas
     partial-sum + tiny (k x d)-row final aggregate; each iteration
     collects exactly k centroids. Centroid components are rounded to 9
@@ -464,7 +480,8 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
         return hit
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    seed_rows = emb.orderBy("vec_id").limit(IVF_CLUSTERS).collect()
+    n_clusters = _adaptive_clusters(emb.count())
+    seed_rows = emb.orderBy("vec_id").limit(n_clusters).collect()
     cents = np.array([r.embedding for r in seed_rows], dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
 

@@ -134,6 +134,21 @@ def main() -> None:
             F.count(F.lit(1))
         ).collect())
 
+        # the PRODUCTION near-dup join (stop-shingle df cap engaged):
+        # under k-way replication every shingle's document frequency is
+        # >= k, so at k > SHINGLE_DF_CAP the cap classifies the entire
+        # replicated corpus as boilerplate and drops it before the
+        # self-join — the run's cost collapses to explode + df-agg +
+        # anti-join, which is exactly the bound the cap exists to give a
+        # boilerplate-bombed corpus at 100 TB (the uncapped raw join
+        # above is the contrast row; at 100x it would be ~10^4 pairs per
+        # shingle occurrence and is deliberately not run)
+        from ct_clickhouse_spark.operators.dedup import ngram_jaccard_pairs_for
+
+        timed("shingle_capped_join", k, lambda: ngram_jaccard_pairs_for(docs)
+            .agg(F.count(F.lit(1)))
+            .collect())
+
         # LSH signature pipeline on multiplied embeddings — the linear
         # O(n·d·bits) 100 TB similarity path (candidate-pair volume is a
         # data-density property that synthetic replication distorts, so

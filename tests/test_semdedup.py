@@ -60,3 +60,25 @@ def test_semantic_dedup_groups_deterministic_and_consistent(spark):
         keepers = [v for v, k in members if k]
         assert keepers == [canon]
         assert min(v for v, _ in members) == canon
+
+
+def test_adaptive_cluster_count_bounds_cell_size(spark):
+    """SemDeDup's linearity needs mean cell size ~constant: the cluster
+    count must grow with the corpus (k ~ n / target) while staying the
+    fixed IVF_CLUSTERS at fixture scale, so fixture determinism and the
+    persisted-index layout are unchanged."""
+    from ct_clickhouse_spark.operators.similarity import (
+        IVF_CLUSTERS,
+        SEMDEDUP_TARGET_CELL,
+        _adaptive_clusters,
+        _ivf_centroids,
+    )
+
+    assert _adaptive_clusters(500) == IVF_CLUSTERS
+    assert _adaptive_clusters(IVF_CLUSTERS * SEMDEDUP_TARGET_CELL) == IVF_CLUSTERS
+    big = 200_000
+    k = _adaptive_clusters(big)
+    assert k == -(-big // SEMDEDUP_TARGET_CELL)  # mean cell ~ target
+    assert big / k <= SEMDEDUP_TARGET_CELL
+    # fixture-scale centroid count unchanged
+    assert _ivf_centroids(spark, SF_DIR).shape[0] == IVF_CLUSTERS
