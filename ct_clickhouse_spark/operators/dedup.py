@@ -605,6 +605,42 @@ def doc_exact_and_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(spans).unionByName(inc)
 
 
+def ngram_pairs_and_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_ngram_jaccard_pairs slot, tagged union (kind, a, b, score):
+
+    - kind='pair': the exact word-3-gram Jaccard >= threshold near-dup
+      pairs (a=doc_a, b=doc_b, score=jaccard) — as before;
+    - kind='group': the END of the text near-dup story — connected
+      components over those pairs via the same pointer-doubled
+      label_propagate the embedding tier uses (a=doc_id, b=canonical_id,
+      score=1.0 for the kept representative else 0.0). dedup = keep the
+      score=1 rows. The oracle replays the grouping as a recursive CTE
+      over the identical pair set, so a wrong component, canonical id,
+      or keeper flag breaks the value hash."""
+    from .similarity import label_propagate
+
+    pairs = doc_ngram_jaccard_pairs(spark, sf_dir)
+    p = pairs.select(
+        F.lit("pair").alias("kind"),
+        F.col("doc_a").alias("a"),
+        F.col("doc_b").alias("b"),
+        F.col("jaccard").alias("score"),
+    )
+    ids = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id")
+    )
+    labels = label_propagate(
+        ids, pairs.select(F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b"))
+    )
+    g = labels.select(
+        F.lit("group").alias("kind"),
+        F.col("id").alias("a"),
+        F.col("label").alias("b"),
+        F.when(F.col("id") == F.col("label"), 1.0).otherwise(0.0).alias("score"),
+    )
+    return p.unionByName(g)
+
+
 def _words(col):
     return F.split(F.lower(F.trim(col)), r"\s+")
 
@@ -915,7 +951,7 @@ def lsh_pairs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dedup_cert_exact": cert_exact_and_mutations,
     "dedup_doc_exact": doc_exact_and_spans,
-    "dedup_ngram_jaccard_pairs": doc_ngram_jaccard_pairs,
+    "dedup_ngram_jaccard_pairs": ngram_pairs_and_groups,
     "dedup_sketch_signatures": doc_sketch_signatures,  # rows-only (sketch)
     "dedup_lsh_pairs": lsh_pairs_all,  # rows-only (both LSH families)
 }
@@ -1045,7 +1081,7 @@ ORACLES = {
         ORDER BY kind, keep_id
     """,
     "dedup_ngram_jaccard_pairs": f"""
-        WITH raw_sh AS (
+        WITH RECURSIVE raw_sh AS (
             SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle FROM (
                 SELECT doc_id,
                        CASE WHEN len(words) >= {SHINGLE_WORDS}
@@ -1073,13 +1109,30 @@ ORACLES = {
               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY 1, 2
         )
-        SELECT doc_a, doc_b,
-               round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
-        FROM pairs
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) >= {JACCARD_THRESHOLD}
-        ORDER BY doc_a, doc_b
+        , jpairs AS (
+            SELECT doc_a, doc_b,
+                   round(n_common / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+            FROM pairs
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 4)
+                  >= {JACCARD_THRESHOLD}
+        ), jedges AS (
+            SELECT doc_a AS id_a, doc_b AS id_b FROM jpairs
+            UNION ALL SELECT doc_b, doc_a FROM jpairs
+        ), jreach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.id_a, jreach.r
+            FROM jedges e JOIN jreach ON e.id_b = jreach.id
+        )
+        SELECT 'pair' AS kind, doc_a AS a, doc_b AS b, jaccard AS score
+        FROM jpairs
+        UNION ALL
+        SELECT 'group', id, min(r),
+               CASE WHEN id = min(r) THEN 1.0 ELSE 0.0 END
+        FROM jreach GROUP BY id
+        ORDER BY kind, a, b
     """,
 }
 
@@ -1092,6 +1145,12 @@ SECTIONS = {
     "dedup_cert_exact": {
         "exact": cert_dedup_exact,
         "mutations": cert_mutations_sections,
+    },
+    "dedup_ngram_jaccard_pairs": {
+        "pairs": doc_ngram_jaccard_pairs,
+        "groups": lambda s, d: ngram_pairs_and_groups(s, d).filter(
+            "kind = 'group'"
+        ),
     },
     "dedup_doc_exact": {
         "exact": doc_dedup_exact,

@@ -131,3 +131,28 @@ def test_range_quantiles_section_within_one_bin(spark):
     for q in RANGE_QS:
         key = f"p{int(q * 100)}"
         assert abs(got[key] - exact[key]) <= width, (key, got[key], exact[key])
+
+
+def test_ngram_pairs_and_groups_slot_matches_oracle(spark, duck):
+    from ct_clickhouse_spark.operators import dedup
+    from ct_clickhouse_spark.testing import assert_matches_oracle
+
+    assert_matches_oracle(
+        dedup.ngram_pairs_and_groups(spark, SF_DIR),
+        duck,
+        dedup.ORACLES["dedup_ngram_jaccard_pairs"],
+        name="dedup_ngram_jaccard_pairs",
+    )
+
+
+def test_ngram_groups_collapse_pairs(spark):
+    """Every near-dup pair's endpoints share a component, and at least
+    one document is a non-keeper (the section is non-trivial)."""
+    from ct_clickhouse_spark.operators import dedup
+
+    rows = dedup.ngram_pairs_and_groups(spark, SF_DIR).collect()
+    label = {r.a: r.b for r in rows if r.kind == "group"}
+    pairs = [(r.a, r.b) for r in rows if r.kind == "pair"]
+    assert pairs, "no near-dup pairs at fixture scale — vacuous"
+    assert all(label[a] == label[b] for a, b in pairs)
+    assert any(r.score == 0.0 for r in rows if r.kind == "group")
