@@ -95,9 +95,10 @@ def _mutation_frames(
     fingerprints, log_name 'inserted').
 
     The base slice is input PREP (a distinct over the fact table), not
-    the mutation under test: it is checkpointed once per (session, sf)
-    so the write + three update branches don't each re-run the distinct
-    (same artifact lifecycle as every other per-(session, sf) input)."""
+    the mutation under test: it is persisted eagerly once per
+    (session, sf) so the write + three update branches don't each
+    re-run the distinct (same artifact lifecycle — and the same
+    release-on-eviction — as every other per-(session, sf) input)."""
     from ..catalog import _session_key
 
     ckey = (_session_key(spark), sf_dir)
@@ -113,8 +114,9 @@ def _mutation_frames(
         .distinct()
         .withColumn("version", F.lit(0))
         .withColumn("pt", F.col("cnum") % 4)
-        .localCheckpoint(eager=True)
+        .persist()
     )
+    base.count()  # eager: the 3 update branches + the write reuse it
     sel = F.floor(F.col("cnum") / MUT_MOD).cast("int") % 3
     wins = (
         base.filter(sel == 0)
@@ -132,10 +134,15 @@ def _mutation_frames(
         .withColumn("version", F.lit(1))
         .withColumn("log_name", F.lit("inserted"))
     )
-    updates = (
-        wins.unionByName(stale).unionByName(news).localCheckpoint(eager=True)
+    updates = wins.unionByName(stale).unionByName(news).persist()
+    updates.count()
+    # released on eviction like every sibling artifact cache
+    return _bounded_cache_put(
+        _MUT_FRAME_CACHE,
+        ckey,
+        (base, updates),
+        release=lambda v: (v[0].unpersist(), v[1].unpersist()),
     )
-    return _bounded_cache_put(_MUT_FRAME_CACHE, ckey, (base, updates))
 
 
 def cert_mutations_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,6 +358,14 @@ def remove_duplicate_spans(
 
     if grams is None:
         grams = _span_grams(base, k)
+    elif k != SPAN_GRAM_WORDS:
+        # the prebuilt/cached gram table is built at the default k; a
+        # mismatched k would compute coverage windows of the wrong width
+        # over the wrong start set — silently wrong output
+        raise ValueError(
+            "remove_duplicate_spans: a prebuilt grams frame is built at "
+            f"k={SPAN_GRAM_WORDS}; pass grams=None to use a custom k"
+        )
 
     dup = (
         grams.groupBy("gh")
@@ -478,7 +493,12 @@ INCREMENTAL_BLOOM_MIN_CORPUS = 100_000
 
 def _corpus_bloom_cached(
     spark: SparkSession, sf_dir: str, corpus: DataFrame
-) -> tuple[list[int], int]:
+) -> tuple[list[int] | None, int]:
+    """(bitmap_or_None, corpus_count), cached per (session, sf). The
+    bitmap is built ONLY when the corpus is large enough for the Bloom
+    route to be taken — below the threshold the routing goes plain
+    anti-join and building the sketch would be pure waste (the exact
+    overhead the routing exists to remove)."""
     from ..catalog import _session_key
 
     from .bloomjoin import build_bloom
@@ -487,9 +507,12 @@ def _corpus_bloom_cached(
     hit = _INC_BLOOM_CACHE.get(key)
     if hit is None:
         n = max(corpus.count(), 1)
-        hit = _bounded_cache_put(
-            _INC_BLOOM_CACHE, key, (build_bloom(corpus, "text_hash", n), n)
+        bitmap = (
+            build_bloom(corpus, "text_hash", n)
+            if n >= INCREMENTAL_BLOOM_MIN_CORPUS
+            else None
         )
+        hit = _bounded_cache_put(_INC_BLOOM_CACHE, key, (bitmap, n))
     return hit
 
 
@@ -543,7 +566,7 @@ def doc_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
         "text_hash"
     )
     bitmap, n_corpus = _corpus_bloom_cached(spark, sf_dir, corpus)
-    if n_corpus >= INCREMENTAL_BLOOM_MIN_CORPUS:
+    if bitmap is not None:
         new = incremental_dedup(
             new_batch, corpus, "text_hash", prebuilt_bloom=bitmap
         )
@@ -1153,7 +1176,11 @@ SECTIONS = {
         ),
     },
     "dedup_doc_exact": {
-        "exact": doc_dedup_exact,
+        # the SLOT's exact section reads the shared persisted base —
+        # time that same plan, not a cold re-scan (doc_dedup_exact)
+        "exact": lambda s, d: _doc_base_cached(s, d)
+        .groupBy("text_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")),
         "span_removal": lambda s, d: remove_duplicate_spans(
             _doc_base_cached(s, d), grams=_span_grams_cached(s, d)
         ),

@@ -298,6 +298,15 @@ def update_where(
     Returns (rows_updated, partitions_rewritten)."""
     from pyspark.sql import functions as F
 
+    from .versioned import is_versioned
+
+    if is_versioned(spark, path):
+        # same explicit guard delete_where's scoped mode has — without
+        # it the read below fails with a misleading UNABLE_TO_INFER_SCHEMA
+        raise ValueError(
+            "update_where: the partition-scoped rewrite operates on the "
+            "plain Hive layout, not a versioned table root"
+        )
     if partition_col in assignments:
         raise ValueError(
             "update_where cannot reassign the partition column — a row "
@@ -380,6 +389,13 @@ def merge_upsert(
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
+    from .versioned import is_versioned
+
+    if is_versioned(spark, path):
+        raise ValueError(
+            "merge_upsert: the partition-scoped merge operates on the "
+            "plain Hive layout, not a versioned table root"
+        )
     values = [
         r[partition_col]
         for r in updates.select(partition_col).distinct().collect()

@@ -130,15 +130,16 @@ def prune_versions(spark: SparkSession, root: str, keep: int = DEFAULT_KEEP) -> 
     """Delete committed versions beyond the newest ``keep``, plus any
     UNcommitted directory older than the newest committed version (an
     abandoned crashed write — a newer uncommitted dir may be an in-flight
-    writer and is left alone). Returns directories removed."""
+    writer and is left alone). ``keep`` is clamped to >= 1: the CURRENT
+    committed version is never deleted by prune (full removal of a table
+    is an explicit recursive delete of the root, not a retention
+    setting). Returns directories removed."""
     dirs = _version_dirs(spark, root)
     committed = [(v, p) for v, p, ok in dirs if ok]
     if not committed:
         return 0
     newest_committed = committed[-1][0]
-    doomed = [p for v, p in committed[:-keep]] if keep > 0 else [
-        p for v, p in committed[:-1]
-    ]
+    doomed = [p for v, p in committed[: -max(keep, 1)]]
     doomed += [p for v, p, ok in dirs if not ok and v < newest_committed]
     fs, _ = _fs(spark, root)
     n = 0

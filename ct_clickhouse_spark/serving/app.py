@@ -72,11 +72,14 @@ def create_app(spark: SparkSession, table_path: str):
     app = Flask("ct_clickhouse_spark")
     allowed_ips = load_allowed_ips()
 
+    # startup read serves ONLY the fail-fast schema check; no long-lived
+    # DataFrame or temp view is kept — a view registered here would pin
+    # this moment's file-listing snapshot, the exact staleness the
+    # per-request table() below exists to avoid
     cert = spark.read.parquet(table_path)
     missing = set(f.name for f in CERT_DOMAINS_SCHEMA.fields) - set(cert.columns)
     if missing:
         raise ValueError(f"cert_domains table missing columns: {missing}")
-    cert.createOrReplaceTempView("cert_domains_serving")
 
     def table():
         # re-resolve the relation per request: a DataFrame pins its

@@ -49,6 +49,10 @@ def ingest_stream(
     reader = spark.readStream.format("ct_log").option(
         "maxEntriesPerTrigger", str(max_per_trigger)
     )
+    if urls is not None and log_dir is not None:
+        # mirror the source's own give-either-not-both contract instead
+        # of silently dropping the path option
+        raise ValueError("ingest_stream: give log_dir OR urls, not both")
     if urls is not None:
         reader = reader.option("urls", urls)
     else:

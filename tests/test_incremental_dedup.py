@@ -104,3 +104,35 @@ def test_empty_prebuilt_bloom_rejected(spark):
     batch, corpus = _frames(spark)
     with pytest.raises(ValueError, match="non-empty"):
         incremental_dedup(batch, corpus, "k", prebuilt_bloom=[])
+
+
+def test_small_corpus_skips_bloom_build(spark):
+    """Below the routing threshold the corpus Bloom bitmap must not be
+    built at all — the cached artifact is (None, n) and the slot takes
+    the plain anti-join (the overhead the routing exists to remove)."""
+    from ct_clickhouse_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, 10, f"text {i}") for i in range(20)],
+        "doc_id long, n_chars int, text string",
+    )
+    corpus = docs.selectExpr("md5(text) AS text_hash")
+    dedup._INC_BLOOM_CACHE.clear()
+    bitmap, n = dedup._corpus_bloom_cached(spark, "/nonexistent-key", corpus)
+    assert bitmap is None and n == 20
+
+
+def test_span_removal_rejects_mismatched_prebuilt_grams(spark):
+    import pytest
+
+    from ct_clickhouse_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g")], "doc_id long, text string"
+    )
+    base = docs.withColumn(
+        "_w", dedup._words(dedup.F.col("text"))
+    ).select("doc_id", "_w")
+    grams = dedup._span_grams(base)
+    with pytest.raises(ValueError, match="k="):
+        dedup.remove_duplicate_spans(base, k=3, grams=grams)

@@ -92,3 +92,32 @@ def test_delete_where_and_compact_on_versioned_table(spark, tmp_path):
     assert all(
         d.startswith("v") for d in os.listdir(root) if not d.startswith(".")
     )
+
+
+def test_scoped_mutations_guard_versioned_roots(spark, tmp_path):
+    """update_where and merge_upsert must refuse a versioned root with a
+    CLEAR error (delete_where's scoped mode already did) instead of a
+    misleading UNABLE_TO_INFER_SCHEMA from reading version dirs as
+    partitions."""
+    from ct_clickhouse_spark.plans import versioned as V
+    from ct_clickhouse_spark.plans.maintenance import merge_upsert, update_where
+
+    root = str(tmp_path / "vtg")
+    V.init_versioned(
+        spark, root, spark.createDataFrame([(1, "a")], "id long, p string")
+    )
+    upd = spark.createDataFrame([(2, "a")], "id long, p string")
+    with pytest.raises(ValueError, match="versioned"):
+        update_where(spark, root, "id = 1", {"p": "'b'"}, partition_col="p")
+    with pytest.raises(ValueError, match="versioned"):
+        merge_upsert(spark, root, upd, ["id"], partition_col="p")
+
+
+def test_prune_keep_never_deletes_current(spark, tmp_path):
+    from ct_clickhouse_spark.plans import versioned as V
+
+    root = str(tmp_path / "vtk")
+    V.init_versioned(spark, root, spark.createDataFrame([(1,)], "id long"))
+    V.rewrite_versioned(spark, root, spark.createDataFrame([(2,)], "id long"))
+    V.prune_versions(spark, root, keep=0)  # clamped to 1
+    assert sorted(r.id for r in V.read_versioned(spark, root).collect()) == [2]
