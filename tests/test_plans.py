@@ -132,3 +132,35 @@ def test_hashed_tf_is_shuffle_free(spark):
     plan = plans.executed_plan(hashed_tf(docs))
     assert "Exchange" not in plan, plan[:2000]
     assert "BatchEvalPython" not in plan
+
+
+def test_doc_base_partitioning_reused_no_exchange(spark):
+    """The round-5 dedup_doc_exact optimization: the shared base is
+    persisted PARTITIONED BY text_hash, so the exact-dup aggregate and
+    the incremental anti-join must reuse the stored partitioning — zero
+    Exchange above the in-memory scan. Same for the gh-partitioned gram
+    table's duplicate-count aggregate."""
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark import plans
+    from ct_clickhouse_spark.operators import dedup
+
+    def above_cache(df):
+        # the explain string is top-down: everything before the
+        # InMemoryTableScan is the plan ABOVE the cached relation (the
+        # cache's own build lineage below it legitimately shuffles once)
+        plan = plans.executed_plan(df)
+        assert "InMemoryTableScan" in plan
+        return plan.split("InMemoryTableScan", 1)[0]
+
+    base = dedup._doc_base_cached(spark, SF_DIR)
+    agg = base.groupBy("text_hash").agg(
+        F.min("doc_id"), F.count(F.lit(1))
+    )
+    agg.collect()
+    assert "Exchange" not in above_cache(agg)
+
+    grams = dedup._span_grams_cached(spark, SF_DIR)
+    dup = grams.groupBy("gh").agg(F.count_distinct("doc_id"))
+    dup.collect()
+    assert "Exchange" not in above_cache(dup)
