@@ -945,10 +945,20 @@ def lsh_pairs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_semdedup.py). Each side keeps its own bucket/cell-local
     physical plan; the union is only the reporting shape.
 
+    The fourth family, 'ivf_inc', is the embedding-side INCREMENTAL
+    dedup: treat vec_id % INCREMENTAL_MOD == 0 as the new ingest batch
+    and emit each batch vector's near-duplicates in the rest-of-corpus
+    via the batched ANN pass — the semantic counterpart of the
+    exact-hash incremental section in dedup_doc_exact.
+
     NOTE: on a cold cache, building the semdedup side TRAINS the k-means
     centroids (IVF_ITERS distributed passes at construction time) — the
     same once-per-(session, sf) artifact build the IVF index pays."""
-    from .similarity import lsh_candidate_pairs, semdedup_pairs
+    from .similarity import (
+        embedding_incremental_pairs,
+        lsh_candidate_pairs,
+        semdedup_pairs,
+    )
 
     mh = doc_minhash_lsh_pairs(spark, sf_dir).select(
         F.lit("minhash").alias("family"),
@@ -968,7 +978,18 @@ def lsh_pairs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("cosine").alias("score"),
     )
-    return mh.unionByName(hp).unionByName(sd)
+    batch_ids = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") % INCREMENTAL_MOD == 0)
+        .select("vec_id")
+    )
+    inc = embedding_incremental_pairs(spark, sf_dir, batch_ids).select(
+        F.lit("ivf_inc").alias("family"),
+        F.col("batch_id").alias("id_a"),
+        F.col("corpus_id").alias("id_b"),
+        F.col("cosine").alias("score"),
+    )
+    return mh.unionByName(hp).unionByName(sd).unionByName(inc)
 
 
 QUERIES = {

@@ -716,6 +716,46 @@ def ivf_topk_batch(
     )
 
 
+def embedding_incremental_pairs(
+    spark: SparkSession,
+    sf_dir: str,
+    batch_ids: DataFrame,
+    threshold: float = PAIR_THRESHOLD,
+    probes: int = 2,
+) -> DataFrame:
+    """Embedding-side incremental dedup: for a NEW ingest batch (given
+    by its ``vec_id`` rows), find each batch vector's near-duplicates in
+    the EXISTING corpus — (batch_id, corpus_id, cosine) with cosine >=
+    threshold and corpus_id outside the batch. ``batch.join(result,
+    'left_anti')`` is then the vectors safe to ingest — the same
+    increment-vs-corpus shape the exact-hash `incremental_dedup` gives
+    text, for the semantic near-dup case an exact hash can't catch.
+
+    Routed through the batched ANN pass (ivf_topk_batch): probes-cells
+    recall semantics, one shuffle, cell-local kernels — never
+    batch x corpus. Top-k bounds each batch vector's candidate list;
+    k >= probes * expected dups suffices since only >=threshold rows
+    survive."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.join(batch_ids, "vec_id", "left_semi").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    hits = ivf_topk_batch(spark, sf_dir, batch, probes=probes)
+    return (
+        hits.join(
+            batch_ids.select(F.col("vec_id").alias("_b")),
+            hits.vec_id == F.col("_b"),
+            "left_anti",
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("query_id").alias("batch_id"),
+            F.col("vec_id").alias("corpus_id"),
+            "cosine",
+        )
+    )
+
+
 def ivf_build(spark: SparkSession, sf_dir: str, index_path: str) -> None:
     """Materialize the IVF index: train the coarse quantizer once, then
     write (a) the k centroids and (b) every vector under its assigned

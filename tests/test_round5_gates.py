@@ -156,3 +156,39 @@ def test_ngram_groups_collapse_pairs(spark):
     assert pairs, "no near-dup pairs at fixture scale — vacuous"
     assert all(label[a] == label[b] for a, b in pairs)
     assert any(r.score == 0.0 for r in rows if r.kind == "group")
+
+
+def test_embedding_incremental_pairs_sound_and_recall(spark):
+    """Embedding incremental dedup: every emitted (batch, corpus) pair
+    is a TRUE >=threshold cosine pair with the corpus side outside the
+    batch (soundness is exact — cosines are computed exactly in-cell),
+    and multi-probe routing recovers a solid fraction of the true
+    batch-corpus near-dup pairs on the fixture."""
+    from ct_clickhouse_spark.catalog import load_table
+    from ct_clickhouse_spark.operators.dedup import INCREMENTAL_MOD
+    from ct_clickhouse_spark.operators.similarity import (
+        cosine_pairs,
+        embedding_incremental_pairs,
+    )
+
+    batch_ids = (
+        load_table(spark, SF_DIR, "embeddings")
+        .filter(F.col("vec_id") % INCREMENTAL_MOD == 0)
+        .select("vec_id")
+    )
+    batch = {r.vec_id for r in batch_ids.collect()}
+    got = {
+        (r.batch_id, r.corpus_id): r.cosine
+        for r in embedding_incremental_pairs(spark, SF_DIR, batch_ids).collect()
+    }
+    # truth: all exact >=threshold pairs with exactly one end in the batch
+    truth = {}
+    for r in cosine_pairs(spark, SF_DIR).collect():
+        for b, c in ((r.id_a, r.id_b), (r.id_b, r.id_a)):
+            if b in batch and c not in batch:
+                truth[(b, c)] = r.cosine
+    assert truth, "no batch-corpus near-dup pairs at fixture scale — vacuous"
+    for key, cos in got.items():
+        assert key in truth and abs(truth[key] - cos) < 1e-9
+    recall = len(set(got) & set(truth)) / len(truth)
+    assert recall >= 0.5, f"recall {recall:.2f} below floor"
