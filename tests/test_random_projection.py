@@ -97,10 +97,15 @@ def test_rp_topk_recalls_on_cluster_structured_data(spark, tmp_path):
             assert abs(r.cosine - exact_scores[r.vec_id]) < 1e-9
 
 
-def test_ann_variants_slot_carries_all_three_kinds(spark):
-    from ct_clickhouse_spark.operators.similarity import ann_topk_variants
+def test_ann_variants_slot_carries_all_kinds(spark):
+    from ct_clickhouse_spark.operators.similarity import (
+        BATCH_QUERY_IDS,
+        ann_topk_variants,
+    )
 
     kinds = {
         r.kind for r in ann_topk_variants(spark, SF_DIR).select("kind").collect()
     }
-    assert kinds == {"ivf", "sq8", "rp"}
+    assert kinds == {"ivf", "sq8", "rp"} | {
+        f"batch:{q}" for q in BATCH_QUERY_IDS
+    }
