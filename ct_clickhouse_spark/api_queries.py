@@ -173,9 +173,51 @@ def table_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         fs = path.getFileSystem(conf)
         size = fs.getContentSummary(path).getLength() if fs.exists(path) else 0
         rows.append((name, int(size)))
+    rows += _maintenance_section(spark, sf_dir)
     return spark.createDataFrame(rows, "table_name string, total_bytes long").orderBy(
         "table_name"
     )
+
+
+def _maintenance_section(spark: SparkSession, sf_dir: str) -> list:
+    """Driver-visible storage-maintenance rows riding the system-metadata
+    slot (same (name, value) shape): run a REAL compaction and a REAL
+    versioned atomic rewrite on a small deterministic table and report
+    the state — 'maint:files_before/after' (8-file nation table
+    compacted to its byte-sized target), 'maint:rows' (row preservation
+    through both), 'maint:versions' (committed generations after
+    init + rewrite, retention = DEFAULT_KEEP). The OPTIMIZE analog and
+    the no-rename-window publish, previously pytest-only, now emit
+    driver rows every round."""
+    import shutil
+    import tempfile
+
+    from .catalog import load_table
+    from .plans.maintenance import compact_parquet
+    from .plans.versioned import (
+        _version_dirs,
+        init_versioned,
+        read_versioned,
+        rewrite_versioned,
+    )
+
+    nation = load_table(spark, sf_dir, "nation")
+    tmp = tempfile.mkdtemp(prefix="ctspark_maint_")
+    try:
+        root = tmp + "/vt"
+        init_versioned(spark, root, nation.repartition(8))
+        before, after = compact_parquet(spark, root)
+        rewrite_versioned(spark, root, read_versioned(spark, root))
+        n_rows = read_versioned(spark, root).count()
+        n_versions = sum(1 for _, _, ok in _version_dirs(spark, root) if ok)
+        return [
+            ("maint:files_before", int(before)),
+            ("maint:files_after", int(after)),
+            ("maint:rows", int(n_rows)),
+            ("maint:versions", int(n_versions)),
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 ALLOWED_LOGS = ["Google_Argon2024", "DigiCert_Yeti2024"]

@@ -192,3 +192,22 @@ def test_embedding_incremental_pairs_sound_and_recall(spark):
         assert key in truth and abs(truth[key] - cos) < 1e-9
     recall = len(set(got) & set(truth)) / len(truth)
     assert recall >= 0.5, f"recall {recall:.2f} below floor"
+
+
+def test_table_sizes_maintenance_rows(spark):
+    """The maintenance section emits the compaction + versioned-publish
+    state rows: 8 files -> 1, all 25 nation rows preserved, 2 committed
+    generations retained."""
+    from ct_clickhouse_spark.api_queries import table_sizes
+
+    got = {
+        r.table_name: r.total_bytes
+        for r in table_sizes(spark, SF_DIR).collect()
+        if r.table_name.startswith("maint:")
+    }
+    assert got == {
+        "maint:files_before": 8,
+        "maint:files_after": 1,
+        "maint:rows": 25,
+        "maint:versions": 2,
+    }
