@@ -32,6 +32,9 @@ RECENT_BASE_PARAM = "cust3.rs"  # /recent/<base>        (api/app.py:120-129)
 TLD_PARAM = "rs"  # /tld/<tld>                          (api/app.py:132-164)
 TLD_LIMIT = 500  # clamped into [1,1000] per api/app.py:136-141
 
+# fixed probe set for the CMS frequency section (exist at every sf)
+CMS_PROBE_DOMAINS = ["www.cust1.net", "cust3.rs", "mail.cust7.org"]
+
 _STAR = ["ts", "domain", "base_domain", "fingerprint", "issuer", "subject"]
 _STAR_TAIL = ["not_before", "not_after", "log_name"]
 
@@ -362,7 +365,29 @@ def sketch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     ret = returning_users_section(spark, sf_dir).select(
         F.lit("returning").alias("sect"), "key", "value"
     )
-    return s.unionByName(t).unionByName(per_log).unionByName(pairwise).unionByName(ret)
+    # 'cms' rows: Count-Min frequency estimates for three fixed domains
+    # against a sketch built over every cert_domains domain occurrence —
+    # the mergeable FREQUENCY member of the family (est >= exact always;
+    # the error bound and merge law are pytest-pinned).
+    from .operators.sketches import cms_build, cms_estimate
+
+    cert = build_cert_domains(spark, sf_dir)
+    cms = cms_build(cert, "domain")
+    probes = spark.createDataFrame(
+        [(d,) for d in CMS_PROBE_DOMAINS], "domain string"
+    )
+    cm = cms_estimate(cms, probes, "domain").select(
+        F.lit("cms").alias("sect"),
+        F.concat(F.lit("freq:"), F.col("domain")).alias("key"),
+        F.col("est").alias("value"),
+    )
+    return (
+        s.unionByName(t)
+        .unionByName(per_log)
+        .unionByName(pairwise)
+        .unionByName(ret)
+        .unionByName(cm)
+    )
 
 
 QUERIES = {
@@ -393,11 +418,22 @@ def _returning_section(s, d):
     return returning_users_section(s, d)
 
 
+def _cms_section(s, d):
+    from .operators.sketches import cms_build, cms_estimate
+
+    cert = build_cert_domains(s, d)
+    probes = s.createDataFrame(
+        [(x,) for x in CMS_PROBE_DOMAINS], "domain string"
+    )
+    return cms_estimate(cms_build(cert, "domain"), probes, "domain")
+
+
 SECTIONS = {
     "ref_sketches": {
         "stats": stats_approx,
         "topk": base_domain_topk_sketch,
         "kmv": _kmv_section,
         "returning": _returning_section,
+        "cms": _cms_section,
     },
 }

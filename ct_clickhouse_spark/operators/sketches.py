@@ -138,3 +138,98 @@ def kmv_pairwise(
             F.round(jaccard, 4).alias("est_jaccard"),
         )
     )
+
+
+# ---- Count-Min sketch: mergeable FREQUENCY estimation ---------------------
+#
+# The fourth member of the sketch family, orthogonal to the others:
+# HLL/KMV answer "how many distinct", topK answers "which are heaviest",
+# CMS (Cormode & Muthukrishnan 2005, "An improved data stream summary:
+# the count-min sketch and its applications") answers "about how OFTEN
+# does item x occur" from d*w counters — mergeable by cell-wise addition
+# (counts add), one-sided error: est >= true always, est <= true + eps*N
+# with probability 1 - (1/2)^d for eps = e/w. The rollup-table use is
+# per-window CMS columns answering range frequency queries without a raw
+# re-scan, exactly like the KMV/histogram columns.
+#
+# Scale shape (pure JVM): explode each row to its d (row, bucket) cells
+# -> one hash aggregate on (d, bucket) with map-side combine. Output
+# bounded at d*w longs regardless of input size.
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+
+
+def _cms_bucket(col: Column, row: int, width: int) -> Column:
+    # one independent hash per sketch row: xxhash64(value, row_seed)
+    return F.pmod(F.xxhash64(col.cast("string"), F.lit(row)), F.lit(width))
+
+
+def cms_build(
+    df: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Build one CMS over ``value_col``: rows (d int, b int, c long) for
+    the NON-ZERO cells (a missing cell is 0). NULL values are excluded
+    (the same phantom-element rule as kmv_sketch). Merging two sketches
+    is ``union -> groupBy(d, b).sum(c)`` — counts add exactly."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2, got {depth}x{width}")
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        F.col(value_col).alias("_v")
+    )
+    cells = vals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("d"),
+                        _cms_bucket(F.col("_v"), r, width).cast("int").alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_c")
+    )
+    return (
+        cells.select(F.col("_c.d").alias("d"), F.col("_c.b").alias("b"))
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_estimate(
+    cms: DataFrame,
+    queries: DataFrame,
+    value_col: str,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """Frequency estimates for ``queries[value_col]`` against a built
+    sketch: (value_col, est long) with est = min over rows of the
+    addressed counters (missing cell = 0). The sketch side is d*w rows
+    at most — broadcast; the probe is a d-way small join, never a scan
+    of the raw data."""
+    probes = queries.select(value_col).distinct()
+    addressed = probes.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("d"),
+                        _cms_bucket(F.col(value_col), r, width)
+                        .cast("int")
+                        .alias("b"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_c"),
+    ).select(value_col, F.col("_c.d").alias("d"), F.col("_c.b").alias("b"))
+    joined = addressed.join(F.broadcast(cms), ["d", "b"], "left").select(
+        value_col, F.coalesce("c", F.lit(0)).alias("c")
+    )
+    return joined.groupBy(value_col).agg(F.min("c").cast("long").alias("est"))

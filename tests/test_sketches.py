@@ -167,3 +167,51 @@ def test_estimate_with_smaller_k_is_valid_on_bigger_sketch(spark):
         kmv_distinct_estimate(F.col("kmv"), 64).alias("e")
     ).collect()[0].e
     assert abs(est64 - 20_000) / 20_000 < 0.5  # ~12.5% stderr, 4 sigma
+
+
+def test_cms_one_sided_error_and_bound(spark):
+    """CMS guarantees: est >= exact ALWAYS (collisions only add), and
+    est <= exact + 3 * N / width for every probed value at fixture
+    scale (a loose union-bound form of the eps*N guarantee)."""
+    from ct_clickhouse_spark.cert_domains import build_cert_domains
+    from ct_clickhouse_spark.operators.sketches import (
+        CMS_WIDTH,
+        cms_build,
+        cms_estimate,
+    )
+    from tests.conftest import SF_DIR
+
+    cert = build_cert_domains(spark, SF_DIR)
+    n_total = cert.count()
+    exact = {
+        r.domain: r.n
+        for r in cert.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    probes = spark.createDataFrame(
+        [(d,) for d in list(exact)[:20]] + [("never-seen.example",)],
+        "domain string",
+    )
+    cms = cms_build(cert, "domain")
+    got = {r.domain: r.est for r in cms_estimate(cms, probes, "domain").collect()}
+    for d, est in got.items():
+        true = exact.get(d, 0)
+        assert est >= true, (d, est, true)
+        assert est <= true + 3 * n_total / CMS_WIDTH, (d, est, true)
+
+
+def test_cms_merge_law_exact(spark):
+    """Merging two CMS sketches (cell-wise sum) must equal the sketch of
+    the concatenated data EXACTLY — counts add."""
+    from ct_clickhouse_spark.operators.sketches import cms_build
+
+    a = spark.createDataFrame([(f"v{i % 7}",) for i in range(50)], "x string")
+    b = spark.createDataFrame([(f"v{i % 11}",) for i in range(70)], "x string")
+    merged = (
+        cms_build(a, "x")
+        .unionByName(cms_build(b, "x"))
+        .groupBy("d", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    whole = cms_build(a.unionByName(b), "x")
+    sig = lambda df: sorted((r.d, r.b, r.c) for r in df.collect())
+    assert sig(merged) == sig(whole)
