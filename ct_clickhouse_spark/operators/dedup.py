@@ -642,7 +642,11 @@ def ngram_pairs_and_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
       or keeper flag breaks the value hash."""
     from .similarity import label_propagate
 
-    pairs = doc_ngram_jaccard_pairs(spark, sf_dir)
+    # materialize the pair join ONCE: both the pair section and the
+    # propagation edges consume it, and lazy lineage would re-run the
+    # shingle self-join per consumer (the cached shingle table bounds
+    # the cost, but the join itself is the slot's expensive step)
+    pairs = doc_ngram_jaccard_pairs(spark, sf_dir).localCheckpoint(eager=True)
     p = pairs.select(
         F.lit("pair").alias("kind"),
         F.col("doc_a").alias("a"),
