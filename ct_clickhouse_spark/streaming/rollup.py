@@ -471,3 +471,75 @@ def returning_users(
         F.round(inter_est, 1).alias("users_both"),
         F.round(jaccard, 4).alias("jaccard"),
     )
+
+
+# ---- Mergeable CMS frequency column on the rollup -------------------------
+#
+# The fourth rollup sketch column: per-window Count-Min cells answer
+# "how often did value x occur in [start, end)" without a raw re-scan —
+# counts add, so the range merge is EXACT over the sketch cells (like
+# the histogram, unlike quantile numbers). CMS is algebraic (a sum per
+# cell), so the same column could ride the streaming aggregate directly;
+# it lives with the batch backfill beside the KMV and histogram columns.
+
+
+def backfill_rollup_cms(
+    events: DataFrame, value_col: str = "user_id"
+) -> DataFrame:
+    """Per-(window, event_type) CMS cells over ``value_col``:
+    (window_start, window_id, event_type, d, b, c) — bounded at
+    depth x width cells per group regardless of window volume."""
+    from ..operators.sketches import CMS_DEPTH, CMS_WIDTH, _cms_bucket
+
+    windowed = events.filter(F.col(value_col).isNotNull()).select(
+        F.window("ts", ROLLUP_WINDOW).alias("w"), "event_type", value_col
+    ).select(
+        F.col("w.start").alias("window_start"),
+        (F.unix_timestamp("w.start") / 3600).cast("long").alias("window_id"),
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("d"),
+                        _cms_bucket(F.col(value_col), r, CMS_WIDTH)
+                        .cast("int")
+                        .alias("b"),
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("_c"),
+    )
+    return (
+        windowed.select(
+            "window_start",
+            "window_id",
+            "event_type",
+            F.col("_c.d").alias("d"),
+            F.col("_c.b").alias("b"),
+        )
+        .groupBy("window_start", "window_id", "event_type", "d", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def range_freq(
+    rollup_cms: DataFrame, start, end, queries: DataFrame, value_col: str
+) -> DataFrame:
+    """Frequency estimates over [start, end) FROM THE ROLLUP ALONE:
+    cell-wise-sum the in-range windows' CMS cells (exact merge) and
+    probe the merged sketch. Same window-granularity snapping as the
+    other range readers; est >= true always, error <= eps * (rows in
+    range)."""
+    from ..operators.sketches import cms_estimate
+
+    merged = (
+        rollup_cms.filter(
+            (F.col("window_start") >= F.lit(start))
+            & (F.col("window_start") < F.lit(end))
+        )
+        .groupBy("d", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    return cms_estimate(merged, queries, value_col)

@@ -287,3 +287,69 @@ def test_histogram_backfill_skips_null_values(spark):
     ).select(F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
     hist = backfill_rollup_histogram(ev, 0.0, 10.0, bins=4).collect()
     assert len(hist) == 1 and sum(hist[0].hist) == 1
+
+
+def test_rollup_cms_range_merge_is_exact_sketch_merge(spark):
+    """Cell-wise-summing the per-window CMS cells over a range must
+    equal the CMS built directly on the range's raw events — the exact
+    merge law that makes the column a rollup column."""
+    from ct_clickhouse_spark.catalog import load_table
+    from ct_clickhouse_spark.operators.sketches import cms_build
+    from ct_clickhouse_spark.streaming.rollup import (
+        RANGE_A,
+        backfill_rollup_cms,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    rollup = backfill_rollup_cms(ev)
+    merged = (
+        rollup.filter(
+            (F.col("window_start") >= F.lit(RANGE_A[0]))
+            & (F.col("window_start") < F.lit(RANGE_A[1]))
+        )
+        .groupBy("d", "b")
+        .agg(F.sum("c").alias("c"))
+    )
+    direct = cms_build(
+        ev.filter(
+            (F.col("ts") >= F.lit(RANGE_A[0])) & (F.col("ts") < F.lit(RANGE_A[1]))
+        ),
+        "user_id",
+    )
+    sig = lambda df: sorted((r.d, r.b, int(r.c)) for r in df.collect())
+    assert sig(merged) == sig(direct)
+
+
+def test_rollup_cms_range_freq_bounds(spark):
+    """range_freq: est >= the user's true in-range event count, within
+    the eps*N bound."""
+    from ct_clickhouse_spark.catalog import load_table
+    from ct_clickhouse_spark.operators.sketches import CMS_WIDTH
+    from ct_clickhouse_spark.streaming.rollup import (
+        RANGE_A,
+        backfill_rollup_cms,
+        range_freq,
+    )
+
+    ev = load_table(spark, SF_DIR, "events")
+    in_range = ev.filter(
+        (F.col("ts") >= F.lit(RANGE_A[0])) & (F.col("ts") < F.lit(RANGE_A[1]))
+    )
+    n = in_range.count()
+    exact = {
+        r.user_id: r.n
+        for r in in_range.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    some = list(exact)[:5]
+    q = spark.createDataFrame([(u,) for u in some], "user_id long")
+    got = {
+        r.user_id: r.est
+        for r in range_freq(
+            backfill_rollup_cms(ev), RANGE_A[0], RANGE_A[1], q, "user_id"
+        ).collect()
+    }
+    for u in some:
+        assert got[u] >= exact[u]
+        assert got[u] <= exact[u] + 3 * n / CMS_WIDTH
