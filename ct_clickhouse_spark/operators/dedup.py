@@ -1008,6 +1008,11 @@ ORACLES = {
     # The mutation oracle replays merge/delete/update as pure SQL:
     # merged = argmax over (key, version) with update-wins tiebreak
     # (ReplacingMergeTree FINAL), then DELETE and UPDATE as filters/CASE.
+    # Residual ties break on (log_name, issuer) — deterministic like the
+    # Spark side's xxhash64 content tie-break (merge_upsert); the fixture
+    # has no duplicate (fingerprint, domain) keys in the mutation slice
+    # (pinned by test_mutation_gate), so the two orders never disagree.
+    # TRY_CAST mirrors Spark's cast-to-NULL on non-matching base_domains.
     "dedup_cert_exact": f"""
         WITH cert_domains AS (
             {cert_domains_duckdb_sql()}
@@ -1015,8 +1020,8 @@ ORACLES = {
             SELECT * FROM (
                 SELECT DISTINCT fingerprint, domain, base_domain, log_name,
                        issuer,
-                       CAST(regexp_extract(base_domain, 'cust(\\d+)\\.', 1)
-                            AS INT) AS cnum
+                       TRY_CAST(regexp_extract(base_domain, 'cust(\\d+)\\.', 1)
+                                AS INT) AS cnum
                 FROM cert_domains
             ) WHERE cnum % {MUT_MOD} = {MUT_SEL}
         ), upd AS (
@@ -1040,7 +1045,7 @@ ORACLES = {
             SELECT * FROM unioned
             QUALIFY row_number() OVER (
                 PARTITION BY fingerprint, domain
-                ORDER BY version DESC, is_upd DESC
+                ORDER BY version DESC, is_upd DESC, log_name, issuer
             ) = 1
         ), after_delete AS (
             SELECT * FROM merged WHERE NOT (base_domain LIKE '%.net')

@@ -729,13 +729,15 @@ _MEDIA_SQL = """
 # it): png h*(w+1)+68 (stored-block zlib), wav 44 + 2 bytes/text byte,
 # jpeg text + JPEG_OVERHEAD (marker stream), mp4 text + MP4_OVERHEAD
 # (box tree). octet_length(payload) below is the TEXT length — _MEDIA_SQL
-# carries encode(text) as its payload stand-in.
+# carries encode(text) as its payload stand-in. coalesce(...,0) mirrors
+# the Python side's (text or '') fallback so a NULL-text document still
+# counts its fixed container overhead instead of dropping out of sums.
 _PAYLOAD_LEN_SQL = f"""
     CASE WHEN format = 'png' THEN height * (width + 1) + 68
-         WHEN format = 'wav' THEN 44 + 2 * octet_length(payload)
-         WHEN format = 'jpeg' THEN octet_length(payload) + {JPEG_OVERHEAD}
-         WHEN format = 'mp4' THEN octet_length(payload) + {MP4_OVERHEAD}
-         ELSE octet_length(payload) END
+         WHEN format = 'wav' THEN 44 + 2 * coalesce(octet_length(payload), 0)
+         WHEN format = 'jpeg' THEN coalesce(octet_length(payload), 0) + {JPEG_OVERHEAD}
+         WHEN format = 'mp4' THEN coalesce(octet_length(payload), 0) + {MP4_OVERHEAD}
+         ELSE coalesce(octet_length(payload), 0) END
 """
 
 ORACLES = {
@@ -748,7 +750,8 @@ ORACLES = {
         UNION ALL
         SELECT 'frames' AS sect, CAST(media_id AS VARCHAR) AS key,
                CAST(NULL AS VARCHAR) AS format,
-               CAST(ceil(greatest((octet_length(payload) + {MP4_OVERHEAD})
+               CAST(ceil(greatest((coalesce(octet_length(payload), 0)
+                                       + {MP4_OVERHEAD})
                                       // {FRAME_BYTES}, 1)
                          / {FRAME_STRIDE}.0) AS BIGINT) AS n,
                CAST(NULL AS BIGINT) AS total_bytes,

@@ -38,3 +38,25 @@ def test_cert_mutations_sections_have_teeth(spark):
     assert by[("delete_where", "deleted")] > 0
     assert ("update_where", "REDACTED") in by
     assert by[("update_where", "updated")] == by[("update_where", "REDACTED")]
+
+
+def test_mutation_slice_has_unique_keys(spark):
+    """The oracle breaks residual (fingerprint, domain) ties by
+    (log_name, issuer) while merge_upsert uses an xxhash64 content
+    tie-break; the orders agree trivially only because the mutation
+    slice carries NO duplicate keys. Pin that fixture property so a
+    future data generator that violates it fails loudly here instead
+    of flaking the driver gate nondeterministically."""
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.operators.dedup import _mutation_frames
+
+    base, updates = _mutation_frames(spark, SF_DIR)
+    for df in (base, updates):
+        dups = (
+            df.groupBy("fingerprint", "domain")
+            .count()
+            .filter(F.col("count") > 1)
+            .count()
+        )
+        assert dups == 0
