@@ -702,7 +702,16 @@ def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     rh = range_quantiles_section(spark, sf_dir).select(
         F.lit("range_hist").alias("kind"), "key", "value"
     )
-    return li.unionByName(nt).unionByName(rh)
+    # 'range_freq' rows: week-1 per-user frequencies off the merged
+    # per-window rollup CMS cells — the frequency member of the rollup
+    # sketch-column set under the driver gate (cell sums are exact;
+    # merged == direct-raw-range pinned by test_streaming_rollup).
+    from ..streaming.rollup import range_freq_section
+
+    rf = range_freq_section(spark, sf_dir).select(
+        F.lit("range_freq").alias("kind"), "key", "value"
+    )
+    return li.unionByName(nt).unionByName(rh).unionByName(rf)
 
 
 QUERIES = {
@@ -891,6 +900,12 @@ def _cust_quartile_section(s, d):
     return spend_quartiles_approx(s, d)
 
 
+def _range_freq_section(s, d):
+    from ..streaming.rollup import range_freq_section
+
+    return range_freq_section(s, d)
+
+
 SECTIONS = {
     "rel_region_revenue": {
         "star": region_revenue,
@@ -909,5 +924,6 @@ SECTIONS = {
         "li_approx": approx_quantiles,
         "cust_quartile": _cust_quartile_section,
         "range_hist": _range_hist_section,
+        "range_freq": _range_freq_section,
     },
 }

@@ -378,6 +378,11 @@ RANGE_QS = [0.25, 0.5, 0.75]
 
 _ROLLUP_KMV_CACHE: dict[tuple[str, str], DataFrame] = {}
 _ROLLUP_HIST_CACHE: dict[tuple[str, str], DataFrame] = {}
+_ROLLUP_CMS_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+# Fixed user_id probes for the range-frequency driver rows — present in
+# week 1 at every fixture SF (user_id spans [0, 15*sf*1000)).
+CMS_PROBE_USERS = [1, 2, 7]
 
 
 def rollup_kmv_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -412,6 +417,40 @@ def rollup_hist_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             release=lambda v: v.unpersist(),
         )
     return hit
+
+
+def rollup_cms_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import _session_key, bounded_cache_put, load_table
+
+    key = (_session_key(spark), sf_dir)
+    hit = _ROLLUP_CMS_CACHE.get(key)
+    if hit is None:
+        hit = bounded_cache_put(
+            _ROLLUP_CMS_CACHE,
+            key,
+            backfill_rollup_cms(load_table(spark, sf_dir, "events")).persist(),
+            release=lambda v: v.unpersist(),
+        )
+    return hit
+
+
+def range_freq_section(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver section rows (key, value): week-1 per-user event
+    frequencies answered from the rollup's CMS COLUMN alone — cell-wise
+    sum the in-range windows' sketches (counts add, so the merge is
+    EXACT over cells) and probe three fixed user_ids. The merged-rollup
+    == direct-raw-range law is pinned by tests/test_streaming_rollup.py;
+    the driver row makes the column's query path round-visible like its
+    KMV ('returning') and histogram ('range_hist') siblings."""
+    cms = rollup_cms_cached(spark, sf_dir)
+    probes = spark.createDataFrame(
+        [(u,) for u in CMS_PROBE_USERS], "user_id long"
+    )
+    est = range_freq(cms, RANGE_A[0], RANGE_A[1], probes, "user_id")
+    return est.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("key"),
+        F.col("est").cast("double").alias("value"),
+    )
 
 
 def returning_users_section(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -353,3 +353,33 @@ def test_rollup_cms_range_freq_bounds(spark):
     for u in some:
         assert got[u] >= exact[u]
         assert got[u] <= exact[u] + 3 * n / CMS_WIDTH
+
+
+def test_range_freq_driver_section_equals_direct_sketch_probe(spark):
+    """The driver-visible 'range_freq' rows (rel_sketch_quantiles) are
+    pinned equal to probing a sketch built DIRECTLY on the raw week-1
+    events — the rollup-merge law made concrete for the exact probes the
+    driver hashes each round."""
+    from ct_clickhouse_spark.catalog import load_table
+    from ct_clickhouse_spark.operators.sketches import cms_build, cms_estimate
+    from ct_clickhouse_spark.streaming.rollup import (
+        CMS_PROBE_USERS,
+        RANGE_A,
+        range_freq_section,
+    )
+
+    got = {r.key: r.value for r in range_freq_section(spark, SF_DIR).collect()}
+    ev = load_table(spark, SF_DIR, "events")
+    direct = cms_build(
+        ev.filter(
+            (F.col("ts") >= F.lit(RANGE_A[0])) & (F.col("ts") < F.lit(RANGE_A[1]))
+        ),
+        "user_id",
+    )
+    q = spark.createDataFrame([(u,) for u in CMS_PROBE_USERS], "user_id long")
+    want = {
+        f"u{r.user_id}": float(r.est)
+        for r in cms_estimate(direct, q, "user_id").collect()
+    }
+    assert got == want
+    assert all(v > 0 for v in got.values())  # probes actually occur
