@@ -951,10 +951,21 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_sketch_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document near-dup sketches under one slot (rows-only — hash
     sketches have no ANSI-SQL oracle): MinHash h0..h15 scalar columns +
-    the 32-bit SimHash, joined on doc_id. One row per document; both
-    sketch plans stay pure-JVM (explode + hash aggregates)."""
-    return doc_minhash_signatures(spark, sf_dir).join(
-        doc_simhash(spark, sf_dir), "doc_id"
+    the 32-bit SimHash, joined on doc_id — plus, for documents whose
+    media-table row is a decodable IMAGE (media_id == doc_id), the
+    64-bit perceptual pHash/dHash of the real decoded pixels
+    (operators/multimodal.py: png full-unfilter decode, jpeg real
+    baseline Huffman+IDCT decode), completing the sketch family for the
+    image modality (r5 verdict #4). NULL for non-image documents."""
+    from .multimodal import image_signatures
+
+    phashes = image_signatures(spark, sf_dir).select(
+        F.col("media_id").alias("doc_id"), "phash", "dhash"
+    )
+    return (
+        doc_minhash_signatures(spark, sf_dir)
+        .join(doc_simhash(spark, sf_dir), "doc_id")
+        .join(F.broadcast(phashes), "doc_id", "left")
     )
 
 
@@ -1014,7 +1025,39 @@ def lsh_pairs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("corpus_id").alias("id_b"),
         F.col("cosine").alias("score"),
     )
-    return mh.unionByName(hp).unionByName(sd).unionByName(inc)
+    # family='phash': image perceptual-hash near-dups over REAL decoded
+    # pixels (multimodal.py band-join; score = Hamming distance), and
+    # family='phash_group': their components (id_b = canonical label,
+    # score = 1.0 for the kept representative). EMPTY pair set at the
+    # driver fixtures — the images there are distinct random texts
+    # (expected pairwise Hamming ~32); planted-duplicate recall is
+    # pinned in tests/test_multimodal.py.
+    from .multimodal import (
+        image_near_dup_groups,
+        image_near_dup_pairs,
+        image_signatures,
+    )
+
+    sigs = image_signatures(spark, sf_dir)
+    ph = image_near_dup_pairs(sigs).select(
+        F.lit("phash").alias("family"),
+        F.col("media_a").alias("id_a"),
+        F.col("media_b").alias("id_b"),
+        F.col("hamming").cast("double").alias("score"),
+    )
+    pg = image_near_dup_groups(sigs).select(
+        F.lit("phash_group").alias("family"),
+        F.col("id").alias("id_a"),
+        F.col("label").alias("id_b"),
+        F.when(F.col("id") == F.col("label"), 1.0).otherwise(0.0).alias("score"),
+    )
+    return (
+        mh.unionByName(hp)
+        .unionByName(sd)
+        .unionByName(inc)
+        .unionByName(ph)
+        .unionByName(pg)
+    )
 
 
 QUERIES = {
@@ -1245,5 +1288,12 @@ SECTIONS = {
         "semdedup": lambda s, d: __import__(
             "ct_clickhouse_spark.operators.similarity", fromlist=["x"]
         ).semdedup_pairs(s, d),
+        "phash": lambda s, d: (
+            lambda mm: mm.image_near_dup_pairs(mm.image_signatures(s, d))
+        )(
+            __import__(
+                "ct_clickhouse_spark.operators.multimodal", fromlist=["x"]
+            )
+        ),
     },
 }

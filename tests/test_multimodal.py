@@ -12,11 +12,19 @@ from tests.conftest import SF_DIR
 TARGET_W, TARGET_H = 48, 32
 
 
-def _expected_resize(payload: bytes, w: int, h: int) -> bytes:
-    buf = np.frombuffer(payload, dtype=np.uint8)[: w * h]
-    if buf.size < w * h:
-        buf = np.pad(buf, (0, w * h - buf.size))
-    img = buf.reshape(h, w)
+def _expected_resize(fmt: str, payload: bytes, w: int, h: int) -> bytes:
+    """Reference resample: codec-decode the pixels (png losslessly, jpeg
+    through the real lossy round trip), then nearest-neighbor gather —
+    the same contract resize_media now implements."""
+    from ct_clickhouse_spark.functions.jpeg import jpeg_decode_gray
+
+    img = (
+        multimodal.png_decode_pixels(payload)
+        if fmt == "png"
+        else jpeg_decode_gray(payload)
+    )
+    assert img is not None, f"{fmt} payload failed to decode"
+    h, w = img.shape
     yi = np.arange(TARGET_H) * h // TARGET_H
     xi = np.arange(TARGET_W) * w // TARGET_W
     return img[yi][:, xi].tobytes()
@@ -24,7 +32,7 @@ def _expected_resize(payload: bytes, w: int, h: int) -> bytes:
 
 def test_resize_media_exact_nearest_neighbor(spark):
     media = {
-        r.media_id: (bytes(r.payload), r.width, r.height)
+        r.media_id: (r.format, bytes(r.payload), r.width, r.height)
         for r in multimodal.build_media(spark, SF_DIR)
         .filter("kind = 'image'")
         .collect()
@@ -33,10 +41,10 @@ def test_resize_media_exact_nearest_neighbor(spark):
     out = multimodal.resize_media(spark, SF_DIR, TARGET_W, TARGET_H).collect()
     assert len(out) == len(media)  # 1 image in -> 1 image out
     for r in out:
-        payload, w, h = media[r.media_id]
+        fmt, payload, w, h = media[r.media_id]
         assert (r.width, r.height) == (TARGET_W, TARGET_H)
         assert len(bytes(r.payload)) == TARGET_W * TARGET_H
-        assert bytes(r.payload) == _expected_resize(payload, w, h)
+        assert bytes(r.payload) == _expected_resize(fmt, payload, w, h)
 
 
 def test_resize_media_runs_distributed(spark):
@@ -167,23 +175,111 @@ def test_wav_parse_clamps_truncated_data_chunk():
     assert parsed is not None and parsed[3] == 3
 
 
-def test_jpeg_roundtrip_and_marker_walk():
-    from ct_clickhouse_spark.operators.multimodal import (
-        JPEG_OVERHEAD,
-        jpeg_encode,
-        jpeg_parse_sof,
-    )
+def test_jpeg_real_codec_roundtrip_and_marker_walk():
+    import numpy as np
 
-    j = jpeg_encode(b"entropy stand-in", 320, 240)
-    assert len(j) == 16 + JPEG_OVERHEAD
-    assert jpeg_parse_sof(j) == (320, 240, 8, 3)
+    from ct_clickhouse_spark.functions.jpeg import (
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
+    from ct_clickhouse_spark.operators.multimodal import jpeg_parse_sof
+
+    rng = np.random.default_rng(7)
+
+    # flat blocks survive quantization exactly: bit-exact round trip
+    flat = np.full((24, 40), 130, dtype=np.uint8)
+    assert (jpeg_decode_gray(jpeg_encode_gray(flat)) == flat).all()
+
+    # arbitrary content round-trips within normal quantization error
+    img = rng.integers(0, 256, (57, 83), dtype=np.uint8)  # odd dims too
+    j = jpeg_encode_gray(img, quality=75)
+    dec = jpeg_decode_gray(j)
+    assert dec.shape == (57, 83)
+    assert float(np.abs(dec.astype(int) - img.astype(int)).mean()) < 16.0
+
+    # the scan data is REAL entropy coding: content-dependent length,
+    # and the stream is self-describing (DQT/DHT read back from it)
+    assert len(jpeg_encode_gray(flat)) != len(jpeg_encode_gray(img[:24, :40]))
+
+    assert jpeg_parse_sof(j) == (83, 57, 8, 1)
     # the walk is generic: an extra COM segment before SOF is skipped
     import struct
 
     with_com = j[:2] + b"\xff\xfe" + struct.pack(">H", 7) + b"hello" + j[2:]
-    assert jpeg_parse_sof(with_com) == (320, 240, 8, 3)
+    assert jpeg_parse_sof(with_com) == (83, 57, 8, 1)
     assert jpeg_parse_sof(b"not a jpeg") is None
     assert jpeg_parse_sof(j[:6]) is None  # truncated before SOF
+    assert jpeg_decode_gray(b"not a jpeg") is None
+
+
+def test_png_decode_pixels_full_unfiltering():
+    """png_decode_pixels handles all five scanline filters, not just the
+    filter-0 rows png_encode writes: build a PNG by hand with each
+    filter type and check the decode against a reference unfilter."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from ct_clickhouse_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        png_decode_pixels,
+        png_encode,
+    )
+
+    # round-trip of our own encoder first
+    img = np.arange(48, dtype=np.uint8).reshape(6, 8) * 5
+    assert (png_decode_pixels(png_encode(img.tobytes(), 8, 6)) == img).all()
+
+    # hand-built stream: rows filtered as None/Sub/Up/Average/Paeth
+    truth = np.array(
+        [[10, 20, 30, 40], [12, 24, 36, 48], [13, 26, 39, 52],
+         [20, 30, 40, 50], [25, 35, 45, 55]],
+        dtype=np.uint8,
+    )
+    h, w = truth.shape
+    raw = bytearray()
+    prev = np.zeros(w, dtype=int)
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        row = truth[y].astype(int)
+        if f == 0:
+            enc = row
+        elif f == 1:
+            enc = [(row[x] - (row[x - 1] if x else 0)) % 256 for x in range(w)]
+        elif f == 2:
+            enc = (row - prev) % 256
+        elif f == 3:
+            enc = [
+                (row[x] - (((row[x - 1] if x else 0) + prev[x]) >> 1)) % 256
+                for x in range(w)
+            ]
+        else:  # paeth
+            enc = []
+            for x in range(w):
+                a = row[x - 1] if x else 0
+                b, c = int(prev[x]), int(prev[x - 1]) if x else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc.append((row[x] - pred) % 256)
+        raw.append(f)
+        raw.extend(int(v) for v in enc)
+        prev = row
+
+    def chunk(typ, payload):
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    png = (
+        _PNG_MAGIC + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    assert (png_decode_pixels(png) == truth).all()
+    assert png_decode_pixels(b"nope") is None
 
 
 def test_mp4_roundtrip_and_box_walk():
@@ -243,3 +339,116 @@ def test_decode_features_real_dims_all_formats(spark):
         if m.format in ("jpeg", "mp4"):
             assert f.header_hex  # byte stats still present
     assert n_jpeg > 0 and n_mp4 > 0
+
+
+def _noisy(rng, img, n_px):
+    out = img.copy()
+    ys = rng.integers(0, img.shape[0], n_px)
+    xs = rng.integers(0, img.shape[1], n_px)
+    out[ys, xs] = rng.integers(0, 256, n_px)
+    return out
+
+
+def test_phash_cross_format_and_noise_robustness():
+    """The same pixels as PNG and as (lossy) JPEG hash within a few
+    bits, and a lightly-noised copy stays inside the near-dup ball while
+    a distinct random image is far outside it."""
+    import numpy as np
+
+    from ct_clickhouse_spark.functions.jpeg import (
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
+    from ct_clickhouse_spark.operators.multimodal import (
+        dhash64,
+        phash64,
+        png_decode_pixels,
+        png_encode,
+    )
+
+    rng = np.random.default_rng(11)
+    # smooth-ish structured image (random low-freq content upsampled)
+    base = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+    img = base[np.arange(96) // 12][:, np.arange(128) // 16]
+
+    png_px = png_decode_pixels(png_encode(img.tobytes(), 128, 96))
+    jpg_px = jpeg_decode_gray(jpeg_encode_gray(img, quality=85))
+    assert (png_px == img).all()  # png is lossless
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(phash64(png_px), phash64(jpg_px)) <= 4  # re-encode robust
+    assert ham(phash64(img), phash64(_noisy(rng, img, 60))) <= 6
+    other = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+    other = other[np.arange(96) // 12][:, np.arange(128) // 16]
+    assert ham(phash64(img), phash64(other)) > 10
+    assert ham(dhash64(img), dhash64(_noisy(rng, img, 60))) <= 8
+
+
+def test_image_near_dup_pairs_planted_recall_and_precision(spark):
+    """Band-join near-dup detection over planted duplicates: every
+    planted (original, copy) pair is found (banding recall is exactly 1
+    for hamming <= 6 by pigeonhole), no pair among the distinct images,
+    and the groups keep one representative per component."""
+    import numpy as np
+
+    from ct_clickhouse_spark.operators.multimodal import (
+        image_near_dup_groups,
+        image_near_dup_pairs,
+        phash64,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    planted = []
+    mid = 0
+    for i in range(12):
+        base = rng.integers(0, 256, (8, 8)).astype(np.uint8)
+        img = base[np.arange(64) // 8][:, np.arange(64) // 8]
+        rows.append((mid, "png", phash64(img), 0))
+        if i < 4:  # plant a near-copy of the first four
+            rows.append((mid + 100, "png", phash64(_noisy(rng, img, 30)), 0))
+            planted.append((mid, mid + 100))
+        mid += 1
+    sigs = spark.createDataFrame(
+        rows, "media_id long, format string, phash long, dhash long"
+    )
+    got = {
+        (r.media_a, r.media_b)
+        for r in image_near_dup_pairs(sigs).collect()
+    }
+    for pair in planted:
+        assert pair in got, f"planted near-dup {pair} missed"
+    # precision: nothing between distinct random images
+    distinct_ids = {r[0] for r in rows if r[0] < 100}
+    assert not {
+        p for p in got if p[0] in distinct_ids and p[1] in distinct_ids
+    }
+
+    labels = {
+        r.id: r.label for r in image_near_dup_groups(sigs).collect()
+    }
+    for a, b in planted:
+        assert labels[a] == labels[b] == a  # canonical = component min
+    keepers = [i for i, lab in labels.items() if i == lab]
+    assert len(keepers) == 12  # 8 singletons + 4 two-image components
+
+
+def test_image_signatures_cover_both_formats(spark):
+    """Every png AND jpeg image in the media table yields a signature —
+    the jpeg side proves the real entropy decode runs at table scale."""
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.operators.multimodal import (
+        build_media,
+        image_signatures,
+    )
+
+    sigs = image_signatures(spark, SF_DIR)
+    by_fmt = {r["format"]: r["n"] for r in sigs.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    media = build_media(spark, SF_DIR).filter(F.col("kind") == "image")
+    want = {r["format"]: r["n"] for r in media.groupBy("format").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert by_fmt == want and set(by_fmt) == {"png", "jpeg"}

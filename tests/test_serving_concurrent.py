@@ -1,0 +1,105 @@
+"""Concurrent serving (r5 verdict #5): the reference is a multi-client
+service (its optional flask-limiter, reference api/app.py:56-64, exists
+because many clients hit it at once). Drive N threads of mixed requests
+against ONE SparkSession app under FAIR scheduling and assert no
+cross-request interference — every response equals its single-client
+twin — plus a bounded tail latency relative to the single-client
+baseline measured in the same process (absolute bounds would flake on a
+shared box)."""
+
+from __future__ import annotations
+
+import json
+import statistics
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+
+from tests.conftest import SF_DIR
+
+N_THREADS = 8
+ROUNDS_PER_THREAD = 3
+PATHS = [
+    "/subdomains/cust1.net",
+    "/tld/rs?limit=5",
+    "/stats?date=1995-06-15",
+    "/size",
+]
+
+
+@pytest.fixture(scope="module")
+def app(spark, tmp_path_factory):
+    from ct_clickhouse_spark.cert_domains import write_cert_domains
+    from ct_clickhouse_spark.serving.app import create_app
+
+    path = str(tmp_path_factory.mktemp("serve_conc") / "cert_domains")
+    write_cert_domains(spark, SF_DIR, path)
+    app = create_app(spark, path)
+    app.config["TESTING"] = True
+    return app
+
+
+def test_fair_mode_active(spark):
+    assert spark.conf.get("spark.scheduler.mode") == "FAIR"
+
+
+def test_concurrent_clients_no_interference_and_bounded_tail(app):
+    # single-client truth + per-path baseline latency (warm)
+    baseline_body: dict[str, bytes] = {}
+    baseline_t: dict[str, float] = {}
+    solo = app.test_client()
+    for p in PATHS:
+        solo.get(p)  # warm (plan + broadcast caches)
+        t0 = time.time()
+        resp = solo.get(p)
+        baseline_t[p] = time.time() - t0
+        assert resp.status_code == 200
+        baseline_body[p] = resp.data
+
+    def worker(tid: int):
+        client = app.test_client()  # one client per thread, shared app
+        out = []
+        for r in range(ROUNDS_PER_THREAD):
+            p = PATHS[(tid + r) % len(PATHS)]
+            t0 = time.time()
+            resp = client.get(p)
+            out.append((p, resp.status_code, resp.data, time.time() - t0))
+        return out
+
+    with ThreadPoolExecutor(max_workers=N_THREADS) as pool:
+        results = [
+            item
+            for f in [pool.submit(worker, t) for t in range(N_THREADS)]
+            for item in f.result()
+        ]
+
+    assert len(results) == N_THREADS * ROUNDS_PER_THREAD
+    lat = []
+    for p, status, body, dt in results:
+        assert status == 200
+        # no cross-request interference: byte-equal to the solo response
+        assert body == baseline_body[p], f"{p} diverged under concurrency"
+        lat.append(dt / max(baseline_t[p], 1e-3))
+
+    # tail bound: with FAIR sharing 8 threads x equal work, a healthy
+    # p95 slowdown is O(N_THREADS); 6x headroom on top absorbs shared-
+    # box noise while still catching head-of-line serialization (which
+    # would show up as ~N_THREADS*ROUNDS slowdowns for late requests).
+    p95 = statistics.quantiles(lat, n=20)[-1]
+    assert p95 < 6 * N_THREADS, f"p95 slowdown {p95:.1f}x vs solo baseline"
+
+
+def test_concurrent_stats_json_parses_consistently(app):
+    """Parsed-content variant: concurrent /stats payloads all carry the
+    same daily aggregate values (guards against a torn read if a future
+    change reintroduces shared mutable per-request state)."""
+    client = app.test_client()
+    want = json.loads(client.get("/stats?date=1995-06-15").data)
+
+    def one(_):
+        return json.loads(app.test_client().get("/stats?date=1995-06-15").data)
+
+    with ThreadPoolExecutor(max_workers=N_THREADS) as pool:
+        got = list(pool.map(one, range(N_THREADS * 2)))
+    assert all(g == want for g in got)

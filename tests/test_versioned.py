@@ -121,3 +121,53 @@ def test_prune_keep_never_deletes_current(spark, tmp_path):
     V.rewrite_versioned(spark, root, spark.createDataFrame([(2,)], "id long"))
     V.prune_versions(spark, root, keep=0)  # clamped to 1
     assert sorted(r.id for r in V.read_versioned(spark, root).collect()) == [2]
+
+
+def test_time_travel_pinned_reads(spark, tmp_path):
+    """v1..v3 committed: each version pin-readable and byte-stable,
+    pinned reads of pruned versions fail LOUDLY (never silent fallback),
+    and retention keep=N bounds what is travel-able."""
+    from ct_clickhouse_spark.plans import versioned as V
+
+    root = str(tmp_path / "tt")
+    V.init_versioned(spark, root, spark.createDataFrame([(1,)], "id long"))
+    V.rewrite_versioned(
+        spark, root, spark.createDataFrame([(2,), (3,)], "id long"), keep=3
+    )
+    V.rewrite_versioned(
+        spark, root, spark.createDataFrame([(4,)], "id long"), keep=3
+    )
+    assert V.versions(spark, root) == [1, 2, 3]
+
+    def ids(version=None):
+        return sorted(
+            r.id for r in V.read_versioned(spark, root, version).collect()
+        )
+
+    assert ids() == [4]  # newest by default
+    assert ids(1) == [1] and ids(2) == [2, 3] and ids(3) == [4]
+
+    # a later rewrite never mutates pinned history inside retention
+    V.rewrite_versioned(
+        spark, root, spark.createDataFrame([(5,)], "id long"), keep=3
+    )
+    assert ids(2) == [2, 3] and ids(3) == [4] and ids(4) == [5]
+    assert V.versions(spark, root) == [2, 3, 4]  # v1 pruned (keep=3)
+
+    with pytest.raises(FileNotFoundError, match="pruned or never"):
+        V.read_versioned(spark, root, 1)
+    with pytest.raises(FileNotFoundError, match="no committed version 99"):
+        V.read_versioned(spark, root, 99)
+
+
+def test_time_travel_never_reads_uncommitted(spark, tmp_path):
+    """A crashed writer's directory is not a valid pin target."""
+    from ct_clickhouse_spark.plans import versioned as V
+
+    root = str(tmp_path / "ttu")
+    V.init_versioned(spark, root, spark.createDataFrame([(1,)], "id long"))
+    vpath = V.begin_version(spark, root)  # v2, never committed
+    spark.createDataFrame([(9,)], "id long").write.parquet(vpath)
+    assert V.versions(spark, root) == [1]
+    with pytest.raises(FileNotFoundError, match="never .*committed|was never"):
+        V.read_versioned(spark, root, 2)
