@@ -239,66 +239,41 @@ def jpeg_encode_gray(img: np.ndarray, quality: int = 75) -> bytes:
     )
 
 
-class _BitReader:
-    def __init__(self, data: bytes) -> None:
-        self.data = data
-        self.pos = 0
-        self.acc = 0
-        self.nbits = 0
-
-    def _fill(self) -> None:
-        # entropy data ends at any non-stuffed marker; past it we feed
-        # 1-bits (the decoder stops at the last block anyway)
-        if self.pos >= len(self.data):
-            self.acc = (self.acc << 8) | 0xFF
-            self.nbits += 8
-            return
-        b = self.data[self.pos]
-        self.pos += 1
-        if b == 0xFF:
-            nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
-            if nxt == 0x00:
-                self.pos += 1  # stuffed 0xFF data byte
-            else:  # a real marker: stop consuming
-                self.pos = len(self.data) + 1
-        self.acc = (self.acc << 8) | b
-        self.nbits += 8
-
-    def read_bit(self) -> int:
-        if self.nbits == 0:
-            self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
-
-    def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
-        return v
-
-
-def _build_decoder(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(length, code) -> symbol."""
-    table: dict[tuple[int, int], int] = {}
+def _build_decoder(bits: list[int], vals: list[int]):
+    """Flat 2^16 peek tables (classic fast-Huffman decode): for a 16-bit
+    lookahead window w, sym_tab[w] is the decoded symbol and len_tab[w]
+    its code length (0 => invalid code). Build cost is 162 vectorized
+    range fills; decode cost is ONE array lookup per symbol instead of a
+    Python call per BIT (the per-bit reader was the sf1 bottleneck)."""
+    sym_tab = np.zeros(1 << 16, dtype=np.int16)
+    len_tab = np.zeros(1 << 16, dtype=np.uint8)
     code = 0
     k = 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
-            table[(length, code)] = vals[k]
+            lo = code << (16 - length)
+            hi = (code + 1) << (16 - length)
+            sym_tab[lo:hi] = vals[k]
+            len_tab[lo:hi] = length
             code += 1
             k += 1
         code <<= 1
-    return table
+    return sym_tab, len_tab
 
 
-def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code = 0
-    for length in range(1, 17):
-        code = (code << 1) | br.read_bit()
-        sym = table.get((length, code))
-        if sym is not None:
-            return sym
-    raise ValueError("invalid Huffman code in JPEG scan data")
+def _peek16_all(data: bytes) -> np.ndarray:
+    """peek16[i] = the 16 bits starting at bit position i, for every bit
+    position of ``data`` — fully vectorized (8 shifted views of a
+    32-bit sliding window). Enables the table-driven decode loop to be
+    plain integer indexing with no per-bit Python work."""
+    x = np.frombuffer(data + b"\xff" * 4, dtype=np.uint8).astype(np.uint32)
+    v32 = (x[:-3] << 24) | (x[1:-2] << 16) | (x[2:-1] << 8) | x[3:]
+    n = len(data) * 8
+    out = np.empty(n, dtype=np.uint32)
+    for r in range(8):
+        lane = (v32 >> (16 - r)) & 0xFFFF
+        out[r::8] = lane[: len(out[r::8])]
+    return out
 
 
 def _extend(v: int, size: int) -> int:
@@ -382,18 +357,51 @@ def jpeg_decode_gray(payload: bytes) -> np.ndarray | None:
 
     h, w = dims
     bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    br = _BitReader(payload[scan_start:])
+
+    # entropy segment: ends at the first 0xFF followed by a non-zero
+    # byte (a real marker); stuffed 0xFF00 pairs collapse to 0xFF
+    arr = np.frombuffer(payload, dtype=np.uint8)[scan_start:]
+    ff = np.nonzero(arr == 0xFF)[0]
+    nxt = np.where(ff + 1 < len(arr), arr[np.minimum(ff + 1, len(arr) - 1)], 0xD9)
+    real_markers = ff[nxt != 0x00]
+    end = int(real_markers[0]) if len(real_markers) else len(arr)
+    seg = arr[:end]
+    drop = np.zeros(len(seg), dtype=bool)
+    if len(seg) > 1:
+        drop[1:] = (seg[:-1] == 0xFF) & (seg[1:] == 0x00)
+    destuffed = seg[~drop].tobytes()
+
+    peek = _peek16_all(destuffed)
+    dc_sym, dc_len = dc_tab
+    ac_sym, ac_len = ac_tab
+    n_bits = len(peek)
     out = np.zeros((bh * bw_, 64), dtype=np.int32)
     prev_dc = 0
+    i = 0
     try:
         for b in range(bh * bw_):
-            size = _huff_decode(br, dc_tab)
-            diff = _extend(br.read_bits(size), size) if size else 0
+            row = out[b]
+            wd = peek[i]
+            ln = dc_len[wd]
+            if ln == 0:
+                raise ValueError("invalid DC code")
+            size = int(dc_sym[wd])
+            i += ln
+            if size:
+                diff = _extend(int(peek[i]) >> (16 - size), size)
+                i += size
+            else:
+                diff = 0
             prev_dc += diff
-            out[b, 0] = prev_dc
+            row[0] = prev_dc
             k = 1
             while k < 64:
-                sym = _huff_decode(br, ac_tab)
+                wd = peek[i]
+                ln = ac_len[wd]
+                if ln == 0:
+                    raise ValueError("invalid AC code")
+                sym = int(ac_sym[wd])
+                i += ln
                 if sym == 0x00:  # EOB
                     break
                 if sym == 0xF0:  # ZRL
@@ -403,9 +411,12 @@ def jpeg_decode_gray(payload: bytes) -> np.ndarray | None:
                 k += run
                 if k > 63 or size == 0:
                     raise ValueError("corrupt AC run")
-                out[b, k] = _extend(br.read_bits(size), size)
+                row[k] = _extend(int(peek[i]) >> (16 - size), size)
+                i += size
                 k += 1
-    except ValueError:
+            if i > n_bits:
+                raise ValueError("scan data truncated")
+    except (ValueError, IndexError):
         return None
     nat = np.zeros((bh * bw_, 64), dtype=np.int32)
     nat[:, _ZZ] = out

@@ -48,6 +48,13 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Pandas-UDF batch size: the default 10000 rows is sized for
+        # scalar columns; the multimodal kernels carry ~50 KB binary
+        # payloads per row, where a 10k-row batch is ~500 MB of Arrow +
+        # pandas memory PER WORKER (observed worker deaths at sf1).
+        # 1024 keeps every batch O(50 MB) worst-case and costs nothing
+        # measurable on scalar-only UDFs (per-batch overhead is ~µs).
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "1024")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # FAIR scheduling: the serving layer (serving/app.py) runs many

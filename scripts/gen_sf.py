@@ -67,10 +67,13 @@ DAY_US = 86_400_000_000  # microseconds
 
 def _write(out: str, name: str, cols: dict, schema: pa.Schema) -> None:
     table = pa.table(cols, schema=schema)
-    pq.write_table(
-        table, os.path.join(out, f"{name}.parquet"), row_group_size=256 * 1024
-    )
-    print(f"  {name}: {table.num_rows} rows")
+    # Parquet row groups are Spark's split granularity: a table written
+    # as one huge group becomes ONE task no matter how many executors
+    # exist. Target >= 64 groups per table (bounded below at 1024 rows)
+    # so every fixture gives full parallelism at local[32] and beyond.
+    rg = max(1024, table.num_rows // 64)
+    pq.write_table(table, os.path.join(out, f"{name}.parquet"), row_group_size=rg)
+    print(f"  {name}: {table.num_rows} rows ({rg} rows/group)")
 
 
 def _ts_us(day0: str, us: np.ndarray) -> pa.Array:
