@@ -390,19 +390,39 @@ def _cell_scoped_pairs(assigned: DataFrame, threshold: float) -> DataFrame:
 
 
 # Deterministic SQL-portable cell assignment for the driver gate: cell =
-# the sign bits of the first GRID_CELL_BITS embedding components. The
+# the sign bits of the first _grid_bits(n) embedding components. The
 # k-means cells SemDeDup uses in production are deterministic but not
 # ANSI-SQL-expressible (Lloyd iterations), so the hard gate runs the SAME
 # cell-scoped machinery — assignment -> within-cell exact-cosine pairs ->
 # connected components -> keeper per group — over cells DuckDB can
 # recompute, while the k-means recall/soundness properties stay
 # pytest-gated (tests/test_semdedup.py).
+#
+# The bit count ADAPTS to the corpus (round 6 — the sf1 bench measured
+# 44 s for this section under the old fixed 3 bits: 8 cells of 2500
+# vectors each is a quadratic kernel regrowing the very problem
+# _adaptive_clusters solves for the k-means path). Same rule as there —
+# hold mean cell size ~SEMDEDUP_TARGET_CELL — but in INTEGER-EXACT form
+# both engines compute identically (no float log at a boundary):
+# bits = GRID_CELL_BITS + #{b in [GRID_CELL_BITS, GRID_MAX_BITS):
+#                           n > SEMDEDUP_TARGET_CELL * 2^b}.
+# Every fixture SF has n <= 8192 => bits = 3, so driver hashes are
+# unchanged; sf1's 20k vectors get 5 bits (32 cells, ~625/cell).
 GRID_CELL_BITS = 3
+GRID_MAX_BITS = 12
 
 
-def _grid_cell_col():
+def _grid_bits(n: int) -> int:
+    return GRID_CELL_BITS + sum(
+        1
+        for b in range(GRID_CELL_BITS, GRID_MAX_BITS)
+        if n > SEMDEDUP_TARGET_CELL << b
+    )
+
+
+def _grid_cell_col(bits: int):
     cell = F.lit(0)
-    for j in range(GRID_CELL_BITS):
+    for j in range(bits):
         cell = cell + F.when(
             F.element_at(F.col("embedding"), j + 1) >= 0, F.lit(1 << j)
         ).otherwise(F.lit(0))
@@ -415,8 +435,10 @@ def grid_cell_pairs(
     """Cell-scoped exact-cosine pairs over the deterministic sign-bit
     grid cells — the oracle-replayable stand-in for the k-means cell
     assignment, sharing ``_cell_scoped_pairs`` verbatim."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        _grid_cell_col().alias("cluster"), "vec_id", "embedding"
+    table = load_table(spark, sf_dir, "embeddings")
+    bits = _grid_bits(table.count())
+    emb = table.select(
+        _grid_cell_col(bits).alias("cluster"), "vec_id", "embedding"
     )
     return _cell_scoped_pairs(emb, threshold)
 
@@ -1407,11 +1429,23 @@ _COS_SQL = (
 )
 
 
+# The adaptive bit count, SQL dialect — the same integer-exact rule as
+# _grid_bits, computed once in a one-row CTE (gparams) the cell
+# expressions reference.
+_GRID_BITS_SQL = f"({GRID_CELL_BITS} + " + " + ".join(
+    f"CASE WHEN (SELECT count(*) FROM embeddings) > "
+    f"{SEMDEDUP_TARGET_CELL << b} THEN 1 ELSE 0 END"
+    for b in range(GRID_CELL_BITS, GRID_MAX_BITS)
+) + ")"
+
+
 def _GRID_CELL_SQL(alias: str) -> str:
-    """The sign-bit grid cell of _grid_cell_col, DuckDB dialect."""
+    """The sign-bit grid cell of _grid_cell_col, DuckDB dialect, with
+    the adaptive width read from the gparams CTE."""
     return " + ".join(
-        f"CASE WHEN {alias}.embedding[{j + 1}] >= 0 THEN {1 << j} ELSE 0 END"
-        for j in range(GRID_CELL_BITS)
+        f"CASE WHEN {j} < gparams.bits AND {alias}.embedding[{j + 1}] >= 0 "
+        f"THEN {1 << j} ELSE 0 END"
+        for j in range(GRID_MAX_BITS)
     )
 
 ORACLES = {
@@ -1457,9 +1491,13 @@ ORACLES = {
             SELECT vec_id, vec_id FROM embeddings
             UNION
             SELECT e.id_a, reach.r FROM edges e JOIN reach ON e.id_b = reach.id
+        ), gparams AS (
+            SELECT {_GRID_BITS_SQL} AS bits
         ), cpairs AS (
             SELECT a.vec_id AS id_a, b.vec_id AS id_b
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            FROM embeddings a
+            JOIN embeddings b ON a.vec_id < b.vec_id
+            CROSS JOIN gparams
             WHERE ({_GRID_CELL_SQL('a')}) = ({_GRID_CELL_SQL('b')})
               AND round({_COS_SQL}, 4) >= {PAIR_THRESHOLD}
         ), cedges AS (

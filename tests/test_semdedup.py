@@ -82,3 +82,60 @@ def test_adaptive_cluster_count_bounds_cell_size(spark):
     assert big / k <= SEMDEDUP_TARGET_CELL
     # fixture-scale centroid count unchanged
     assert _ivf_centroids(spark, SF_DIR).shape[0] == IVF_CLUSTERS
+
+
+def test_grid_bits_python_and_sql_rules_agree(duck):
+    """The adaptive grid width must be INTEGER-IDENTICAL in both
+    engines for any corpus size — replay the SQL counting rule on a
+    sweep of n including every boundary (n = 1024*2^b and +/-1)."""
+    from ct_clickhouse_spark.operators.similarity import (
+        GRID_CELL_BITS,
+        GRID_MAX_BITS,
+        SEMDEDUP_TARGET_CELL,
+        _grid_bits,
+    )
+
+    for b in range(GRID_CELL_BITS, GRID_MAX_BITS):
+        edge = SEMDEDUP_TARGET_CELL << b
+        for n in (edge - 1, edge, edge + 1):
+            sql_bits = duck.execute(
+                f"SELECT {GRID_CELL_BITS} + "
+                + " + ".join(
+                    f"CASE WHEN {n} > {SEMDEDUP_TARGET_CELL << bb} "
+                    f"THEN 1 ELSE 0 END"
+                    for bb in range(GRID_CELL_BITS, GRID_MAX_BITS)
+                )
+            ).fetchone()[0]
+            assert sql_bits == _grid_bits(n), n
+    # fixture SFs all stay at the minimum width (hash stability)
+    assert _grid_bits(8192) == GRID_CELL_BITS
+
+
+def test_grid_cells_bound_cell_size_at_scale(spark):
+    """At 20k synthetic vectors the adaptive width must engage (5 bits)
+    and no cell may exceed a few times the target size."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.operators.similarity import (
+        SEMDEDUP_TARGET_CELL,
+        _grid_bits,
+        _grid_cell_col,
+    )
+
+    n = 20_000
+    assert _grid_bits(n) == 5
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(n, 8)).astype(float)
+    df = spark.createDataFrame(
+        [(i, v.tolist()) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    sizes = [
+        r.n
+        for r in df.select(_grid_cell_col(_grid_bits(n)).alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    ]
+    assert max(sizes) < 4 * SEMDEDUP_TARGET_CELL
