@@ -956,16 +956,23 @@ def doc_sketch_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit perceptual pHash/dHash of the real decoded pixels
     (operators/multimodal.py: png full-unfilter decode, jpeg real
     baseline Huffman+IDCT decode), completing the sketch family for the
-    image modality (r5 verdict #4). NULL for non-image documents."""
-    from .multimodal import image_signatures
+    image modality (r5 verdict #4) — and for AUDIO documents the 64-bit
+    spectral-sign fingerprint over the real decoded PCM
+    (audio_fingerprint64, Haitsma-Kalker design). NULL outside each
+    modality."""
+    from .multimodal import audio_signatures, image_signatures
 
     phashes = image_signatures(spark, sf_dir).select(
         F.col("media_id").alias("doc_id"), "phash", "dhash"
+    )
+    afps = audio_signatures(spark, sf_dir).select(
+        F.col("media_id").alias("doc_id"), "afp"
     )
     return (
         doc_minhash_signatures(spark, sf_dir)
         .join(doc_simhash(spark, sf_dir), "doc_id")
         .join(F.broadcast(phashes), "doc_id", "left")
+        .join(F.broadcast(afps), "doc_id", "left")
     )
 
 
@@ -1033,6 +1040,8 @@ def lsh_pairs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (expected pairwise Hamming ~32); planted-duplicate recall is
     # pinned in tests/test_multimodal.py.
     from .multimodal import (
+        audio_near_dup_pairs,
+        audio_signatures,
         image_near_dup_groups,
         image_near_dup_pairs,
         image_signatures,
@@ -1051,12 +1060,22 @@ def lsh_pairs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("id_b"),
         F.when(F.col("id") == F.col("label"), 1.0).otherwise(0.0).alias("score"),
     )
+    # family='afp': AUDIO near-dups over the real decoded PCM via the
+    # spectral-sign fingerprint (same Hamming band-join; groups stay a
+    # tested API — audio_near_dup_groups — to bound slot cost)
+    af = audio_near_dup_pairs(audio_signatures(spark, sf_dir)).select(
+        F.lit("afp").alias("family"),
+        F.col("media_a").alias("id_a"),
+        F.col("media_b").alias("id_b"),
+        F.col("hamming").cast("double").alias("score"),
+    )
     return (
         mh.unionByName(hp)
         .unionByName(sd)
         .unionByName(inc)
         .unionByName(ph)
         .unionByName(pg)
+        .unionByName(af)
     )
 
 
@@ -1290,6 +1309,13 @@ SECTIONS = {
         ).semdedup_pairs(s, d),
         "phash": lambda s, d: (
             lambda mm: mm.image_near_dup_pairs(mm.image_signatures(s, d))
+        )(
+            __import__(
+                "ct_clickhouse_spark.operators.multimodal", fromlist=["x"]
+            )
+        ),
+        "afp": lambda s, d: (
+            lambda mm: mm.audio_near_dup_pairs(mm.audio_signatures(s, d))
         )(
             __import__(
                 "ct_clickhouse_spark.operators.multimodal", fromlist=["x"]

@@ -366,6 +366,21 @@ def wav_parse_header(payload: bytes) -> tuple[int, int, int, int] | None:
     return rate, channels, bits, data_len // block_align
 
 
+def wav_decode_samples(payload: bytes):
+    """REAL PCM sample decode for mono 16-bit WAVs: parse the RIFF
+    headers (wav_parse_header), then read the little-endian int16 data
+    chunk. Returns a numpy int16 array, or None for non-PCM input."""
+    import numpy as np
+
+    parsed = wav_parse_header(payload)
+    if parsed is None:
+        return None
+    rate, channels, bits, n_samples = parsed
+    if channels != 1 or bits != 16:
+        return None  # our encode shape; stereo/8-bit would interleave
+    return np.frombuffer(payload, dtype="<i2", offset=44, count=n_samples)
+
+
 @F.pandas_udf(BinaryType())
 def _png_payload_udf(text: pd.Series, width: pd.Series, height: pd.Series) -> pd.Series:
     return pd.Series(
@@ -966,10 +981,20 @@ def image_near_dup_pairs(
     hash_col: str = "phash",
     max_hamming: int = PHASH_MAX_HAMMING,
 ) -> DataFrame:
-    """(media_a, media_b, hamming) pairs within ``max_hamming`` bits —
-    band-join candidates (8 bytes per hash; pigeonhole guarantees full
-    recall for max_hamming < 8) verified with an exact JVM
-    bit_count(XOR). Never all-pairs: the join key is (band, byte)."""
+    """Image-modality entry point over ``hamming_near_dup_pairs``."""
+    return hamming_near_dup_pairs(signatures, hash_col, max_hamming=max_hamming)
+
+
+def hamming_near_dup_pairs(
+    signatures: DataFrame,
+    hash_col: str,
+    max_hamming: int = PHASH_MAX_HAMMING,
+) -> DataFrame:
+    """(media_a, media_b, hamming) pairs within ``max_hamming`` bits of
+    any 64-bit perceptual signature column (pHash, dHash, audio
+    fingerprint...) — band-join candidates (8 bytes per hash; pigeonhole
+    guarantees full recall for max_hamming < 8) verified with an exact
+    JVM bit_count(XOR). Never all-pairs: the join key is (band, byte)."""
     if not 0 <= max_hamming < _PHASH_BANDS:
         raise ValueError(
             f"banding guarantees recall only for max_hamming < {_PHASH_BANDS}"
@@ -1019,6 +1044,119 @@ def image_near_dup_groups(
     from .similarity import label_propagate
 
     pairs = image_near_dup_pairs(signatures, max_hamming=max_hamming)
+    ids = signatures.select(F.col("media_id").alias("id"))
+    return label_propagate(
+        ids,
+        pairs.select(
+            F.col("media_a").alias("id_a"), F.col("media_b").alias("id_b")
+        ),
+    )
+
+
+# ---- Audio fingerprint near-dup (round 6) ---------------------------------
+#
+# The audio member of the perceptual near-dup matrix, the same shape as
+# pHash: a 64-bit content signature robust to small perturbations,
+# banded into the shared Hamming band-join. The kernel follows the
+# public Haitsma & Kalker 2002 design ("A Highly Robust Audio
+# Fingerprinting System"): frame the clip, take per-frame spectral BAND
+# ENERGIES, and emit the SIGNS of the band-energy differences
+# differentiated across both band and time — sign patterns survive
+# noise, gain changes, and re-encoding that raw energies do not.
+# Haitsma-Kalker emits 32 bits per overlapping frame for subsequence
+# search; this clip-level variant uses 9 frames x 9 bands -> an 8x8
+# sign matrix = one 64-bit signature per clip (the whole-clip dedup
+# shape, like pHash's 8x8 DCT block).
+
+AFP_FRAMES = 9  # 9 frames -> 8 time-derivatives
+AFP_BANDS = 9  # 9 bands -> 8 band-differences
+
+
+def audio_fingerprint64(samples) -> int:
+    """64-bit clip fingerprint of an int16 PCM sample array."""
+    import numpy as np
+
+    x = np.asarray(samples, dtype=np.float64)
+    if x.size < AFP_FRAMES:
+        x = np.pad(x, (0, AFP_FRAMES - x.size))
+    n = x.size // AFP_FRAMES
+    frames = x[: n * AFP_FRAMES].reshape(AFP_FRAMES, n)
+    spec = np.abs(np.fft.rfft(frames, axis=1)) ** 2
+    nb = spec.shape[1]
+    if nb < AFP_BANDS + 1:  # degenerate tiny clips: pad the spectrum
+        spec = np.pad(spec, ((0, 0), (0, AFP_BANDS + 1 - nb)))
+        nb = AFP_BANDS + 1
+    # geometric band edges (perceptual spacing), forced strictly
+    # increasing and 0-based so reduceat sees valid starts
+    edges = np.round(np.geomspace(1, nb, AFP_BANDS + 1)).astype(int)
+    edges = np.maximum(edges, np.arange(AFP_BANDS + 1) + 1) - 1
+    energies = np.add.reduceat(spec, edges[:-1], axis=1)
+    band_diff = energies[:, :-1] - energies[:, 1:]  # (frames, bands-1)
+    signs = (band_diff[1:] - band_diff[:-1]) > 0  # (8, 8)
+    bits = 0
+    for i, b in enumerate(signs.reshape(-1)[:64]):
+        if b:
+            bits |= 1 << i
+    return _to_i64(bits)
+
+
+AFP_SCHEMA = StructType(
+    [StructField("media_id", LongType()), StructField("afp", LongType())]
+)
+
+_AFP_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
+def audio_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, afp) for every decodable audio clip in the media table
+    — REAL PCM decode (wav_decode_samples) + the spectral-sign kernel.
+    Cached per (session, sf) like the image signatures."""
+    from ..catalog import _session_key
+
+    ckey = (_session_key(spark), sf_dir)
+    hit = _AFP_CACHE.get(ckey)
+    if hit is not None:
+        return hit
+
+    def _sign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = wav_decode_samples(bytes(payload))
+                if samples is None or samples.size == 0:
+                    continue
+                out.append(
+                    {"media_id": mid, "afp": audio_fingerprint64(samples)}
+                )
+            yield pd.DataFrame(out, columns=["media_id", "afp"])
+
+    media = (
+        build_media(spark, sf_dir)
+        .filter(F.col("kind") == "audio")
+        .select("media_id", "payload")
+    )
+    sigs = media.mapInPandas(_sign, AFP_SCHEMA).persist()
+    sigs.count()
+    return _bounded_cache_put(
+        _AFP_CACHE, ckey, sigs, release=lambda v: v.unpersist()
+    )
+
+
+def audio_near_dup_pairs(
+    signatures: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Audio near-dup pairs via the shared Hamming band-join."""
+    return hamming_near_dup_pairs(signatures, "afp", max_hamming=max_hamming)
+
+
+def audio_near_dup_groups(
+    signatures: DataFrame, max_hamming: int = PHASH_MAX_HAMMING
+) -> DataFrame:
+    """Connected components over audio near-dup pairs (shared
+    pointer-doubled label propagation; keeper = component minimum)."""
+    from .similarity import label_propagate
+
+    pairs = audio_near_dup_pairs(signatures, max_hamming=max_hamming)
     ids = signatures.select(F.col("media_id").alias("id"))
     return label_propagate(
         ids,

@@ -452,3 +452,99 @@ def test_image_signatures_cover_both_formats(spark):
     want = {r["format"]: r["n"] for r in media.groupBy("format").agg(
         F.count(F.lit(1)).alias("n")).collect()}
     assert by_fmt == want and set(by_fmt) == {"png", "jpeg"}
+
+
+def test_audio_fingerprint_robust_to_noise_and_gain():
+    """The spectral-sign fingerprint must survive additive noise and
+    gain scaling (the Haitsma-Kalker robustness properties) while
+    distinct clips land far apart."""
+    import numpy as np
+
+    from ct_clickhouse_spark.operators.multimodal import audio_fingerprint64
+
+    rng = np.random.default_rng(5)
+    t = np.arange(4000)
+    clip = (
+        3000 * np.sin(2 * np.pi * t / 50)
+        + 2000 * np.sin(2 * np.pi * t / 13)
+        + 500 * rng.normal(size=t.size)
+    ).astype(np.int16)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    base = audio_fingerprint64(clip)
+    # noise at ~2% of signal amplitude sits inside the default Hamming-6
+    # ball; heavier corruption costs bits roughly linearly (the
+    # ball radius trades recall against noise amplitude)
+    noisy = (clip + 80 * rng.normal(size=clip.size)).astype(np.int16)
+    assert ham(base, audio_fingerprint64(noisy)) <= 6
+    scaled = (clip * 0.7).astype(np.int16)  # gain change: signs invariant
+    assert ham(base, audio_fingerprint64(scaled)) <= 6
+    other = (
+        3000 * np.sin(2 * np.pi * t / 37)
+        + 2000 * np.sin(2 * np.pi * t / 7)
+        + 500 * rng.normal(size=t.size)
+    ).astype(np.int16)
+    assert ham(base, audio_fingerprint64(other)) > 10
+
+
+def test_audio_near_dup_planted_recall(spark):
+    """Band-join recall over planted noisy audio copies; precision over
+    distinct clips; groups keep one representative per component."""
+    import numpy as np
+
+    from ct_clickhouse_spark.operators.multimodal import (
+        audio_fingerprint64,
+        audio_near_dup_groups,
+        audio_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(9)
+    t = np.arange(3000)
+    rows, planted = [], []
+    for i in range(10):
+        clip = (
+            3000 * np.sin(2 * np.pi * t / (11 + 6 * i))
+            + 1500 * np.sin(2 * np.pi * t / (5 + i))
+            + 400 * rng.normal(size=t.size)
+        ).astype(np.int16)
+        rows.append((i, audio_fingerprint64(clip)))
+        if i < 3:
+            noisy = (clip + 80 * rng.normal(size=t.size)).astype(np.int16)
+            rows.append((i + 100, audio_fingerprint64(noisy)))
+            planted.append((i, i + 100))
+    sigs = spark.createDataFrame(rows, "media_id long, afp long")
+    got = {(r.media_a, r.media_b) for r in audio_near_dup_pairs(sigs).collect()}
+    for pair in planted:
+        assert pair in got, f"planted audio near-dup {pair} missed"
+    base_ids = {r[0] for r in rows if r[0] < 100}
+    assert not {p for p in got if p[0] in base_ids and p[1] in base_ids}
+    labels = {r.id: r.label for r in audio_near_dup_groups(sigs).collect()}
+    for a, b in planted:
+        assert labels[a] == labels[b] == a
+
+
+def test_audio_signatures_cover_every_audio_row(spark):
+    """Every audio row in the media table yields a fingerprint — the
+    real PCM decode runs at table scale."""
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.operators.multimodal import (
+        audio_signatures,
+        build_media,
+        wav_decode_samples,
+        wav_encode,
+    )
+
+    # decode inverts encode exactly: samples are (byte-128)<<8
+    payload = wav_encode(b"decode me", 8000)
+    got = wav_decode_samples(payload)
+    want = [(b - 128) << 8 for b in b"decode me"]
+    assert got.tolist() == want
+
+    n_sigs = audio_signatures(spark, SF_DIR).count()
+    n_audio = (
+        build_media(spark, SF_DIR).filter(F.col("kind") == "audio").count()
+    )
+    assert n_sigs == n_audio > 0
