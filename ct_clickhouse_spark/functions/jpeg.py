@@ -179,6 +179,8 @@ def jpeg_encode_gray(img: np.ndarray, quality: int = 75) -> bytes:
     h, w = img.shape
     if h == 0 or w == 0:
         raise ValueError("empty image")
+    if h > 65535 or w > 65535:
+        raise ValueError("JPEG dimensions are 16-bit (max 65535)")
     q = _quant_table(quality)
     ph, pw = -h % 8, -w % 8
     padded = np.pad(img, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
@@ -287,8 +289,17 @@ def jpeg_decode_gray(payload: bytes) -> np.ndarray | None:
     None if the stream isn't a decodable baseline grayscale JPEG."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
+    try:
+        return _decode_gray_checked(payload)
+    except (ValueError, IndexError, struct.error):
+        # malformed tables/segments (truncated DHT, short DQT, corrupt
+        # lengths) — a decoder returns None for garbage, it doesn't throw
+        return None
+
+
+def _decode_gray_checked(payload: bytes) -> np.ndarray | None:
     qtables: dict[int, np.ndarray] = {}
-    htables: dict[int, dict[tuple[int, int], int]] = {}
+    htables: dict[int, tuple[np.ndarray, np.ndarray]] = {}
     dims = None
     comp = None  # (component id, qtable id)
     i = 2
