@@ -131,6 +131,54 @@ _FRAME_API = {
         "ct_clickhouse_spark.streaming.joins",
         "stream_interval_join",
     ),
+    "cms_build": ("ct_clickhouse_spark.operators.sketches", "cms_build"),
+    "cms_estimate": ("ct_clickhouse_spark.operators.sketches", "cms_estimate"),
+    "backfill_rollup_cms": (
+        "ct_clickhouse_spark.streaming.rollup",
+        "backfill_rollup_cms",
+    ),
+    "range_freq": ("ct_clickhouse_spark.streaming.rollup", "range_freq"),
+    "init_versioned": ("ct_clickhouse_spark.plans.versioned", "init_versioned"),
+    "rewrite_versioned": (
+        "ct_clickhouse_spark.plans.versioned",
+        "rewrite_versioned",
+    ),
+    "read_versioned": ("ct_clickhouse_spark.plans.versioned", "read_versioned"),
+    "prune_versions": ("ct_clickhouse_spark.plans.versioned", "prune_versions"),
+    "versions": ("ct_clickhouse_spark.plans.versioned", "versions"),
+    # media codecs (all real: containers AND content)
+    "png_encode": ("ct_clickhouse_spark.operators.multimodal", "png_encode"),
+    "png_decode_pixels": (
+        "ct_clickhouse_spark.operators.multimodal",
+        "png_decode_pixels",
+    ),
+    "jpeg_encode_gray": ("ct_clickhouse_spark.functions.jpeg", "jpeg_encode_gray"),
+    "jpeg_decode_gray": ("ct_clickhouse_spark.functions.jpeg", "jpeg_decode_gray"),
+    "jpeg_parse_sof": (
+        "ct_clickhouse_spark.operators.multimodal",
+        "jpeg_parse_sof",
+    ),
+    "wav_encode": ("ct_clickhouse_spark.operators.multimodal", "wav_encode"),
+    "wav_decode_samples": (
+        "ct_clickhouse_spark.operators.multimodal",
+        "wav_decode_samples",
+    ),
+    "mp4_encode": ("ct_clickhouse_spark.operators.multimodal", "mp4_encode"),
+    "mp4_parse_mvhd": (
+        "ct_clickhouse_spark.operators.multimodal",
+        "mp4_parse_mvhd",
+    ),
+    # perceptual near-dup kernels + the shared Hamming band-join
+    "phash64": ("ct_clickhouse_spark.operators.multimodal", "phash64"),
+    "dhash64": ("ct_clickhouse_spark.operators.multimodal", "dhash64"),
+    "audio_fingerprint64": (
+        "ct_clickhouse_spark.operators.multimodal",
+        "audio_fingerprint64",
+    ),
+    "hamming_near_dup_pairs": (
+        "ct_clickhouse_spark.operators.multimodal",
+        "hamming_near_dup_pairs",
+    ),
 }
 
 
