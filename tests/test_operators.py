@@ -365,6 +365,42 @@ def test_sq8_codes_are_int8_and_candidates_prune(spark):
     assert similarity.TOPK * similarity.SQ8_REFINE < n
 
 
+def test_salted_join_hot_path_equals_plain_join(spark):
+    """Partial salting under PLANTED skew: the hot key must be detected,
+    routed through the salted branch, and the result must stay
+    row-identical to the plain inner join (including NULL keys dropping
+    on both paths and cold keys joining unsalted)."""
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.operators.relational import (
+        detect_hot_keys,
+        salted_join,
+    )
+
+    big = spark.range(10_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7))
+        .when(F.col("id") % 997 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("id") % 500)
+        .alias("bk"),
+        (F.col("id") % 13).alias("bv"),
+    )
+    small = spark.range(500).select(
+        F.col("id").alias("sk"), (F.col("id") % 7).alias("m")
+    ).unionAll(
+        spark.range(3).select(F.lit(7).alias("sk"), F.col("id").alias("m"))
+    )
+    hot = detect_hot_keys(big, "bk", hot_threshold=1000)
+    assert hot == [7], hot
+    plain = big.join(small, big.bk == small.sk)
+    salted = salted_join(big, small, "bk", "sk", n_salt=4, hot_threshold=1000)
+    cols = ["bk", "bv", "sk", "m"]
+    assert salted.count() == plain.count()
+    assert (
+        plain.select(cols).exceptAll(salted.select(cols)).count() == 0
+        and salted.select(cols).exceptAll(plain.select(cols)).count() == 0
+    )
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting must be a pure physical rewrite: same rows out."""
     from pyspark.sql import functions as F
