@@ -91,6 +91,36 @@ def create_app(spark: SparkSession, table_path: str):
         # e2e stream-serving test pins the freshness)
         return spark.read.parquet(table_path)
 
+    # FAIR scheduling is per-POOL: spark.scheduler.mode=FAIR alone puts
+    # every job in the single "default" pool, whose internal order is
+    # FIFO — a heavy /stats scan would still head-of-line block every
+    # point lookup queued behind it. A DISTINCT pool per request makes
+    # the fair share apply between requests (pools are created on demand
+    # with default weight/minShare; no allocation file needed). The
+    # property is thread-local (Flask handles each request on its own
+    # worker thread) and cleared on teardown so the thread's next
+    # request starts clean.
+    import itertools
+
+    req_ids = itertools.count()
+
+    @app.before_request
+    def set_scheduler_pool():
+        spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", f"req-{next(req_ids)}"
+        )
+
+    @app.after_request
+    def expose_scheduler_pool(resp):
+        pool = spark.sparkContext.getLocalProperty("spark.scheduler.pool")
+        if pool:
+            resp.headers["X-Scheduler-Pool"] = pool
+        return resp
+
+    @app.teardown_request
+    def clear_scheduler_pool(exc=None):
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
     @app.before_request
     def restrict_by_ip():  # app.py:42-53 parity
         if allowed_ips is None:

@@ -44,6 +44,71 @@ def test_fair_mode_active(spark):
     assert spark.conf.get("spark.scheduler.mode") == "FAIR"
 
 
+def test_each_request_gets_its_own_fair_pool(app, spark):
+    """FAIR mode alone is not enough: with every job in the single
+    default pool the intra-pool order is FIFO. Each request must run in
+    a DISTINCT pool (exposed via X-Scheduler-Pool) and the handler
+    thread's pool property must be cleared after the request."""
+    client = app.test_client()
+    pools = set()
+    for _ in range(3):
+        resp = client.get("/size")
+        assert resp.status_code == 200
+        pool = resp.headers.get("X-Scheduler-Pool")
+        assert pool and pool.startswith("req-"), pool
+        pools.add(pool)
+    assert len(pools) == 3, f"pool reuse across requests: {pools}"
+    # the test client runs handlers on this thread: property must be gone
+    assert spark.sparkContext.getLocalProperty("spark.scheduler.pool") is None
+
+
+def test_fair_pools_prevent_head_of_line_blocking(spark):
+    """The property the serving fix exists for, measured at the Spark
+    level where it is deterministic: a multi-wave slow job saturates all
+    task slots from pool A; a tiny job submitted from pool B must finish
+    while the slow job is still running (FAIR gives it a share of the
+    slots at the next wave boundary). Under FIFO-in-one-pool the tiny
+    job's task queues behind every remaining slow-job task and finishes
+    only with the slow job."""
+    import threading
+    import time
+
+    sc = spark.sparkContext
+    cores = sc.defaultParallelism
+    waves, wave_s = 4, 0.5
+
+    def slow():
+        sc.setLocalProperty("spark.scheduler.pool", "hol-slow")
+        try:
+            (
+                spark.range(cores * waves)
+                .repartition(cores * waves)
+                .rdd.foreachPartition(lambda it: time.sleep(wave_s))
+            )
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+
+    t_slow = threading.Thread(target=slow)
+    t_slow.start()
+    time.sleep(wave_s * 0.6)  # land inside the slow job's first wave
+    sc.setLocalProperty("spark.scheduler.pool", "hol-fast")
+    try:
+        t0 = time.time()
+        assert spark.range(10).count() == 10
+        fast_elapsed = time.time() - t0
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", None)
+    slow_running = t_slow.is_alive()
+    t_slow.join(timeout=waves * wave_s * 10)
+    assert slow_running, "slow job finished too early to exercise the race"
+    # FIFO would queue the tiny job behind ~3 remaining waves (>= 1.5s);
+    # FAIR schedules it at the next wave boundary (<= ~1 wave + overhead)
+    assert fast_elapsed < waves * wave_s * 0.6, (
+        f"point lookup took {fast_elapsed:.2f}s behind a "
+        f"{waves * wave_s:.1f}s scan: head-of-line blocking"
+    )
+
+
 def test_concurrent_clients_no_interference_and_bounded_tail(app):
     # single-client truth + per-path baseline latency (warm)
     baseline_body: dict[str, bytes] = {}
