@@ -203,13 +203,22 @@ def delete_where(
             "Hive layout — versioned tables take the unpartitioned path"
         )
 
-    # partition-scoped path: one pruned scan for affected partitions
-    affected = (
-        df.filter(cond)
-        .groupBy(partition_col)
-        .agg(F.count(F.lit(1)).alias("_n_del"))
+    # partition-scoped path: ONE scan computes, per partition, both the
+    # match count and the total row count — affected partitions, the
+    # delete total, AND which partitions end up empty all fall out of
+    # this single aggregate (a separate post-checkpoint distinct over
+    # the survivors would be a whole extra job for information the
+    # first scan already saw; map-side combine keeps the aggregate a
+    # per-partition handful of counters at any scale)
+    stats = (
+        df.groupBy(partition_col)
+        .agg(
+            F.count(F.when(cond, F.lit(1))).alias("_n_del"),
+            F.count(F.lit(1)).alias("_n_tot"),
+        )
         .collect()
     )
+    affected = [r for r in stats if int(r._n_del) > 0]
     if not affected:
         return 0, 0
     n_del = sum(int(r._n_del) for r in affected)
@@ -228,7 +237,8 @@ def delete_where(
     survivors = scoped.filter(~cond).localCheckpoint(eager=True)
     surviving_values = {
         r[partition_col]
-        for r in survivors.select(partition_col).distinct().collect()
+        for r in affected
+        if int(r._n_del) < int(r._n_tot)
     }
     if surviving_values:
         (
@@ -361,6 +371,7 @@ def merge_upsert(
     key_cols: list[str],
     partition_col: str,
     version_col: str | None = None,
+    partition_values: list | None = None,
 ) -> tuple[int, int]:
     """Upsert a batch into a partitioned table — the
     ReplacingMergeTree merge analog (ClickHouse dedups rows sharing the
@@ -385,7 +396,13 @@ def merge_upsert(
     that is a delete + insert, not an upsert. Returns
     (rows_applied, partitions_rewritten) — rows_applied counts update
     rows that actually WON their key (a stale lower-version row applies
-    nothing and is not counted)."""
+    nothing and is not counted).
+
+    ``partition_values``: the distinct partition values of the update
+    batch, when the caller already knows them (a repeat-merge pipeline
+    that prepared the batch). Skips the distinct+collect discovery job;
+    the caller owns correctness — a value missing from the list makes
+    the merge treat that slice of the batch as if it weren't there."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
@@ -396,10 +413,14 @@ def merge_upsert(
             "merge_upsert: the partition-scoped merge operates on the "
             "plain Hive layout, not a versioned table root"
         )
-    values = [
-        r[partition_col]
-        for r in updates.select(partition_col).distinct().collect()
-    ]
+    values = (
+        list(partition_values)
+        if partition_values is not None
+        else [
+            r[partition_col]
+            for r in updates.select(partition_col).distinct().collect()
+        ]
+    )
     if not values:
         return 0, 0
     if any(v is None for v in values):

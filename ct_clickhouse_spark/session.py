@@ -23,6 +23,58 @@ def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def small_job_shuffle(spark: SparkSession, partitions: int = 4):
+    """Scope ``spark.sql.shuffle.partitions`` down for a block of SMALL
+    jobs (maintenance mutations over a few thousand rows), restoring the
+    session value afterwards.
+
+    Why not leave it to AQE: AQE coalesces reduce partitions only for
+    plans it re-plans; ``localCheckpoint``/RDD-materialization paths (the
+    mutation operators' read-before-overwrite barrier) still launch the
+    full ``shuffle.partitions`` task count, and on a warm 32-core session
+    the per-task scheduling overhead dwarfs the data (measured: the
+    merge_upsert window job on 14k rows drops 1.45 s -> 0.68 s at 4
+    partitions). On a real cluster the same reasoning holds per job
+    size — a mutation that touches a 0.1% key slice should not inherit
+    the corpus-sized shuffle width. NOT thread-safe with concurrent job
+    submission on the same session (batch/bench paths submit serially;
+    the serving layer never runs mutations)."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+_SMALL_SESSION_CACHE: dict[int, SparkSession] = {}
+
+
+def get_small_job_session(
+    spark: SparkSession, partitions: int = 4
+) -> SparkSession:
+    """A config-clone of ``spark`` (same SparkContext, same cached data,
+    own SQLConf) with a small shuffle width — for maintenance jobs over
+    key slices a corpus-wide shuffle width would drown in task-scheduling
+    overhead (see ``small_job_shuffle``). Unlike the context manager this
+    never mutates the caller's conf, so small jobs can run CONCURRENTLY
+    with corpus-sized jobs on the main session (FAIR scheduler) — the
+    per-workload-SQLConf pattern ``SparkSession.newSession`` exists for.
+    Cached per parent session."""
+    key = id(spark)
+    hit = _SMALL_SESSION_CACHE.get(key)
+    if hit is not None:
+        return hit
+    clone = spark.newSession()
+    clone.conf.set("spark.sql.shuffle.partitions", str(partitions))
+    _SMALL_SESSION_CACHE[key] = clone
+    return clone
+
+
 def get_spark(
     app_name: str = "ct-clickhouse-spark",
     master: str | None = None,

@@ -51,7 +51,7 @@ def test_mutation_slice_has_unique_keys(spark):
 
     from ct_clickhouse_spark.operators.dedup import _mutation_frames
 
-    base, updates = _mutation_frames(spark, SF_DIR)
+    base, updates, _snap, _pv = _mutation_frames(spark, SF_DIR)
     for df in (base, updates):
         dups = (
             df.groupBy("fingerprint", "domain")
