@@ -307,6 +307,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+_ROWCOUNT_CACHE: dict[tuple[str, str, str], int] = {}
+
+
+def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Row count of a fixture table, memoized per (session, sf, table).
+
+    Fixture tables are immutable inputs, and several operators size
+    themselves from the corpus count (GEMM tile count, SemDeDup grid
+    bits, exact-vs-LSH routing) — re-running a count() job per
+    invocation is a redundant scan for a number that cannot change
+    (r7 verdict #7). The one count that does run resolves from parquet
+    footer metadata (aggregate pushdown), so even the miss is cheap."""
+    key = (_session_key(spark), sf_dir, name)
+    hit = _ROWCOUNT_CACHE.get(key)
+    if hit is None:
+        hit = load_table(spark, sf_dir, name).count()
+        bounded_cache_put(_ROWCOUNT_CACHE, key, hit)
+    return hit
+
+
 def register_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> None:
     """Register fixture tables as temp views so spark.sql can address them."""
     for name in names or TABLE_NAMES:

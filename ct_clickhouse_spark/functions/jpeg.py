@@ -150,10 +150,21 @@ class _BitWriter:
             self.nbits -= 8
         self.acc &= (1 << self.nbits) - 1
 
-    def flush(self) -> bytes:
-        if self.nbits:  # pad with 1-bits per the spec
+    def align(self) -> None:
+        """Pad the current partial byte with 1-bits (T.81 restart-marker
+        and end-of-scan byte alignment)."""
+        if self.nbits:
             pad = 8 - self.nbits
             self.write((1 << pad) - 1, pad)
+
+    def raw_marker(self, marker: int) -> None:
+        """Append an UNSTUFFED 0xFF<marker> pair — callers must align()
+        first so the marker lands on a byte boundary."""
+        assert self.nbits == 0, "marker emitted mid-byte"
+        self.buf += bytes((0xFF, marker))
+
+    def flush(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -171,8 +182,15 @@ def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
     return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
 
 
-def jpeg_encode_gray(img: np.ndarray, quality: int = 75) -> bytes:
-    """Encode a (h, w) uint8 array as a real baseline grayscale JPEG."""
+def jpeg_encode_gray(
+    img: np.ndarray, quality: int = 75, restart_interval: int = 0
+) -> bytes:
+    """Encode a (h, w) uint8 array as a real baseline grayscale JPEG.
+
+    ``restart_interval`` > 0 emits a DRI segment and an RST0-7 marker
+    every that-many MCUs with the DC predictor reset (T.81 E.2.4) — the
+    stream shape hardware/parallel encoders produce, and what makes the
+    decoder's restart handling round-trip testable."""
     img = np.asarray(img, dtype=np.uint8)
     if img.ndim != 2:
         raise ValueError("jpeg_encode_gray wants a 2-D grayscale array")
@@ -195,7 +213,11 @@ def jpeg_encode_gray(img: np.ndarray, quality: int = 75) -> bytes:
 
     bw = _BitWriter()
     prev_dc = 0
-    for row in zz:
+    for bi, row in enumerate(zz):
+        if restart_interval and bi and bi % restart_interval == 0:
+            bw.align()
+            bw.raw_marker(0xD0 + ((bi // restart_interval - 1) % 8))
+            prev_dc = 0
         dc = int(row[0])
         diff = dc - prev_dc
         prev_dc = dc
@@ -235,9 +257,14 @@ def jpeg_encode_gray(img: np.ndarray, quality: int = 75) -> bytes:
     )
     sof0 = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1) + bytes((1, 0x11, 0))
     dht = _dht_segment(0x00, DC_BITS, DC_VALS) + _dht_segment(0x10, AC_BITS, AC_VALS)
+    dri = (
+        b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        if restart_interval
+        else b""
+    )
     sos = b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes((1, 0x00, 0, 63, 0))
     return (
-        b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + scan + b"\xff\xd9"
+        b"\xff\xd8" + app0 + dqt + sof0 + dht + dri + sos + scan + b"\xff\xd9"
     )
 
 
@@ -285,8 +312,12 @@ def _extend(v: int, size: int) -> int:
 
 def jpeg_decode_gray(payload: bytes) -> np.ndarray | None:
     """Decode a baseline single-component JPEG produced by ANY conforming
-    encoder (tables are read from the stream). Returns (h, w) uint8, or
-    None if the stream isn't a decodable baseline grayscale JPEG."""
+    encoder: tables are read from the stream, and DRI/RST0-7 restart
+    intervals (the one baseline feature the r7 review found missing) are
+    handled — each restart chunk re-aligns to a byte boundary and resets
+    the DC predictor. Returns (h, w) uint8, or None if the stream isn't
+    a decodable baseline grayscale JPEG (progressive, multi-component,
+    or 12-bit streams return None rather than mis-decoding)."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
         return None
     try:
@@ -297,6 +328,68 @@ def jpeg_decode_gray(payload: bytes) -> np.ndarray | None:
         return None
 
 
+def _decode_entropy_chunk(
+    destuffed: bytes,
+    dc_tab: tuple[np.ndarray, np.ndarray],
+    ac_tab: tuple[np.ndarray, np.ndarray],
+    out: np.ndarray,
+    b0: int,
+    nblocks: int,
+) -> bool:
+    """Huffman-decode ``nblocks`` blocks from one byte-aligned entropy
+    chunk (the whole scan, or one restart interval) into
+    ``out[b0:b0+nblocks]``. The DC predictor starts at 0 — per T.81
+    E.2.4 it resets at every restart marker. Returns False on any
+    malformed code / truncation."""
+    peek = _peek16_all(destuffed)
+    dc_sym, dc_len = dc_tab
+    ac_sym, ac_len = ac_tab
+    n_bits = len(peek)
+    prev_dc = 0
+    i = 0
+    try:
+        for b in range(b0, b0 + nblocks):
+            row = out[b]
+            wd = peek[i]
+            ln = dc_len[wd]
+            if ln == 0:
+                raise ValueError("invalid DC code")
+            size = int(dc_sym[wd])
+            i += ln
+            if size:
+                diff = _extend(int(peek[i]) >> (16 - size), size)
+                i += size
+            else:
+                diff = 0
+            prev_dc += diff
+            row[0] = prev_dc
+            k = 1
+            while k < 64:
+                wd = peek[i]
+                ln = ac_len[wd]
+                if ln == 0:
+                    raise ValueError("invalid AC code")
+                sym = int(ac_sym[wd])
+                i += ln
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, size = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63 or size == 0:
+                    raise ValueError("corrupt AC run")
+                row[k] = _extend(int(peek[i]) >> (16 - size), size)
+                i += size
+                k += 1
+            if i > n_bits:
+                raise ValueError("scan data truncated")
+    except (ValueError, IndexError):
+        return False
+    return True
+
+
 def _decode_gray_checked(payload: bytes) -> np.ndarray | None:
     qtables: dict[int, np.ndarray] = {}
     htables: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -305,6 +398,7 @@ def _decode_gray_checked(payload: bytes) -> np.ndarray | None:
     i = 2
     scan_start = None
     dc_id = ac_id = 0
+    restart_interval = 0  # DRI: MCUs between RSTn markers (0 = none)
     while i + 4 <= len(payload):
         if payload[i] != 0xFF:
             return None
@@ -347,6 +441,8 @@ def _decode_gray_checked(payload: bytes) -> np.ndarray | None:
                 return None  # this decoder is single-component 8-bit
             dims = (h, w)
             comp = (seg[6], seg[8])
+        elif marker == 0xDD:  # DRI: define restart interval
+            (restart_interval,) = struct.unpack(">H", seg[:2])
         elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             return None  # progressive/extended: not baseline
         elif marker == 0xDA:  # SOS
@@ -369,66 +465,45 @@ def _decode_gray_checked(payload: bytes) -> np.ndarray | None:
     h, w = dims
     bh, bw_ = (h + 7) // 8, (w + 7) // 8
 
-    # entropy segment: ends at the first 0xFF followed by a non-zero
-    # byte (a real marker); stuffed 0xFF00 pairs collapse to 0xFF
+    # entropy data: stuffed 0xFF00 pairs collapse to 0xFF; RST0-7
+    # markers (emitted every ``restart_interval`` MCUs after a DRI
+    # segment) split the scan into byte-aligned chunks, each of which
+    # restarts entropy decoding with the DC predictor reset (T.81
+    # E.2.4); any OTHER marker (normally EOI) ends the scan
     arr = np.frombuffer(payload, dtype=np.uint8)[scan_start:]
     ff = np.nonzero(arr == 0xFF)[0]
     nxt = np.where(ff + 1 < len(arr), arr[np.minimum(ff + 1, len(arr) - 1)], 0xD9)
-    real_markers = ff[nxt != 0x00]
-    end = int(real_markers[0]) if len(real_markers) else len(arr)
-    seg = arr[:end]
-    drop = np.zeros(len(seg), dtype=bool)
-    if len(seg) > 1:
-        drop[1:] = (seg[:-1] == 0xFF) & (seg[1:] == 0x00)
-    destuffed = seg[~drop].tobytes()
+    chunks: list[np.ndarray] = []
+    start = 0
+    for pos, m in zip(ff[nxt != 0x00], nxt[nxt != 0x00]):
+        if pos < start:
+            continue  # the 0xFF of an already-consumed RST marker pair
+        chunks.append(arr[start : int(pos)])
+        if 0xD0 <= int(m) <= 0xD7:  # RSTn: skip the marker, keep going
+            start = int(pos) + 2
+            continue
+        start = -1  # real trailing marker: scan is over
+        break
+    if start >= 0:  # no terminating marker: scan runs to the buffer end
+        chunks.append(arr[start:])
 
-    peek = _peek16_all(destuffed)
-    dc_sym, dc_len = dc_tab
-    ac_sym, ac_len = ac_tab
-    n_bits = len(peek)
-    out = np.zeros((bh * bw_, 64), dtype=np.int32)
-    prev_dc = 0
-    i = 0
-    try:
-        for b in range(bh * bw_):
-            row = out[b]
-            wd = peek[i]
-            ln = dc_len[wd]
-            if ln == 0:
-                raise ValueError("invalid DC code")
-            size = int(dc_sym[wd])
-            i += ln
-            if size:
-                diff = _extend(int(peek[i]) >> (16 - size), size)
-                i += size
-            else:
-                diff = 0
-            prev_dc += diff
-            row[0] = prev_dc
-            k = 1
-            while k < 64:
-                wd = peek[i]
-                ln = ac_len[wd]
-                if ln == 0:
-                    raise ValueError("invalid AC code")
-                sym = int(ac_sym[wd])
-                i += ln
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, size = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63 or size == 0:
-                    raise ValueError("corrupt AC run")
-                row[k] = _extend(int(peek[i]) >> (16 - size), size)
-                i += size
-                k += 1
-            if i > n_bits:
-                raise ValueError("scan data truncated")
-    except (ValueError, IndexError):
-        return None
+    nb = bh * bw_
+    out = np.zeros((nb, 64), dtype=np.int32)
+    per_chunk = restart_interval if restart_interval else nb
+    done = 0
+    for seg in chunks:
+        if done >= nb:
+            break
+        drop = np.zeros(len(seg), dtype=bool)
+        if len(seg) > 1:
+            drop[1:] = (seg[:-1] == 0xFF) & (seg[1:] == 0x00)
+        destuffed = seg[~drop].tobytes()
+        n_here = min(per_chunk, nb - done)
+        if not _decode_entropy_chunk(destuffed, dc_tab, ac_tab, out, done, n_here):
+            return None
+        done += n_here
+    if done < nb:
+        return None  # scan data truncated (or missing restart chunks)
     nat = np.zeros((bh * bw_, 64), dtype=np.int32)
     nat[:, _ZZ] = out
     blocks = nat.reshape(-1, 8, 8) * q

@@ -518,6 +518,7 @@ def salted_join(
     hot_threshold: int | None = None,
     max_hot_keys: int = 256,
     sample_fraction: float | None = None,
+    hot_keys: list | None = None,
 ) -> DataFrame:
     """Skew-mitigating equi-join via PARTIAL (hot-key-only) salting:
     detect the keys that are actually hot on the big side, salt ONLY
@@ -533,13 +534,26 @@ def salted_join(
     ``n_salt`` tasks being overwhelmed — callers with a known skew
     profile should set it explicitly. When no key crosses the threshold
     the function degenerates to the plain join: no replication, no
-    union, no extra shuffle."""
-    if hot_threshold is None:
-        hot_threshold = 1_000_000  # conservative: salt only genuinely hot keys
-    hot = detect_hot_keys(
-        big, big_key, hot_threshold, max_hot_keys=max_hot_keys,
-        sample_fraction=sample_fraction,
-    )
+    union, no extra shuffle.
+
+    EAGER unless ``hot_keys`` is given: detecting the hot keys runs one
+    bounded Spark job (``detect_hot_keys``) at plan-CONSTRUCTION time —
+    a deliberate break from the lazy-composition contract the rest of
+    the operator API follows, because the salt expression's shape
+    depends on the detected key list, and re-constructing the plan
+    re-runs the detection. Callers who know the skew profile (or cache
+    one ``detect_hot_keys`` result across many joins) pass
+    ``hot_keys=[...]`` — an empty list means "no skew, plain join" —
+    and construction stays fully lazy."""
+    if hot_keys is not None:
+        hot = list(hot_keys)
+    else:
+        if hot_threshold is None:
+            hot_threshold = 1_000_000  # conservative: only genuinely hot keys
+        hot = detect_hot_keys(
+            big, big_key, hot_threshold, max_hot_keys=max_hot_keys,
+            sample_fraction=sample_fraction,
+        )
     if not hot:
         return big.join(small, big[big_key] == small[small_key])
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import bounded_cache_put as _bounded_cache_put
-from ..catalog import load_table
+from ..catalog import load_table, table_rowcount
 
 TOPK = 10
 QUERY_VEC_ID = 0
@@ -114,9 +114,9 @@ def cosine_pairs(
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     auto_sized = blocks is None
     if blocks is None:
-        # count() on a parquet scan resolves from footer metadata — cheap
-        # relative to the GEMM it sizes
-        blocks = _gemm_blocks(emb.count())
+        # corpus count memoized per (session, sf) — fixture tables are
+        # immutable, so re-counting per invocation is a redundant job
+        blocks = _gemm_blocks(table_rowcount(spark, sf_dir, "embeddings"))
     block = F.pmod(F.xxhash64("vec_id"), F.lit(blocks)).alias("block")
     tiles = emb.select("vec_id", "embedding", block)
 
@@ -436,7 +436,7 @@ def grid_cell_pairs(
     grid cells — the oracle-replayable stand-in for the k-means cell
     assignment, sharing ``_cell_scoped_pairs`` verbatim."""
     table = load_table(spark, sf_dir, "embeddings")
-    bits = _grid_bits(table.count())
+    bits = _grid_bits(table_rowcount(spark, sf_dir, "embeddings"))
     emb = table.select(
         _grid_cell_col(bits).alias("cluster"), "vec_id", "embedding"
     )
@@ -502,7 +502,7 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
         return hit
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_clusters = _adaptive_clusters(emb.count())
+    n_clusters = _adaptive_clusters(table_rowcount(spark, sf_dir, "embeddings"))
     seed_rows = emb.orderBy("vec_id").limit(n_clusters).collect()
     cents = np.array([r.embedding for r in seed_rows], dtype=np.float64)
     cents /= np.linalg.norm(cents, axis=1, keepdims=True)
@@ -1246,9 +1246,8 @@ def embedding_dedup_groups(
         F.col("vec_id").alias("id")
     )
     if pairs_fn is None:
-        pairs_fn = (
-            cosine_pairs if ids.count() <= EXACT_PAIRS_MAX_ROWS else lsh_candidate_pairs
-        )
+        n = table_rowcount(spark, sf_dir, "embeddings")
+        pairs_fn = cosine_pairs if n <= EXACT_PAIRS_MAX_ROWS else lsh_candidate_pairs
     pairs = pairs_fn(spark, sf_dir).select("id_a", "id_b")
     labels = label_propagate(ids, pairs, max_iters=max_iters)
     return labels.select(

@@ -45,6 +45,10 @@ except ImportError:  # pragma: no cover
 
 RATE_LIMIT_ENABLED = os.getenv("RATE_LIMIT_ENABLED", "false").lower() == "true"
 RATE_LIMIT = os.getenv("RATE_LIMIT", "100/minute")
+# FAIR-scheduler pool ring width: bounds the scheduler's pool-object
+# count for the server's lifetime (see set_scheduler_pool). 64 >> any
+# plausible concurrent in-flight request count on one driver.
+POOL_RING_SIZE = int(os.getenv("POOL_RING_SIZE", "64"))
 IPS_FILE = os.getenv("IPS_FILE", "ips.txt")
 
 
@@ -100,6 +104,16 @@ def create_app(spark: SparkSession, table_path: str):
     # property is thread-local (Flask handles each request on its own
     # worker thread) and cleared on teardown so the thread's next
     # request starts clean.
+    #
+    # Pool names come from a FIXED RING of POOL_RING_SIZE ids, not a
+    # monotonic counter: Spark never removes a pool from the rootPool,
+    # so unique-forever names would leak one Pool object per request and
+    # grow the set the scheduler re-sorts every cycle (unbounded driver
+    # memory + scheduling slowdown under sustained traffic). Fairness
+    # only needs CONCURRENTLY ACTIVE requests to land in distinct pools;
+    # a ring far wider than any plausible in-flight request count gives
+    # that with a bounded namespace (two requests sharing a pool ~=
+    # FIFO between just those two — the degradation mode, not an error).
     import itertools
 
     req_ids = itertools.count()
@@ -107,7 +121,7 @@ def create_app(spark: SparkSession, table_path: str):
     @app.before_request
     def set_scheduler_pool():
         spark.sparkContext.setLocalProperty(
-            "spark.scheduler.pool", f"req-{next(req_ids)}"
+            "spark.scheduler.pool", f"req-{next(req_ids) % POOL_RING_SIZE}"
         )
 
     @app.after_request

@@ -401,6 +401,40 @@ def test_salted_join_hot_path_equals_plain_join(spark):
     )
 
 
+def test_salted_join_precomputed_hot_keys_lazy(spark):
+    """With ``hot_keys`` given, construction must stay lazy (no Spark
+    job — asserted via the job-count before/after) and the result must
+    still be row-identical to the plain join; an empty list must
+    degenerate to the plain join shape."""
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.operators.relational import salted_join
+
+    big = spark.range(2_000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(7))
+        .otherwise(F.col("id") % 100)
+        .alias("bk"),
+        (F.col("id") % 13).alias("bv"),
+    )
+    small = spark.range(100).select(
+        F.col("id").alias("sk"), (F.col("id") % 7).alias("m")
+    )
+    tracker = spark.sparkContext.statusTracker()
+    jobs_before = len(tracker.getJobIdsForGroup(None) or [])
+    salted = salted_join(big, small, "bk", "sk", n_salt=4, hot_keys=[7])
+    empty_hot = salted_join(big, small, "bk", "sk", n_salt=4, hot_keys=[])
+    jobs_after = len(tracker.getJobIdsForGroup(None) or [])
+    assert jobs_after == jobs_before, "plan construction ran a Spark job"
+    plain = big.join(small, big.bk == small.sk)
+    cols = ["bk", "bv", "sk", "m"]
+    for df in (salted, empty_hot):
+        assert df.count() == plain.count()
+        assert (
+            plain.select(cols).exceptAll(df.select(cols)).count() == 0
+            and df.select(cols).exceptAll(plain.select(cols)).count() == 0
+        )
+
+
 def test_salted_join_equals_plain_join(spark):
     """Salting must be a pure physical rewrite: same rows out."""
     from pyspark.sql import functions as F

@@ -69,7 +69,13 @@ def test_fair_pools_prevent_head_of_line_blocking(spark):
     while the slow job is still running (FAIR gives it a share of the
     slots at the next wave boundary). Under FIFO-in-one-pool the tiny
     job's task queues behind every remaining slow-job task and finishes
-    only with the slow job."""
+    only with the slow job.
+
+    Timing-robust (ADVICE r7): one attempt can be perturbed by a GC
+    pause or scheduler delay on a loaded box, so an attempt only COUNTS
+    when the slow job was verifiably still mid-flight as the fast query
+    returned, and a failed attempt is retried once before the test
+    fails."""
     import threading
     import time
 
@@ -88,25 +94,61 @@ def test_fair_pools_prevent_head_of_line_blocking(spark):
         finally:
             sc.setLocalProperty("spark.scheduler.pool", None)
 
-    t_slow = threading.Thread(target=slow)
-    t_slow.start()
-    time.sleep(wave_s * 0.6)  # land inside the slow job's first wave
-    sc.setLocalProperty("spark.scheduler.pool", "hol-fast")
-    try:
-        t0 = time.time()
-        assert spark.range(10).count() == 10
-        fast_elapsed = time.time() - t0
-    finally:
-        sc.setLocalProperty("spark.scheduler.pool", None)
-    slow_running = t_slow.is_alive()
-    t_slow.join(timeout=waves * wave_s * 10)
-    assert slow_running, "slow job finished too early to exercise the race"
+    def attempt() -> tuple[bool, float]:
+        """(slow_job_was_mid_flight, fast_elapsed_seconds)."""
+        t_slow = threading.Thread(target=slow)
+        t_slow.start()
+        time.sleep(wave_s * 0.6)  # land inside the slow job's first wave
+        sc.setLocalProperty("spark.scheduler.pool", "hol-fast")
+        try:
+            t0 = time.time()
+            assert spark.range(10).count() == 10
+            fast_elapsed = time.time() - t0
+        finally:
+            sc.setLocalProperty("spark.scheduler.pool", None)
+        slow_running = t_slow.is_alive()
+        t_slow.join(timeout=waves * wave_s * 10)
+        return slow_running, fast_elapsed
+
     # FIFO would queue the tiny job behind ~3 remaining waves (>= 1.5s);
     # FAIR schedules it at the next wave boundary (<= ~1 wave + overhead)
-    assert fast_elapsed < waves * wave_s * 0.6, (
+    bound = waves * wave_s * 0.6
+    last = None
+    for _ in range(2):
+        slow_running, fast_elapsed = attempt()
+        if slow_running and fast_elapsed < bound:
+            return
+        last = (slow_running, fast_elapsed)
+    slow_running, fast_elapsed = last
+    assert slow_running, "slow job finished too early to exercise the race"
+    assert fast_elapsed < bound, (
         f"point lookup took {fast_elapsed:.2f}s behind a "
         f"{waves * wave_s:.1f}s scan: head-of-line blocking"
     )
+
+
+def test_pool_namespace_is_bounded_ring(app, spark, monkeypatch):
+    """Spark never removes pools from the FAIR rootPool, so the request
+    pool names must come from a bounded ring: more requests than the
+    ring size reuse names instead of growing the scheduler's pool set
+    forever (r7 verdict #8), while requests closer together than the
+    ring width still land in distinct pools (the fairness property)."""
+    from ct_clickhouse_spark.serving import app as appmod
+
+    monkeypatch.setattr(appmod, "POOL_RING_SIZE", 4)
+    client = app.test_client()
+    seen = []
+    for _ in range(10):
+        resp = client.get("/size")
+        assert resp.status_code == 200
+        seen.append(resp.headers.get("X-Scheduler-Pool"))
+    ring = {f"req-{i}" for i in range(4)}
+    assert set(seen) <= ring, f"pool names escaped the ring: {set(seen)}"
+    # any 4 consecutive requests get 4 distinct pools (fairness between
+    # concurrently-active requests needs only active-set distinctness)
+    for i in range(len(seen) - 3):
+        window = seen[i : i + 4]
+        assert len(set(window)) == 4, f"pool collision in window {window}"
 
 
 def test_concurrent_clients_no_interference_and_bounded_tail(app):
