@@ -151,12 +151,17 @@ def pack_documents(
     singleton bin rather than being dropped — the caller decides
     truncation.
 
-    Returns (key, size, bin_id, bin_fill) — one row per input doc."""
+    Returns (key, size, bin_id, bin_fill) — one row per input doc.
+    NULL sizes (a doc whose text failed extraction) count as 0: the row
+    still gets a bin assignment but consumes no capacity — dropping it
+    instead would make packing silently lose documents."""
     import hashlib
 
     import pandas as pd
 
     from pyspark.sql import functions as _F
+
+    df = df.withColumn(size_col, _F.coalesce(_F.col(size_col), _F.lit(0)))
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         if group_col is None:

@@ -171,8 +171,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # NULL text fingerprints like the empty string (the
+                # zero-padded window below) — dropping the row would
+                # desync the per-doc sections of the fingerprint slot
                 data = np.frombuffer(
-                    text.lower().strip().encode("utf-8"), dtype=np.uint8
+                    (text or "").lower().strip().encode("utf-8"), dtype=np.uint8
                 )
                 n = len(data)
                 if n < FP_WINDOW:
@@ -592,6 +595,8 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _top(pdf: pd.DataFrame) -> pd.DataFrame:
         counts: dict[str, int] = {}
         for text in pdf["text"]:
+            if not text:  # NULL/empty text contributes no terms — the
+                continue  # SQL unnest(split(NULL)) semantics
             for w in text.lower().strip().split():
                 counts[w] = counts.get(w, 0) + 1
         best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_TERMS]
@@ -1400,7 +1405,11 @@ ORACLES = {
                coalesce(array_to_string({_QF_LIST_SQL}, ','), '')
                    AS qf_reasons,
                s.lang, s.score_en, s.score_de, s.score_fr, s.score_es,
-               CASE WHEN greatest(score_en, score_de, score_fr, score_es) <= 0 THEN 'unknown'
+               -- NULL text => NULL scores => NULL prediction (Spark's
+               -- when-chain yields NULL; without this guard every
+               -- comparison is NULL and the CASE falls through to 'es')
+               CASE WHEN score_en IS NULL THEN NULL
+                    WHEN greatest(score_en, score_de, score_fr, score_es) <= 0 THEN 'unknown'
                     WHEN score_en = greatest(score_en, score_de, score_fr, score_es) THEN 'en'
                     WHEN score_de = greatest(score_en, score_de, score_fr, score_es) THEN 'de'
                     WHEN score_fr = greatest(score_en, score_de, score_fr, score_es) THEN 'fr'

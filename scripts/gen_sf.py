@@ -31,6 +31,12 @@ Distribution notes (measured from /root/testdata/sf0.1):
   the ngram family would degenerate to all-boilerplate; real corpora
   grow vocabulary with size (Heaps' law), and the cube-root growth
   holds the shingle DF distribution continuous with the driver SFs.
+  Additionally ~0.5% of documents (doc_id % 211 == 7, excluding rows
+  the dup branches reference) carry NULL text and NULL n_chars — the
+  failed-extraction rows a real corpus has, exercising the NULL
+  coalesce paths (media payload builder, quality_filter null_text)
+  under the oracle hashes instead of only pytest. The driver's own
+  fixtures carry no NULLs, so driver-gate hashes are unaffected.
 - embeddings: unit-norm 64-dim around 10 cluster centers (label =
   cluster); vec_id % 41 == 1 is a tiny-noise near-copy of vec_id-1
   (cosine > 0.99) for the near-dup/semantic families.
@@ -281,7 +287,7 @@ def generate(out: str, sf: float) -> None:
         VOCAB + [f"w{i}" for i in range(n_vocab - len(VOCAB))]
     )
     lens = rng.integers(10, 101, n_doc)
-    texts: list[str] = []
+    texts: list[str | None] = []
     for i in range(n_doc):
         if i % 500 == 2 and i >= 2:
             texts.append(texts[i - 2])  # exact duplicate
@@ -291,6 +297,16 @@ def generate(out: str, sf: float) -> None:
             for pos in rng.integers(0, len(words), 3):
                 words[pos] = vocab[rng.integers(0, len(vocab))]
             texts.append(" ".join(words))  # near-duplicate
+            continue
+        # NULL-text slice (~0.5%, r7 verdict #5): real corpora carry
+        # rows whose text failed extraction; the coalesce paths in the
+        # media builder / quality filter need fixture teeth, not just
+        # pytest pins. Never a row the dup branches above reference
+        # (i % 100 == 0 is the next row's near-dup source, i % 500 == 0
+        # the +2 row's exact-dup source) so the planted-dup structure
+        # is unchanged.
+        if i % 211 == 7 and i % 100 != 0 and i % 500 != 0:
+            texts.append(None)
             continue
         texts.append(" ".join(vocab[rng.integers(0, len(vocab), lens[i])]))
     _write(
@@ -303,7 +319,10 @@ def generate(out: str, sf: float) -> None:
                 rng.choice(len(LANGS), n_doc, p=LANG_P)
             ],
             "source": [f"src{i % 20}" for i in range(n_doc)],
-            "n_chars": np.array([len(t) for t in texts], dtype=np.int64),
+            "n_chars": pa.array(
+                [len(t) if t is not None else None for t in texts],
+                type=pa.int64(),
+            ),
         },
         pa.schema(
             [

@@ -23,8 +23,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SMOKE_DIR = "/root/testdata/sf0.001"
-ORACLE_DIR = "/root/testdata/sf0.01"
+SMOKE_DIR = os.environ.get("VERIFY_SMOKE_DIR", "/root/testdata/sf0.001")
+ORACLE_DIR = os.environ.get("VERIFY_ORACLE_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
