@@ -42,7 +42,7 @@ def main() -> None:
         if filters and not any(f in name for f in filters):
             continue
         t0 = time.time()
-        con.execute(sql).fetchall()  # first run: warm-up OR the sample
+        con.execute(sql).df()  # first run: warm-up OR the sample
         first = time.time() - t0
         if first > SLOW_CUTOFF:
             timings[name] = round(first, 4)
@@ -50,7 +50,8 @@ def main() -> None:
             samples = []
             for _ in range(RUNS):
                 t0 = time.time()
-                con.execute(sql).fetchall()
+                con.execute(sql).df()  # numpy materialization — the
+                # symmetric choice to Spark's Arrow toPandas()
                 samples.append(time.time() - t0)
             timings[name] = round(statistics.median(samples), 4)
         # progress to stderr so a killed long run still yields data

@@ -442,6 +442,49 @@ def main() -> None:
                 assert n_touched <= 4, (n_del, n_touched)
             shutil.rmtree(mut_dir, ignore_errors=True)
 
+    # perceptual multi-probe band-join grid (r6 #7 / r7 verdict #3):
+    # runs at its OWN multipliers (1/10/100 — candidate volume is the
+    # question, and 2x/4x barely moves it). The real image+audio
+    # signature tables replicate k times with a per-replica 64-bit XOR
+    # mask: XOR preserves intra-replica Hamming distances, so every
+    # replica carries the same planted near-dup pairs, while
+    # cross-replica distances randomize to ~32 bits — the uniform-hash
+    # regime where the n^2 * 68/2^16 candidate bound is the honest cost
+    # model. Measures candidate generation + exact bit_count verify end
+    # to end (pair count scales ~k for the planted pairs; wall clock
+    # tracks candidates, the quantity SCALING.md's bound predicts).
+    if not only or "perceptual_band_join" in only:
+        from ct_clickhouse_spark.operators.multimodal import (
+            audio_signatures,
+            hamming_near_dup_pairs,
+            image_signatures,
+        )
+
+        sig0 = (
+            image_signatures(spark, SF_DIR)
+            .select("media_id", F.col("phash").alias("h"))
+            .unionByName(
+                audio_signatures(spark, SF_DIR).select(
+                    "media_id", F.col("afp").alias("h")
+                )
+            )
+        )
+        n0 = sig0.count()
+        for k in (1, 10, 100):
+            reps = spark.range(k).select(
+                F.col("id").alias("rep"),
+                F.when(F.col("id") == 0, F.lit(0))
+                .otherwise(F.xxhash64(F.col("id"), F.lit("percep-mask")))
+                .alias("mask"),
+            )
+            sig_k = sig0.crossJoin(F.broadcast(reps)).select(
+                (F.col("media_id") + F.col("rep") * 10_000_000).alias("media_id"),
+                F.col("h").bitwiseXOR(F.col("mask")).alias("h"),
+            )
+            pairs = hamming_near_dup_pairs(sig_k, "h")
+            timed("perceptual_band_join", k, lambda p=pairs: p.count())
+        results.setdefault("perceptual_band_join_rows", {})[1] = n0
+
     print(json.dumps({"multipliers": ks, "seconds": results}))
     spark.stop()
 

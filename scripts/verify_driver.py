@@ -59,6 +59,10 @@ def main() -> int:
     if late_oracles:
         print(f"WARNING: oracle-backed past driver window: {late_oracles}")
     failures = []
+    # Optional JSON artifact (driver CORRECTNESS_r{N}.json shape) — set
+    # VERIFY_JSON_OUT=CORRECTNESS_sf1.json for the recorded sf1 sweep
+    json_out = os.environ.get("VERIFY_JSON_OUT")
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and not any(s in name for s in only):
             continue
@@ -70,17 +74,34 @@ def main() -> int:
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
+            record[name] = {"err": f"spark: {str(e)[:200]}"}
             continue
         spark_sec = time.time() - t0
         if name not in oracles:
             print(f"rows-only  {name}: {len(spdf)} rows [{spark_sec:.1f}s]")
+            record[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": int(len(spdf)), "oracle_rows": None, "err": None,
+                "spark_sec": round(spark_sec, 2),
+            }
             continue
         try:
+            t1 = time.time()
             dsig = pandas_signature(con.execute(oracles[name]).df())
+            oracle_sec = time.time() - t1
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {e}")
+            record[name] = {"err": f"oracle: {str(e)[:200]}"}
             continue
+        record[name] = {
+            "rows_match": ssig[1] == dsig[1],
+            "schema_match": ssig[0] == dsig[0],
+            "hash_match": ssig[2] == dsig[2],
+            "spark_rows": int(ssig[1]), "oracle_rows": int(dsig[1]),
+            "err": None, "spark_sec": round(spark_sec, 2),
+            "oracle_sec": round(oracle_sec, 2),
+        }
         if ssig == dsig:
             print(f"MATCH {name}: {ssig[1]} rows hash={ssig[2]} [{spark_sec:.1f}s]")
         else:
@@ -89,6 +110,12 @@ def main() -> int:
             print(f"   spark  cols={ssig[0]} rows={ssig[1]} hash={ssig[2]}")
             print(f"   duckdb cols={dsig[0]} rows={dsig[1]} hash={dsig[2]}")
     spark.stop()
+    if json_out:
+        import json
+
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": ORACLE_DIR, "queries": record}, f, indent=1)
+        print(f"wrote {json_out}")
     print(f"== {'OK' if not failures else 'FAILURES: ' + ', '.join(failures)} ==")
     return 1 if failures else 0
 
