@@ -203,22 +203,21 @@ def delete_where(
             "Hive layout — versioned tables take the unpartitioned path"
         )
 
-    # partition-scoped path: ONE scan computes, per partition, both the
-    # match count and the total row count — affected partitions, the
-    # delete total, AND which partitions end up empty all fall out of
-    # this single aggregate (a separate post-checkpoint distinct over
-    # the survivors would be a whole extra job for information the
-    # first scan already saw; map-side combine keeps the aggregate a
-    # per-partition handful of counters at any scale)
-    stats = (
-        df.groupBy(partition_col)
-        .agg(
-            F.count(F.when(cond, F.lit(1))).alias("_n_del"),
-            F.count(F.lit(1)).alias("_n_tot"),
-        )
+    # partition-scoped path: the DETECTION scan stays cond-filtered so
+    # Catalyst can partition-prune it (predicate on the partition
+    # column) and parquet row-group stats can skip non-matching data —
+    # at 100 TB a delete touching 4 partitions must not pay a
+    # full-table scan just to learn which partitions it touches. (An
+    # earlier single-aggregate variant computed match + total counts in
+    # one unfiltered groupBy; one job instead of two, but the unfiltered
+    # scan is linear in TABLE size, not in touched partitions — the
+    # wrong trade everywhere except a tiny benchmark table.)
+    affected = (
+        df.filter(cond)
+        .groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("_n_del"))
         .collect()
     )
-    affected = [r for r in stats if int(r._n_del) > 0]
     if not affected:
         return 0, 0
     n_del = sum(int(r._n_del) for r in affected)
@@ -235,10 +234,22 @@ def delete_where(
     # otherwise read the very partition directories the commit replaces,
     # and a post-commit task recomputation would re-read deleted files
     survivors = scoped.filter(~cond).localCheckpoint(eager=True)
+    # which affected partitions still have rows after the delete: a
+    # count-only aggregate over ONLY the affected partitions. It reads
+    # no data columns (the partition value comes from the directory
+    # name, row counts from parquet footers), so this is a
+    # metadata-priced job scoped to the touched partitions — not a
+    # second table scan, and cheaper than re-reading the survivor
+    # checkpoint for a distinct
+    totals = {
+        r[partition_col]: int(r["_n_tot"])
+        for r in scoped.groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("_n_tot"))
+        .collect()
+    }
+    del_by_part = {r[partition_col]: int(r._n_del) for r in affected}
     surviving_values = {
-        r[partition_col]
-        for r in affected
-        if int(r._n_del) < int(r._n_tot)
+        v for v in values if del_by_part[v] < totals[v]
     }
     if surviving_values:
         (
