@@ -51,7 +51,7 @@ def small_job_shuffle(spark: SparkSession, partitions: int = 4):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-_SMALL_SESSION_CACHE: dict[int, SparkSession] = {}
+_SMALL_SESSION_CACHE: dict[str, SparkSession] = {}
 
 
 def get_small_job_session(
@@ -64,8 +64,12 @@ def get_small_job_session(
     never mutates the caller's conf, so small jobs can run CONCURRENTLY
     with corpus-sized jobs on the main session (FAIR scheduler) — the
     per-workload-SQLConf pattern ``SparkSession.newSession`` exists for.
-    Cached per parent session."""
-    key = id(spark)
+    Cached per parent session (keyed like the catalog's artifact caches
+    — ``id(spark)`` would alias a new session allocated at a recycled
+    address after the old one is collected)."""
+    from .catalog import _session_key
+
+    key = _session_key(spark)
     hit = _SMALL_SESSION_CACHE.get(key)
     if hit is not None:
         return hit
