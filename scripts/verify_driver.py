@@ -53,7 +53,7 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    print(f"== {len(qs)} queries @ sf0.01 ({len(oracles)} with oracle) ==")
+    print(f"== {len(qs)} queries @ {ORACLE_DIR} ({len(oracles)} with oracle) ==")
     DRIVER_WINDOW = 50
     late_oracles = [n for i, n in enumerate(qs) if i >= DRIVER_WINDOW and n in oracles]
     if late_oracles:
