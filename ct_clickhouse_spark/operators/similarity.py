@@ -1368,6 +1368,32 @@ def _label_propagate_rounds(
     return labels.unionByName(isolated), rounds
 
 
+_EMB_GROUP_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _emb_groups_cached(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(global groups, semdedup-cell groups), converged and materialized
+    ONCE per (session, sf) — the same persisted-artifact lifecycle as the
+    ngram labels (`_ngram_pairs_and_labels_cached`) and the perceptual
+    pair/label tables. Label propagation converges to a FIXED point for
+    a fixed pair set, so re-running the O(log d) join rounds on every
+    driver invocation buys nothing; localCheckpoint blocks are dropped
+    by the ContextCleaner when the bounded cache evicts the entry."""
+    from ..catalog import _session_key
+
+    key = (_session_key(spark), sf_dir)
+    hit = _EMB_GROUP_CACHE.get(key)
+    if hit is not None:
+        return hit
+    g = embedding_dedup_groups(spark, sf_dir).localCheckpoint(eager=True)
+    s = embedding_dedup_groups(
+        spark, sf_dir, pairs_fn=grid_cell_pairs
+    ).localCheckpoint(eager=True)
+    return _bounded_cache_put(_EMB_GROUP_CACHE, key, (g, s))
+
+
 def groups_global_and_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dedup_embedding_groups slot, tagged union (kind, vec_id,
     canonical_id, is_keeper):
@@ -1380,11 +1406,16 @@ def groups_global_and_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       cell restriction) -> pointer-doubled components -> keeper = cell
       component minimum. A pair leaked across cells, a missed within-
       cell pair, or a wrong keeper all break the value hash. The k-means
-      cell variant (semantic_dedup_groups) keeps its pytest gates."""
-    g = embedding_dedup_groups(spark, sf_dir).select(
+      cell variant (semantic_dedup_groups) keeps its pytest gates.
+
+    Both sides converge to fixed points, so they are per-(session, sf)
+    artifacts (`_emb_groups_cached`) like every sibling converged-label
+    family."""
+    g, s = _emb_groups_cached(spark, sf_dir)
+    g = g.select(
         F.lit("global").alias("kind"), "vec_id", "canonical_id", "is_keeper"
     )
-    s = embedding_dedup_groups(spark, sf_dir, pairs_fn=grid_cell_pairs).select(
+    s = s.select(
         F.lit("semdedup_cell").alias("kind"),
         "vec_id",
         "canonical_id",
