@@ -323,7 +323,11 @@ def table_rowcount(spark: SparkSession, sf_dir: str, name: str) -> int:
     hit = _ROWCOUNT_CACHE.get(key)
     if hit is None:
         hit = load_table(spark, sf_dir, name).count()
-        bounded_cache_put(_ROWCOUNT_CACHE, key, hit)
+        # plain ints need no artifact-sized bound: ARTIFACT_CACHE_MAX=4
+        # is sized for checkpointed tables, and a session sweeping >4
+        # (sf, table) keys (one stress multiplier grid) would thrash
+        # this cache back into the per-invocation count jobs it removes
+        bounded_cache_put(_ROWCOUNT_CACHE, key, hit, max_entries=512)
     return hit
 
 

@@ -51,7 +51,7 @@ def small_job_shuffle(spark: SparkSession, partitions: int = 4):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
-_SMALL_SESSION_CACHE: dict[str, SparkSession] = {}
+_SMALL_SESSION_CACHE: dict[tuple[str, int], SparkSession] = {}
 
 
 def get_small_job_session(
@@ -64,19 +64,23 @@ def get_small_job_session(
     never mutates the caller's conf, so small jobs can run CONCURRENTLY
     with corpus-sized jobs on the main session (FAIR scheduler) — the
     per-workload-SQLConf pattern ``SparkSession.newSession`` exists for.
-    Cached per parent session (keyed like the catalog's artifact caches
-    — ``id(spark)`` would alias a new session allocated at a recycled
-    address after the old one is collected)."""
-    from .catalog import _session_key
+    Cached per (parent session, width) — keyed like the catalog's
+    artifact caches (``id(spark)`` would alias a new session allocated
+    at a recycled address after the old one is collected), with
+    ``partitions`` in the key so callers asking for different widths
+    get distinct clones rather than whichever width was requested
+    first. Bounded like every sibling cache: a process cycling
+    get_spark()/stop() must not pin one dead clone per applicationId
+    forever (a clone holds JVM-side SessionState via py4j)."""
+    from .catalog import _session_key, bounded_cache_put
 
-    key = _session_key(spark)
+    key = (_session_key(spark), int(partitions))
     hit = _SMALL_SESSION_CACHE.get(key)
     if hit is not None:
         return hit
     clone = spark.newSession()
     clone.conf.set("spark.sql.shuffle.partitions", str(partitions))
-    _SMALL_SESSION_CACHE[key] = clone
-    return clone
+    return bounded_cache_put(_SMALL_SESSION_CACHE, key, clone)
 
 
 def get_spark(

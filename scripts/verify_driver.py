@@ -28,6 +28,15 @@ ORACLE_DIR = os.environ.get("VERIFY_ORACLE_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
+def _err_record(err: str) -> dict:
+    """Error rows carry the SAME shape as success rows (null matches)
+    so artifact consumers can read every field uniformly."""
+    return {
+        "rows_match": None, "schema_match": None, "hash_match": None,
+        "spark_rows": None, "oracle_rows": None, "err": err,
+    }
+
+
 def main() -> int:
     only = sys.argv[1:]
     import duckdb
@@ -74,7 +83,7 @@ def main() -> int:
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
-            record[name] = {"err": f"spark: {str(e)[:200]}"}
+            record[name] = _err_record(f"spark: {str(e)[:200]}")
             continue
         spark_sec = time.time() - t0
         if name not in oracles:
@@ -92,7 +101,7 @@ def main() -> int:
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {e}")
-            record[name] = {"err": f"oracle: {str(e)[:200]}"}
+            record[name] = _err_record(f"oracle: {str(e)[:200]}")
             continue
         record[name] = {
             "rows_match": ssig[1] == dsig[1],
