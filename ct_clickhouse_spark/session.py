@@ -15,15 +15,13 @@ Design notes (100 TB mindset, tested on local[N]):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-
-
-from contextlib import contextmanager
 
 
 @contextmanager
