@@ -300,24 +300,19 @@ def cert_exact_and_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cert_domains / the mutation snapshot twice
     _mutation_frames(spark, sf_dir)
 
-    # Distinct FAIR pools per submitting thread: spark.scheduler.mode=FAIR
-    # arbitrates BETWEEN pools, but jobs inside one pool (here: both
-    # threads defaulting to the "default" pool) schedule FIFO — the tiny
-    # mutation jobs would queue behind the corpus shuffle's stages and
-    # the slot would run at ~sum(sections), not max(sections). Same
-    # pattern as serving/app.py's per-request pools; local properties
-    # are per-Python-thread under pinned-thread mode.
-    def _in_pool(pool, fn, *args):
-        sc = spark.sparkContext
-        sc.setLocalProperty("spark.scheduler.pool", pool)
-        try:
-            return fn(*args)
-        finally:
-            sc.setLocalProperty("spark.scheduler.pool", None)
+    # Distinct FAIR pools per submitting thread: without them both
+    # threads land in the default pool, whose internal scheduling is
+    # FIFO — the tiny mutation jobs would queue behind the corpus
+    # shuffle's stages and the slot would run at ~sum(sections), not
+    # max(sections). Same pattern as serving/app.py's per-request pools.
+    from ..session import run_in_scheduler_pool
 
     with ThreadPoolExecutor(max_workers=1) as ex:
-        fut = ex.submit(_in_pool, "maint", _mutation_rows, spark, sf_dir)
-        exact_rows = _in_pool(
+        fut = ex.submit(
+            run_in_scheduler_pool, spark, "maint", _mutation_rows, spark, sf_dir
+        )
+        exact_rows = run_in_scheduler_pool(
+            spark,
             "corpus",
             lambda: [
                 ("exact", r["log_name"], int(r["n_unique"]))

@@ -49,6 +49,27 @@ def small_job_shuffle(spark: SparkSession, partitions: int = 4):
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
+def run_in_scheduler_pool(spark: SparkSession, pool: str, fn, *args):
+    """Run ``fn(*args)`` with this thread's jobs assigned to the FAIR
+    scheduler pool ``pool``, restoring the thread's previous pool after.
+
+    FAIR mode (`spark.scheduler.mode=FAIR`) arbitrates BETWEEN pools;
+    jobs sharing one pool (including the default pool) schedule FIFO
+    within it — so two threads that want their jobs to actually
+    interleave must each claim a distinct pool. Local properties are
+    per-Python-thread under pinned-thread mode, which is what makes
+    per-thread pool scoping work at all. Restoring (not clearing) the
+    previous value keeps nesting safe — e.g. maintenance work invoked
+    from a serving request thread that already set its request pool."""
+    sc = spark.sparkContext
+    prev = sc.getLocalProperty("spark.scheduler.pool")
+    sc.setLocalProperty("spark.scheduler.pool", pool)
+    try:
+        return fn(*args)
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", prev)
+
+
 _SMALL_SESSION_CACHE: dict[tuple[str, int], SparkSession] = {}
 
 

@@ -60,3 +60,52 @@ def test_mutation_slice_has_unique_keys(spark):
             .count()
         )
         assert dups == 0
+
+
+def test_run_in_scheduler_pool_sets_and_restores(spark):
+    """The concurrency the slot claims needs each submitting thread in
+    its OWN FAIR pool (FAIR arbitrates between pools; within one pool —
+    including default — jobs are FIFO). Pin the helper's semantics: the
+    pool property is set during fn, and the thread's PREVIOUS pool is
+    restored after (not cleared — maintenance invoked from a serving
+    request thread must not clobber the request's pool)."""
+    from ct_clickhouse_spark.session import run_in_scheduler_pool
+
+    sc = spark.sparkContext
+    seen = []
+
+    def probe():
+        seen.append(sc.getLocalProperty("spark.scheduler.pool"))
+        return 42
+
+    sc.setLocalProperty("spark.scheduler.pool", "outer")
+    try:
+        assert run_in_scheduler_pool(spark, "inner", probe) == 42
+        assert seen == ["inner"]
+        assert sc.getLocalProperty("spark.scheduler.pool") == "outer"
+        # restores even when fn raises
+        try:
+            run_in_scheduler_pool(spark, "inner2", lambda: 1 / 0)
+        except ZeroDivisionError:
+            pass
+        assert sc.getLocalProperty("spark.scheduler.pool") == "outer"
+    finally:
+        sc.setLocalProperty("spark.scheduler.pool", None)
+
+
+def test_small_job_session_keyed_by_width_and_parent(spark):
+    """get_small_job_session must honor the requested shuffle width on
+    every call — not hand back whichever width was cached first — and
+    must reuse the clone for repeated same-width requests (the clone is
+    the point: one narrow SQLConf shared by all maintenance jobs)."""
+    from ct_clickhouse_spark.session import get_small_job_session
+
+    s4 = get_small_job_session(spark)
+    s16 = get_small_job_session(spark, 16)
+    assert s4 is not s16
+    assert s4.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert s16.conf.get("spark.sql.shuffle.partitions") == "16"
+    assert get_small_job_session(spark) is s4
+    assert get_small_job_session(spark, 16) is s16
+    # clones share the parent's SparkContext (no second JVM app)
+    assert s4.sparkContext is spark.sparkContext
