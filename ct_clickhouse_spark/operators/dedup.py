@@ -24,6 +24,8 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -86,6 +88,23 @@ MUT_DELETE_PRED = "base_domain LIKE '%.net'"
 
 
 _MUT_FRAME_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _cleanup_mut_snapshots() -> None:  # pragma: no cover - exit hook
+    """Sweep the on-disk mutation snapshots at interpreter exit — cache
+    eviction releases them during the run (same contract as the IVF
+    index dirs), but a process that exits before evicting (every bench
+    and test run) would otherwise leak one tmpdir per (session, sf)."""
+    import shutil
+
+    for v in _MUT_FRAME_CACHE.values():
+        shutil.rmtree(os.path.dirname(v[2]), ignore_errors=True)
+    _MUT_FRAME_CACHE.clear()
+
+
+import atexit  # noqa: E402  (registered next to the registry it sweeps)
+
+atexit.register(_cleanup_mut_snapshots)
 
 
 def _mutation_frames(spark: SparkSession, sf_dir: str) -> tuple:
