@@ -583,11 +583,47 @@ TOP_TERMS = 3
 
 
 def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production top-N terms per source — the 100 TB shape.
+
+    Plan: explode words -> HASH AGGREGATE on (source, term) (map-side
+    combinable: a hot term collapses to one partial row per map task
+    before the shuffle) -> row_number window partitioned by source over
+    the tiny per-source count rows -> filter rank <= N. No stage ever
+    materializes a whole source: the only per-source state after the
+    aggregate is its distinct-term count rows, and the window sorts
+    those, not documents. Same shape as the decontamination flagging
+    pass (train_test_split below).
+
+    Ties break by term ascending — identical to the UDAF twin
+    (top_terms_per_source_udaf) and the DuckDB oracle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select("source", F.explode(_words(F.col("text"))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_occurrences").desc(), F.col("term")
+    )
+    return (
+        counts.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= TOP_TERMS)
+        .select("source", "term", "term_rank", F.col("n_occurrences"))
+    )
+
+
+def top_terms_per_source_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDAF surface (SURVEY §2.9): top-N terms per source via
-    applyInPandas group-map. The groupBy key distributes the corpus; the
-    per-group Python does the term ranking — the escape hatch for
-    aggregation logic Spark SQL can't express. (This one *is* SQL-
-    expressible, deliberately, so the UDAF path gets a real oracle.)"""
+    applyInPandas group-map — the escape hatch for aggregation logic
+    Spark SQL can't express. This one *is* SQL-expressible, so it is the
+    pytest-gated small-data twin of top_terms_per_source above (the
+    rel_quantiles exact-vs-distributed pattern,
+    tests/test_text.py::test_top_terms_udaf_matches_distributed): the
+    driver slot runs the distributed plan you'd ship; this demo pulls a
+    whole source into one pandas group, which is exactly the shape that
+    cannot hold a 100 TB source in one executor."""
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
@@ -692,9 +728,9 @@ def bm25_topk(
 
 
 def top_terms_and_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver slot: the top-terms UDAF ('top' rows) + BM25 retrieval
-    ('bm25' rows) as a tagged long-format union —
-    (sect, grp, term, rnk, val)."""
+    """Driver slot: distributed top-terms ('top' rows; the UDAF twin is
+    pytest-gated) + BM25 retrieval ('bm25' rows) as a tagged long-format
+    union — (sect, grp, term, rnk, val)."""
     top = top_terms_per_source(spark, sf_dir).select(
         F.lit("top").alias("sect"),
         F.col("source").alias("grp"),

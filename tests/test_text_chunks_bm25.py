@@ -131,3 +131,36 @@ def test_bm25_plan_shape(spark):
     # the top-k must not be a global sort
     assert "TakeOrderedAndProject" in plan
     assert "Generate" not in plan  # no explode anywhere in the scoring path
+
+
+def test_top_terms_udaf_matches_distributed(spark):
+    """The applyInPandas UDAF (SURVEY §2.9 surface demo,
+    top_terms_per_source_udaf) must agree row-for-row with the
+    distributed explode->hash-agg->window production path on the
+    fixture — the rel_quantiles exact-vs-distributed pattern."""
+    from ct_clickhouse_spark.operators.text import (
+        top_terms_per_source,
+        top_terms_per_source_udaf,
+    )
+
+    key = lambda r: (r["source"], r["term_rank"])
+    dist = sorted(top_terms_per_source(spark, SF_DIR).collect(), key=key)
+    udaf = sorted(top_terms_per_source_udaf(spark, SF_DIR).collect(), key=key)
+    assert dist == udaf
+    assert len(dist) > 0
+
+
+def test_top_terms_driver_slot_has_no_pandas_group(spark):
+    """The driver slot's plan must not contain a whole-source pandas
+    group (FlatMapGroupsInPandas) — the production path is pure JVM:
+    hash aggregate + window."""
+    from ct_clickhouse_spark.operators.text import top_terms_and_bm25
+
+    plan = (
+        top_terms_and_bm25(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "HashAggregate" in plan
