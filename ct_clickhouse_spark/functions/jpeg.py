@@ -315,7 +315,10 @@ def jpeg_decode_gray(payload: bytes) -> np.ndarray | None:
     encoder: tables are read from the stream, and DRI/RST0-7 restart
     intervals (the one baseline feature the r7 review found missing) are
     handled — each restart chunk re-aligns to a byte boundary and resets
-    the DC predictor. Returns (h, w) uint8, or None if the stream isn't
+    the DC predictor; 0xFF fill bytes before markers (T.81 B.1.1.2) are
+    skipped, and each restart chunk's bit consumption is checked against
+    the chunk boundary so a DRI/RST-spacing mismatch rejects instead of
+    mis-decoding. Returns (h, w) uint8, or None if the stream isn't
     a decodable baseline grayscale JPEG (progressive, multi-component,
     or 12-bit streams return None rather than mis-decoding)."""
     if len(payload) < 4 or payload[:2] != b"\xff\xd8":
@@ -335,12 +338,15 @@ def _decode_entropy_chunk(
     out: np.ndarray,
     b0: int,
     nblocks: int,
-) -> bool:
+) -> int:
     """Huffman-decode ``nblocks`` blocks from one byte-aligned entropy
     chunk (the whole scan, or one restart interval) into
     ``out[b0:b0+nblocks]``. The DC predictor starts at 0 — per T.81
-    E.2.4 it resets at every restart marker. Returns False on any
-    malformed code / truncation."""
+    E.2.4 it resets at every restart marker. Returns the number of bits
+    consumed (so the caller can verify the chunk was consumed to within
+    its byte-align padding — a DRI value that disagrees with the actual
+    RST spacing must yield None, not a silently wrong image), or -1 on
+    any malformed code / truncation."""
     peek = _peek16_all(destuffed)
     dc_sym, dc_len = dc_tab
     ac_sym, ac_len = ac_tab
@@ -386,8 +392,8 @@ def _decode_entropy_chunk(
             if i > n_bits:
                 raise ValueError("scan data truncated")
     except (ValueError, IndexError):
-        return False
-    return True
+        return -1
+    return i
 
 
 def _decode_gray_checked(payload: bytes) -> np.ndarray | None:
@@ -469,18 +475,28 @@ def _decode_gray_checked(payload: bytes) -> np.ndarray | None:
     # markers (emitted every ``restart_interval`` MCUs after a DRI
     # segment) split the scan into byte-aligned chunks, each of which
     # restarts entropy decoding with the DC predictor reset (T.81
-    # E.2.4); any OTHER marker (normally EOI) ends the scan
+    # E.2.4); any OTHER marker (normally EOI) ends the scan. Markers —
+    # including RSTn — may be preceded by any number of 0xFF FILL bytes
+    # (T.81 B.1.1.2): a chunk ends at the first 0xFF of the fill+marker
+    # run, and the marker byte is the first non-0xFF after it.
     arr = np.frombuffer(payload, dtype=np.uint8)[scan_start:]
     ff = np.nonzero(arr == 0xFF)[0]
     nxt = np.where(ff + 1 < len(arr), arr[np.minimum(ff + 1, len(arr) - 1)], 0xD9)
+    keep = nxt != 0x00  # drop stuffed 0xFF00 pairs: those are data
     chunks: list[np.ndarray] = []
     start = 0
-    for pos, m in zip(ff[nxt != 0x00], nxt[nxt != 0x00]):
+    for pos, m in zip(ff[keep], nxt[keep]):
+        pos, m = int(pos), int(m)
         if pos < start:
             continue  # the 0xFF of an already-consumed RST marker pair
-        chunks.append(arr[start : int(pos)])
-        if 0xD0 <= int(m) <= 0xD7:  # RSTn: skip the marker, keep going
-            start = int(pos) + 2
+        if m == 0xFF:
+            continue  # fill byte: a later (pos, m) entry carries the marker
+        first_ff = pos  # walk back over the fill run to the chunk end
+        while first_ff > start and arr[first_ff - 1] == 0xFF:
+            first_ff -= 1
+        chunks.append(arr[start:first_ff])
+        if 0xD0 <= m <= 0xD7:  # RSTn: skip the marker, keep going
+            start = pos + 2
             continue
         start = -1  # real trailing marker: scan is over
         break
@@ -499,7 +515,14 @@ def _decode_gray_checked(payload: bytes) -> np.ndarray | None:
             drop[1:] = (seg[:-1] == 0xFF) & (seg[1:] == 0x00)
         destuffed = seg[~drop].tobytes()
         n_here = min(per_chunk, nb - done)
-        if not _decode_entropy_chunk(destuffed, dc_tab, ac_tab, out, done, n_here):
+        used = _decode_entropy_chunk(destuffed, dc_tab, ac_tab, out, done, n_here)
+        if used < 0:
+            return None
+        # the chunk must be consumed to within its byte-align padding
+        # (< 8 one-bits, T.81 F.1.2.3): leftover whole bytes mean the
+        # DRI value disagrees with the actual restart spacing — reject
+        # rather than return a silently wrong image
+        if len(destuffed) * 8 - used >= 8:
             return None
         done += n_here
     if done < nb:

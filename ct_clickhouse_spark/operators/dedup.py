@@ -62,6 +62,16 @@ def cert_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distinct then moves ~40% of the bytes dropDuplicates-on-full-rows
     # would (manual column pruning — Catalyst cannot prune through
     # dropDuplicates because the kept row's other columns are observable)
+    #
+    # INVARIANT (r8 advice): distinct-on-3-columns counts each
+    # (fingerprint, domain) key once per log_name it appears under,
+    # while dropDuplicates([fingerprint, domain]) would count it once
+    # total. They agree only because log_name is functionally determined
+    # by fingerprint in this data model (the fingerprint embeds the cert
+    # identity; a cert lives in exactly one log) — asserted against the
+    # fixture in tests/test_operators.py::test_cert_dedup_log_name_fd so
+    # a schema/fixture change that breaks the dependency fails loudly
+    # instead of silently double-counting.
     return (
         cert.select("fingerprint", "domain", "log_name")
         .distinct()
@@ -165,17 +175,21 @@ def _mutation_frames(spark: SparkSession, sf_dir: str) -> tuple:
     import shutil
     import tempfile
 
-    from ..session import small_job_shuffle
-
     snap_root = tempfile.mkdtemp(prefix="ctspark_mut_snap_")
     snapshot_dir = os.path.join(snap_root, "t")
-    with small_job_shuffle(spark):
-        # pt-aligned write: one file per partition instead of one per
-        # shuffle task — the mutations re-list and rewrite these files
-        base.repartition("pt").write.partitionBy("pt").parquet(snapshot_dir)
-        part_values = sorted(
-            r["pt"] for r in updates.select("pt").distinct().collect()
-        )
+    # pt-aligned write at an EXPLICIT width (pt = cnum % 4, so 4): one
+    # file per partition value instead of one per corpus-width shuffle
+    # task — the mutations re-list and rewrite these files. Explicit
+    # repartition(4, "pt") instead of a scoped shuffle.partitions
+    # override: the former context-manager approach mutated the SHARED
+    # session conf, racing any concurrent corpus job on the same session
+    # during a cold build (r8 advice); a literal width is conf-free.
+    # The once-per-(session, sf) distinct below runs at corpus width —
+    # 32 empty-ish tasks once, not a per-invocation cost.
+    base.repartition(4, "pt").write.partitionBy("pt").parquet(snapshot_dir)
+    part_values = sorted(
+        r["pt"] for r in updates.select("pt").distinct().collect()
+    )
     # released on eviction like every sibling artifact cache
     return _bounded_cache_put(
         _MUT_FRAME_CACHE,
@@ -213,9 +227,10 @@ def cert_mutations_sections(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepared table (an OS-level copytree of the once-per-(session, sf)
     snapshot — the mutations themselves still list, prune, and rewrite
     real partitioned parquet files; only the input prep is amortized)
-    and removes it afterwards. The whole block runs under
-    ``small_job_shuffle``: the slice is ~1.6% of keys by construction,
-    so corpus-width shuffles would be pure task-scheduling overhead."""
+    and removes it afterwards. The mutation sequence runs on the
+    conf-isolated small-shuffle clone (``get_small_job_session``): the
+    slice is ~1.6% of keys by construction, so corpus-width shuffles
+    would be pure task-scheduling overhead."""
     rows = _mutation_rows(spark, sf_dir)
     return spark.createDataFrame(rows, "kind string, tag string, n long")
 

@@ -15,38 +15,12 @@ Design notes (100 TB mindset, tested on local[N]):
 from __future__ import annotations
 
 import os
-from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
 
 def default_parallelism() -> int:
     return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
-
-
-@contextmanager
-def small_job_shuffle(spark: SparkSession, partitions: int = 4):
-    """Scope ``spark.sql.shuffle.partitions`` down for a block of SMALL
-    jobs (maintenance mutations over a few thousand rows), restoring the
-    session value afterwards.
-
-    Why not leave it to AQE: AQE coalesces reduce partitions only for
-    plans it re-plans; ``localCheckpoint``/RDD-materialization paths (the
-    mutation operators' read-before-overwrite barrier) still launch the
-    full ``shuffle.partitions`` task count, and on a warm 32-core session
-    the per-task scheduling overhead dwarfs the data (measured: the
-    merge_upsert window job on 14k rows drops 1.45 s -> 0.68 s at 4
-    partitions). On a real cluster the same reasoning holds per job
-    size — a mutation that touches a 0.1% key slice should not inherit
-    the corpus-sized shuffle width. NOT thread-safe with concurrent job
-    submission on the same session (batch/bench paths submit serially;
-    the serving layer never runs mutations)."""
-    prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(partitions))
-    try:
-        yield
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
 
 def run_in_scheduler_pool(spark: SparkSession, pool: str, fn, *args):
@@ -79,10 +53,17 @@ def get_small_job_session(
     """A config-clone of ``spark`` (same SparkContext, same cached data,
     own SQLConf) with a small shuffle width — for maintenance jobs over
     key slices a corpus-wide shuffle width would drown in task-scheduling
-    overhead (see ``small_job_shuffle``). Unlike the context manager this
-    never mutates the caller's conf, so small jobs can run CONCURRENTLY
-    with corpus-sized jobs on the main session (FAIR scheduler) — the
-    per-workload-SQLConf pattern ``SparkSession.newSession`` exists for.
+    overhead. AQE won't save these: localCheckpoint/RDD-materialization
+    paths (the mutation operators' read-before-overwrite barrier) launch
+    the full ``shuffle.partitions`` task count, and on a warm 32-core
+    session the per-task scheduling overhead dwarfs the data (measured:
+    the merge_upsert window job on 14k rows drops 1.45 s -> 0.68 s at 4
+    partitions). The clone never mutates the caller's conf (the earlier
+    context-manager that scoped the parent's shuffle.partitions raced
+    concurrent corpus jobs — removed per r8 advice), so small jobs can
+    run CONCURRENTLY with corpus-sized jobs on the main session (FAIR
+    scheduler) — the per-workload-SQLConf pattern
+    ``SparkSession.newSession`` exists for.
     Cached per (parent session, width) — keyed like the catalog's
     artifact caches (``id(spark)`` would alias a new session allocated
     at a recycled address after the old one is collected), with

@@ -470,6 +470,13 @@ def main() -> None:
             )
         )
         n0 = sig0.count()
+        # replica-id stride derived from the measured corpus, not a fixed
+        # constant: a fixed 10M stride silently merges replicas (and
+        # corrupts the candidate/pair counts this grid measures) once the
+        # base media_id range reaches it on larger fixtures (r8 advice).
+        stride = (
+            sig0.agg(F.max("media_id").alias("m")).collect()[0]["m"] or 0
+        ) + 1
         for k in (1, 10, 100):
             reps = spark.range(k).select(
                 F.col("id").alias("rep"),
@@ -478,7 +485,9 @@ def main() -> None:
                 .alias("mask"),
             )
             sig_k = sig0.crossJoin(F.broadcast(reps)).select(
-                (F.col("media_id") + F.col("rep") * 10_000_000).alias("media_id"),
+                (F.col("media_id") + F.col("rep") * F.lit(stride)).alias(
+                    "media_id"
+                ),
                 F.col("h").bitwiseXOR(F.col("mask")).alias("h"),
             )
             pairs = hamming_near_dup_pairs(sig_k, "h")

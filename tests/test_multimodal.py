@@ -588,3 +588,58 @@ def test_audio_signatures_cover_every_audio_row(spark):
         build_media(spark, SF_DIR).filter(F.col("kind") == "audio").count()
     )
     assert n_sigs == n_audio > 0
+
+
+def test_jpeg_fill_bytes_and_dri_mismatch():
+    """T.81 B.1.1.2 allows any number of 0xFF fill bytes before a marker
+    (including RSTn): a conforming stream using them must decode
+    identically (r8 advice). And a DRI value that disagrees with the
+    actual restart spacing must return None — never a silently wrong
+    image (restart chunks are validated to be consumed to within their
+    byte-align padding)."""
+    import numpy as np
+
+    from ct_clickhouse_spark.functions.jpeg import (
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
+
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (40, 56), dtype=np.uint8)
+    plain = jpeg_decode_gray(jpeg_encode_gray(img, quality=75))
+
+    j = jpeg_encode_gray(img, quality=75, restart_interval=3)
+    sos = j.find(b"\xff\xda")
+    assert sos > 0
+    head, scan = j[:sos], j[sos:]
+    # insert fill bytes before every marker in the scan: raw 0xFF in
+    # entropy data is always stuffed (0xFF00), so 0xFF followed by
+    # 0xD0-0xD9 here is a real marker
+    filled = bytearray()
+    i = 0
+    while i < len(scan):
+        if (
+            scan[i] == 0xFF
+            and i + 1 < len(scan)
+            and 0xD0 <= scan[i + 1] <= 0xD9
+            and i > 1  # not the SOS marker itself
+        ):
+            filled += b"\xff\xff\xff"  # two fill bytes + the marker's 0xFF
+            filled.append(scan[i + 1])
+            i += 2
+            continue
+        filled.append(scan[i])
+        i += 1
+    dec = jpeg_decode_gray(head + bytes(filled))
+    assert dec is not None, "fill bytes before markers must decode"
+    assert (dec == plain).all()
+
+    # DRI/RST-spacing mismatch: patch the DRI segment (FF DD 00 04 HH LL)
+    # to claim a different interval than the stream's actual RST spacing
+    dri = j.find(b"\xff\xdd")
+    assert dri > 0 and j[dri + 2 : dri + 4] == b"\x00\x04"
+    for wrong in (2, 4):
+        patched = j[: dri + 4] + bytes((0, wrong)) + j[dri + 6 :]
+        assert jpeg_decode_gray(patched) is None, (
+            f"DRI={wrong} vs actual spacing 3 must reject, not mis-decode"
+        )

@@ -710,3 +710,24 @@ def test_exact_group_quantiles_high_cardinality_no_literal_maps(spark):
     for r in want_rows:
         for p, w in zip(ps, r.q):
             assert abs(got[(r.g, p)] - w) < 1e-9, (r.g, p)
+
+
+def test_cert_dedup_log_name_fd(spark):
+    """cert_dedup_exact's distinct-on-(fingerprint, domain, log_name)
+    equals dropDuplicates([fingerprint, domain]) ONLY under the data
+    model's functional dependency fingerprint -> log_name (a cert lives
+    in exactly one log). Assert it on the fixture so a fixture/schema
+    change that breaks the dependency fails here instead of silently
+    double-counting per-log uniques."""
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.cert_domains import build_cert_domains
+
+    cert = build_cert_domains(spark, SF_DIR)
+    violations = (
+        cert.groupBy("fingerprint")
+        .agg(F.countDistinct("log_name").alias("n_logs"))
+        .filter(F.col("n_logs") > 1)
+        .count()
+    )
+    assert violations == 0
