@@ -90,7 +90,10 @@ def get_spark(
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = default_parallelism()
-    master = master or f"local[{cpus}]"
+    # SPARK_GRAFT_MASTER lets the verify/bench harnesses run the SAME
+    # suite under a multi-process master (e.g. local-cluster[2,16,8192])
+    # to catch executor-boundary assumptions single-JVM local[N] hides.
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
 
     builder = (
@@ -125,6 +128,18 @@ def get_spark(
         .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
     )
+    if master.startswith("local-cluster"):
+        # separate executor JVMs spawn their own Python workers: they
+        # must be able to import this package (pandas UDFs pickle module
+        # functions by reference) and must fit inside the worker memory
+        # declared in the master string.
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        builder = builder.config(
+            "spark.executorEnv.PYTHONPATH", repo_root
+        ).config(
+            "spark.executor.memory",
+            os.environ.get("SPARK_GRAFT_EXECUTOR_MEM", "6g"),
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
