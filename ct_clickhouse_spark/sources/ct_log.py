@@ -255,11 +255,21 @@ class CTLogStreamReader(DataSourceStreamReader):
         # get-entries [start, end); the server may clamp each response
         # (HttpTransport), so loop until the range is covered — the
         # reference advances its offset by len(entries) the same way
-        # (ct_ingestor.py:205-224). fetch_entries raising on an empty
-        # response bounds the loop.
+        # (ct_ingestor.py:205-224). An EMPTY response must raise, not
+        # spin: RFC 6962 lets get-entries lag the STH (and a recorded
+        # dir's sth.json can overstate entries.jsonl), and
+        # RecordedTransport returns [] rather than raising for
+        # out-of-range reads — without this check the task loops
+        # forever. Raising hands recovery to Spark's task retry, the
+        # same error layer as T6.
         cur = partition.start
         while cur < partition.end:
             batch = partition.transport.fetch_entries(partition.log, cur, partition.end)
+            if not batch:
+                raise IOError(
+                    f"get-entries {partition.log}[{cur},{partition.end}) "
+                    "returned no entries (tree lagging its STH?)"
+                )
             for leaf in batch[: partition.end - cur]:
                 yield (partition.log, cur, leaf)
                 cur += 1

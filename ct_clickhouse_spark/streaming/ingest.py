@@ -95,13 +95,19 @@ def start_ingest(
     checkpoint: str,
     available_now: bool = True,
     urls: str | None = None,
+    max_per_trigger: int = 512,
+    processing_time: str = "5 seconds",
 ) -> StreamingQuery:
     """Start the ingest query. availableNow=True is the backfill/test mode
-    (reference T4: frozen-log completion); processingTime='5 seconds'
-    mirrors the reference's POLL_INTERVAL (ct_ingestor.py:24) in live mode."""
-    df = ingest_stream(spark, log_dir, urls=urls).withColumn(
-        "month", F.date_format("ts", "yyyyMM")
-    )
+    (reference T4: frozen-log completion); the live-mode defaults mirror
+    the reference's knobs — POLL_INTERVAL=5 s / BATCH_SIZE=512
+    (ct_ingestor.py:24-25). The throughput bench
+    (scripts/bench_streaming.py) overrides processing_time='0 seconds'
+    to run triggers back-to-back and measure engine rate rather than the
+    poll cadence."""
+    df = ingest_stream(
+        spark, log_dir, max_per_trigger=max_per_trigger, urls=urls
+    ).withColumn("month", F.date_format("ts", "yyyyMM"))
     writer = (
         df.writeStream.format("parquet")
         .option("path", table_path)
@@ -112,7 +118,7 @@ def start_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     else:
-        writer = writer.trigger(processingTime="5 seconds")
+        writer = writer.trigger(processingTime=processing_time)
     return writer.start()
 
 

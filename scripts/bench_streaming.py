@@ -1,0 +1,323 @@
+#!/usr/bin/env python
+"""Streaming throughput bench (r8 verdict #2): the T1-T8 surface had
+correctness coverage but zero recorded performance numbers. Two benches:
+
+1. ingest_e2e — the full reference dataflow (fixture CT logs -> ct_log
+   source -> mapInPandas X.509 parse -> explode to per-domain rows ->
+   base-domain pandas UDF -> dropDuplicatesWithinWatermark ->
+   month-partitioned parquet sink) under a LIVE-GROWTH protocol: the
+   sth.json tree sizes start at one trigger's worth, then jump to the
+   full fixture size right after batch 0 commits, so every subsequent
+   trigger ingests exactly maxEntriesPerTrigger per log. Pacing-bound =
+   the bench measures ENGINE rate, not arrival rate. Run at the
+   reference's knobs (512/trigger, ct_ingestor.py:24-25) and at a scale
+   config (4096/trigger) so the per-trigger fixed cost is separable
+   from the per-row cost.
+
+   Fixture certs are template-patched: ONE real self-signed DER is
+   built (tests/ctgen.make_cert_der), then each leaf substitutes a
+   fixed-width unique token into the CN/SAN strings — byte-identical
+   lengths keep the DER valid, the sha256 fingerprint is unique per
+   leaf, and generation is O(replace) instead of O(EC-sign). ~5% of
+   leaves repeat the previous leaf's token to give the watermark dedup
+   real cross-batch duplicates.
+
+2. rollup — hourly_rollup (watermark + tumbling window + HLL/KMV
+   sketch aggregates, idempotent partition-overwrite sink) over the
+   sf1 events table (1M rows) split into ts-ordered chunk files,
+   maxFilesPerTrigger=1 -> one trigger per chunk.
+
+Per trigger it records numInputRows, triggerExecution/addBatch ms, and
+state-store rows/bytes; the grid lands in SCALING.md. Driver-bottleneck
+check: the non-addBatch part of triggerExecution (query planning, WAL
+commit, offset tracking — the driver's per-trigger work) must stay flat
+as the batch size scales 8x.
+
+Usage: python scripts/bench_streaming.py [--leaves N] [--out FILE]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", ".benchdata/sf1")
+N_LOGS = 3
+TOKEN = b"qqqqqqqq"  # 8 bytes, 0x71 run: never occurs in DER structure
+
+
+def _token(i: int) -> bytes:
+    """Fixed-width lowercase base-26 id (a-z only, same byte length as
+    TOKEN) — keeps every patched DER byte-identical in length."""
+    s = ""
+    for _ in range(8):
+        s = chr(ord("a") + i % 26) + s
+        i //= 26
+    return s.encode()
+
+
+def build_fixture(base: str, n_leaves: int, dup_every: int = 20) -> None:
+    """n_leaves template-patched certs across N_LOGS recorded logs, with
+    every dup_every-th leaf repeating the previous token (same DER ->
+    same fingerprint -> a real cross-batch duplicate for the dedup)."""
+    from tests.ctgen import make_cert_der, wrap_leaf, write_log_dir
+
+    tmpl = make_cert_der(
+        [
+            f"cn-{TOKEN.decode()}.bench.example",
+            f"alt-{TOKEN.decode()}.bench.example",
+            f"www.alt-{TOKEN.decode()}.bench.example",
+        ],
+        serial=7,
+    )
+    # CN + self-signed issuer CN + 3 SANs: the token must appear exactly
+    # 5 times, else the template accidentally contains the pattern in
+    # key/signature bytes and patching would corrupt it
+    assert tmpl.count(TOKEN) == 5, tmpl.count(TOKEN)
+    per_log = n_leaves // N_LOGS
+    for li in range(N_LOGS):
+        leaves = []
+        for j in range(per_log):
+            i = li * per_log + j
+            if dup_every and j > 0 and j % dup_every == 0:
+                i -= 1  # repeat previous leaf's token -> duplicate cert
+            leaves.append(wrap_leaf(tmpl.replace(TOKEN, _token(i))))
+        write_log_dir(base, f"bench-log-{li}", leaves)
+
+
+def _set_sth(base: str, tree_size: int) -> None:
+    # atomic replace: the source polls sth.json concurrently with the
+    # grow step — a truncate-then-write would race it into a JSON error
+    for li in range(N_LOGS):
+        path = os.path.join(base, f"bench-log-{li}", "sth.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"tree_size": tree_size}, f)
+        os.replace(tmp, path)
+
+
+def _progress_rows(q) -> list[dict]:
+    out = []
+    for p in q.recentProgress:
+        if isinstance(p, str):
+            p = json.loads(p)
+        so = (p.get("stateOperators") or [{}])[0]
+        out.append(
+            {
+                "batch": p.get("batchId"),
+                "rows": p.get("numInputRows", 0),
+                "trigger_ms": p.get("durationMs", {}).get("triggerExecution"),
+                "addbatch_ms": p.get("durationMs", {}).get("addBatch"),
+                "state_rows": so.get("numRowsTotal"),
+                "state_bytes": so.get("memoryUsedBytes"),
+            }
+        )
+    return out
+
+
+def bench_ingest(spark, n_leaves: int, max_per_trigger: int) -> dict:
+    from ct_clickhouse_spark.streaming.ingest import start_ingest
+
+    work = tempfile.mkdtemp(prefix="ctspark_stream_bench_")
+    logs = os.path.join(work, "logs")
+    try:
+        build_fixture(logs, n_leaves)
+        per_log_full = n_leaves // N_LOGS
+        # the STH must never overstate the recorded entries (get-entries
+        # past the end fails the task, by design)
+        assert per_log_full >= max_per_trigger, "need >= 1 trigger per log"
+        _set_sth(logs, max_per_trigger)  # batch 0 = one trigger's worth
+        q = start_ingest(
+            spark,
+            logs,
+            os.path.join(work, "table"),
+            os.path.join(work, "ckpt"),
+            available_now=False,
+            max_per_trigger=max_per_trigger,
+            processing_time="0 seconds",
+        )
+        t0 = time.time()
+        # wait for batch 0 to commit, then reveal the full tree: from
+        # here every trigger is pacing-bound at max_per_trigger per log
+        while not q.recentProgress:
+            if q.exception() is not None:
+                raise RuntimeError(f"ingest query died: {q.exception()}")
+            time.sleep(0.05)
+        _set_sth(logs, per_log_full)
+        done_rows = N_LOGS * per_log_full
+        seen = 0
+        while seen < done_rows and time.time() - t0 < 600:
+            if q.exception() is not None:
+                raise RuntimeError(f"ingest query died: {q.exception()}")
+            seen = sum(
+                (json.loads(p) if isinstance(p, str) else p).get(
+                    "numInputRows", 0
+                )
+                for p in q.recentProgress
+            )
+            time.sleep(0.2)
+        wall = time.time() - t0
+        rows = _progress_rows(q)
+        q.stop()
+        q.awaitTermination(30)
+        sink_rows = spark.read.parquet(os.path.join(work, "table")).count()
+        steady = [r for r in rows if r["batch"] and r["rows"]]
+        busy_s = sum(r["trigger_ms"] for r in steady) / 1000 if steady else 0
+        return {
+            "leaves": done_rows,
+            "max_per_trigger": max_per_trigger,
+            "sink_rows": sink_rows,
+            "wall_sec": round(wall, 2),
+            "leaves_per_sec_steady": round(
+                sum(r["rows"] for r in steady) / busy_s, 1
+            )
+            if busy_s
+            else None,
+            "n_triggers": len(rows),
+            "triggers": rows,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_rollup(spark, n_chunks: int = 8) -> dict:
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.streaming.rollup import start_rollup
+
+    work = tempfile.mkdtemp(prefix="ctspark_rollup_bench_")
+    src = os.path.join(work, "src")
+    try:
+        ev = spark.read.parquet(os.path.join(SF1_DIR, "events.parquet"))
+        n = ev.count()
+        max_ts = ev.agg(F.max("ts")).collect()[0][0]
+        # ts-ordered chunks so the watermark advances monotonically
+        # across triggers (one file per trigger), exactly how a live
+        # stream would feed it
+        ev.repartitionByRange(n_chunks, "ts").sortWithinPartitions(
+            "ts"
+        ).write.parquet(src + "/chunk=0")
+        # the range write makes files ts-ordered but the file SOURCE
+        # need not list them in range order -> give each chunk its own
+        # lexicographic chunk=N dir, like the rollup tests
+        chunks = sorted(
+            f
+            for f in os.listdir(src + "/chunk=0")
+            if f.startswith("part-")
+        )
+        for i, f in enumerate(chunks[1:], start=1):
+            dst = src + f"/chunk={i}"
+            os.makedirs(dst)
+            shutil.move(os.path.join(src + "/chunk=0", f), dst)
+        # sentinel chunk far past everything: finalizes every window
+        sentinel_ts = max_ts + datetime.timedelta(hours=12)
+        spark.createDataFrame(
+            [(10**9, sentinel_ts, 0, "sentinel", 0.0, "{}")],
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
+        ).coalesce(1).write.parquet(src + f"/chunk={len(chunks)}")
+        # the file source orders by modification time: pin STRICTLY
+        # ascending mtimes per chunk, else same-second mtimes let it
+        # process chunks out of ts order, the watermark jumps ahead, and
+        # late chunks get silently dropped (observed: 1820 of 3600
+        # groups emitted before this fix)
+        t_base = time.time() - 3600
+        for i in range(len(chunks) + 1):
+            d = src + f"/chunk={i}"
+            for f in os.listdir(d):
+                os.utime(os.path.join(d, f), (t_base + i * 10, t_base + i * 10))
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long, "
+                "event_type string, value double, props string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src + "/chunk=*")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+            .select("ts", "user_id", "event_type", "value")
+        )
+        t0 = time.time()
+        q = start_rollup(
+            spark,
+            stream,
+            os.path.join(work, "rollup"),
+            os.path.join(work, "ckpt"),
+            available_now=True,
+        )
+        q.awaitTermination()
+        wall = time.time() - t0
+        rows = _progress_rows(q)
+        out_rows = spark.read.parquet(os.path.join(work, "rollup")).count()
+        busy_s = sum(r["trigger_ms"] or 0 for r in rows) / 1000
+        # steady state excludes the first two triggers (plan compilation
+        # + state-store init) and the sentinel/drain tail
+        steady = [
+            r for r in rows if (r["batch"] or 0) >= 2 and r["rows"] > 1000
+        ]
+        steady_s = sum(r["trigger_ms"] for r in steady) / 1000
+        expected = (
+            ev.select(
+                F.date_trunc("hour", "ts").alias("h"), "event_type"
+            )
+            .distinct()
+            .count()
+        )
+        return {
+            "events": n,
+            "rollup_rows": out_rows,
+            "expected_groups": expected,
+            "complete": out_rows == expected,
+            "wall_sec": round(wall, 2),
+            "events_per_sec": round(n / busy_s, 1) if busy_s else None,
+            "events_per_sec_steady": round(
+                sum(r["rows"] for r in steady) / steady_s, 1
+            )
+            if steady_s
+            else None,
+            "n_triggers": len(rows),
+            "triggers": rows,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--leaves", type=int, default=24_000)
+    ap.add_argument("--scale-leaves", type=int, default=96_000)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--only", default=None)
+    args = ap.parse_args()
+
+    from ct_clickhouse_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    result: dict = {"metric": "streaming_throughput", "runs": {}}
+    if not args.only or args.only == "ingest":
+        result["runs"]["ingest_512"] = bench_ingest(spark, args.leaves, 512)
+        result["runs"]["ingest_4096"] = bench_ingest(
+            spark, args.scale_leaves, 4096
+        )
+    if not args.only or args.only == "rollup":
+        result["runs"]["rollup_sf1"] = bench_rollup(spark)
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

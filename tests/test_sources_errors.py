@@ -90,3 +90,34 @@ def test_partitions_chunked_at_batch_size(tmp_path):
     parts = r.partitions({"biglog": 0}, {"biglog": 1200})
     bounds = sorted((p.start, p.end) for p in parts)
     assert bounds == [(0, DEFAULT_BATCH), (DEFAULT_BATCH, 1024), (1024, 1200)]
+
+
+def test_read_raises_on_sth_overstating_entries(tmp_path):
+    """RFC 6962 lets get-entries lag the STH, and RecordedTransport
+    returns [] (not an error) for out-of-range reads: read() must RAISE
+    on an empty response so Spark's task retry handles it — before the
+    r9 fix the while-until-end loop spun that task forever."""
+    import base64
+    import json
+    import os
+
+    from ct_clickhouse_spark.sources.ct_log import (
+        CTLogPartition,
+        CTLogStreamReader,
+    )
+
+    d = tmp_path / "logs" / "laggy"
+    os.makedirs(d)
+    (d / "sth.json").write_text(json.dumps({"tree_size": 5}))
+    leaf = base64.b64encode(b"\x00" * 20).decode()
+    (d / "entries.jsonl").write_text(
+        "\n".join(json.dumps({"leaf_input": leaf}) for _ in range(2)) + "\n"
+    )
+
+    r = CTLogStreamReader({"path": str(tmp_path / "logs")})
+    part = CTLogPartition(r.transport, "laggy", 0, 5)
+    it = r.read(part)
+    assert next(it)[1] == 0  # in-range entries stream fine
+    assert next(it)[1] == 1
+    with pytest.raises(IOError, match="lagging"):
+        list(it)  # range beyond the recorded entries must fail, not spin
