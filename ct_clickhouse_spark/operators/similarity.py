@@ -559,7 +559,9 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
     return _bounded_cache_put(_CENTROID_CACHE, ckey, cents)
 
 
-def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_topk(
+    spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID
+) -> DataFrame:
     """IVF approximate top-k (the other classic ANN scale path, besides
     LSH): vectors are bucketed by nearest coarse centroid; the query
     probes only its IVF_PROBES closest buckets and runs exact cosine
@@ -573,7 +575,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = _ivf_centroids(spark, sf_dir)
     qrow = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .filter(F.col("vec_id") == query_vec_id)
         .select("embedding")
         .collect()
     )
@@ -593,7 +595,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             m /= np.linalg.norm(m, axis=1, keepdims=True)
             assign = np.argmax(m @ cents_.T, axis=1)
             in_probe = np.isin(assign, list(probe_)) & (
-                pdf["vec_id"].to_numpy() != QUERY_VEC_ID
+                pdf["vec_id"].to_numpy() != query_vec_id
             )
             if not in_probe.any():
                 continue
@@ -996,7 +998,11 @@ def _sq8_cached(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[float
 
 
 def sq8_topk(
-    spark: SparkSession, sf_dir: str, k: int = TOPK, refine: int = SQ8_REFINE
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOPK,
+    refine: int = SQ8_REFINE,
+    query_vec_id: int = QUERY_VEC_ID,
 ) -> DataFrame:
     """SQ8 approximate top-k against the vec_id=0 query vector.
 
@@ -1009,7 +1015,7 @@ def sq8_topk(
     codes, scales = _sq8_cached(spark, sf_dir)
     qrow = (
         load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == QUERY_VEC_ID)
+        .filter(F.col("vec_id") == query_vec_id)
         .select("embedding")
         .collect()[0]
         .embedding
@@ -1031,14 +1037,14 @@ def sq8_topk(
         lambda s, v: s + v,
     )
     cand = (
-        codes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        codes.filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", approx.alias("approx_cos"))
         .orderBy(F.col("approx_cos").desc(), "vec_id")
         .limit(k * refine)
         .select("vec_id")
     )
     emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
-    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    query = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("emb").alias("qvec")
     )
     cos = _dot(F.col("emb"), F.col("qvec")) / (
@@ -1108,7 +1114,11 @@ def rp_project(
 
 
 def rp_topk(
-    spark: SparkSession, sf_dir: str, k: int = TOPK, refine: int = RP_REFINE
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOPK,
+    refine: int = RP_REFINE,
+    query_vec_id: int = QUERY_VEC_ID,
 ) -> DataFrame:
     """Random-projection approximate top-k against the vec_id=0 query:
     score sum(rp_d * q_rp_d) in the 16-dim projected space (pure JVM
@@ -1124,7 +1134,7 @@ def rp_topk(
     # seeded matrix makes the one-row projection identical by
     # construction — the same cheap-query-side pattern as sq8_topk.
     qrp = (
-        rp_project(emb_all.filter(F.col("vec_id") == QUERY_VEC_ID))
+        rp_project(emb_all.filter(F.col("vec_id") == query_vec_id))
         .select("rp")
         .collect()[0]
         .rp
@@ -1139,14 +1149,14 @@ def rp_topk(
         lambda s, v: s + v,
     )
     cand = (
-        proj.filter(F.col("vec_id") != QUERY_VEC_ID)
+        proj.filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", approx.alias("approx_cos"))
         .orderBy(F.col("approx_cos").desc(), "vec_id")
         .limit(k * refine)
         .select("vec_id")
     )
     emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
-    query = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+    query = emb.filter(F.col("vec_id") == query_vec_id).select(
         F.col("emb").alias("qvec")
     )
     cos = _dot(F.col("emb"), F.col("qvec")) / (

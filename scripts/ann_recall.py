@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""ANN recall at sf1 (r8 verdict #6): the IVF/SQ8/RP recall gates run on
+planted clusters at fixture scale; this measures recall@k for every ANN
+tier against BRUTE-FORCE exact cosine over the real sf1 embeddings
+table (20k x 64), across a spread of query vectors:
+
+- ivf_batch @ probes in {1, 2, 4}: one distributed ivf_topk_batch pass
+  per probe count over Q queries — the serving-shape path and the
+  multi-probe recall lever the index documents.
+- ivf / sq8 / rp single-query tiers (the driver-slot shapes,
+  parameterized by query_vec_id): mean recall over a smaller query set
+  (each query is one Spark job — the batch tier is the many-query path).
+
+Ground truth is computed driver-side in numpy (20k x 64 fits trivially;
+the MEASUREMENT may centralize, the operators under test never do).
+Recall@k counts |approx ∩ exact| / k with exact ties broken by vec_id,
+matching every tier's (cosine desc, vec_id) ordering.
+
+Usage: python scripts/ann_recall.py [--sf-dir .benchdata/sf1]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+K = 10
+BATCH_QUERIES = 64  # ids spread across the corpus
+SINGLE_QUERIES = 12  # driver-loop tiers: one job per query
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=".benchdata/sf1")
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.catalog import load_table
+    from ct_clickhouse_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_batch,
+        rp_topk,
+        sq8_topk,
+    )
+    from ct_clickhouse_spark.session import get_spark
+
+    spark = get_spark(app_name="ann-recall")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = load_table(spark, args.sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy()
+    m = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    n = len(ids)
+    step = max(1, n // BATCH_QUERIES)
+    q_ids = ids[::step][:BATCH_QUERIES]
+
+    def exact_topk(qid: int) -> set[int]:
+        qi = int(np.searchsorted(ids, qid))
+        sims = m @ m[qi]
+        sims[qi] = -2.0  # exclude self
+        # (cosine desc, vec_id asc) — same tiebreak as every tier
+        order = np.lexsort((ids, -np.round(sims, 4)))
+        return set(int(ids[i]) for i in order[:K])
+
+    truth = {int(q): exact_topk(int(q)) for q in q_ids}
+    result: dict = {
+        "metric": "ann_recall_at_k",
+        "k": K,
+        "sf_dir": args.sf_dir,
+        "n_vectors": int(n),
+        "tiers": {},
+    }
+
+    # batched IVF across probe counts: the distributed many-query path
+    qdf = spark.createDataFrame(
+        [(int(q),) for q in q_ids], "query_id long"
+    ).join(
+        emb.withColumnRenamed("vec_id", "query_id"), "query_id"
+    )
+    for probes in (1, 2, 4):
+        got = (
+            ivf_topk_batch(spark, args.sf_dir, qdf, k=K, probes=probes)
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .groupBy("query_id")
+            .agg(F.collect_list("vec_id").alias("hits"))
+            .collect()
+        )
+        per_q = [
+            len(set(r["hits"][:K]) & truth[r["query_id"]]) / K for r in got
+        ]
+        result["tiers"][f"ivf_batch_probes{probes}"] = {
+            "queries": len(per_q),
+            "recall_mean": round(float(np.mean(per_q)), 4),
+            "recall_min": round(float(np.min(per_q)), 4),
+        }
+        print(f"ivf_batch probes={probes}:", result["tiers"][f"ivf_batch_probes{probes}"])
+
+    # single-query tiers (driver-slot shapes), smaller query set
+    sq_ids = [int(q) for q in q_ids[:: max(1, len(q_ids) // SINGLE_QUERIES)]][
+        :SINGLE_QUERIES
+    ]
+    for name, fn in (
+        ("ivf_probes2", lambda q: ivf_topk(spark, args.sf_dir, query_vec_id=q)),
+        ("sq8_refine", lambda q: sq8_topk(spark, args.sf_dir, query_vec_id=q)),
+        ("rp_refine", lambda q: rp_topk(spark, args.sf_dir, query_vec_id=q)),
+    ):
+        per_q = []
+        for q in sq_ids:
+            hits = {r["vec_id"] for r in fn(q).collect()}
+            per_q.append(len(hits & truth[q]) / K)
+        result["tiers"][name] = {
+            "queries": len(per_q),
+            "recall_mean": round(float(np.mean(per_q)), 4),
+            "recall_min": round(float(np.min(per_q)), 4),
+        }
+        print(name + ":", result["tiers"][name])
+
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
