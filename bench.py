@@ -28,12 +28,29 @@ RUNS = 5
 SECTION_RUNS = 3  # diagnostic per-section attribution, cheaper than slots
 
 
+def warm_page_cache(sf_dir: str) -> float:
+    """Read every fixture byte once before the timed suite, pinning the
+    OS page-cache state (r8 verdict #4): a same-code re-run on a
+    cache-cold box drifted +24% median on payload-heavy slots, so the
+    official protocol is warm-cache by construction — every run starts
+    from the same storage state instead of whatever the box last did.
+    Returns the seconds spent warming (reported, never timed)."""
+    t0 = time.time()
+    for f in sorted(os.listdir(sf_dir)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(sf_dir, f), "rb") as fh:
+                while fh.read(1 << 24):
+                    pass
+    return time.time() - t0
+
+
 def main() -> None:
     import __spark_entry__ as entrymod
     from ct_clickhouse_spark.session import get_spark
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
+    warm_sec = warm_page_cache(SF_DIR)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
@@ -46,9 +63,18 @@ def main() -> None:
     # consumes result sets at scale and how the correctness compare
     # fetches both engines (verify_driver/toPandas vs DuckDB .df(),
     # which is the symmetric numpy materialization bench_duckdb uses).
+    first_run: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         try:
-            fn(spark, SF_DIR).toPandas()  # warm-up (also builds temp views)
+            # warm-up (also builds temp views and the per-(session, sf)
+            # artifacts) — TIMED and recorded separately as the slot's
+            # COLD cost (r8 verdict #5: artifact-cached slots otherwise
+            # understate steady-state-cold cost in the headline). Page
+            # cache is pinned (warm_page_cache), so first_run isolates
+            # engine-side cold state: plan compilation + artifact builds.
+            t0 = time.time()
+            fn(spark, SF_DIR).toPandas()
+            first_run[name] = round(time.time() - t0, 4)
             samples = []
             for _ in range(RUNS):
                 # gc BEFORE each timed run, outside the timed window:
@@ -103,7 +129,13 @@ def main() -> None:
     }
     if errors:
         compact["errors"] = {k: v[:80] for k, v in errors.items()}
-    full = dict(compact, queries=timings, sections=sections)
+    full = dict(
+        compact,
+        queries=timings,
+        first_run=first_run,
+        sections=sections,
+        warm_cache_sec=round(warm_sec, 2),
+    )
     if errors:
         full["errors"] = errors
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")

@@ -1120,11 +1120,16 @@ def rp_topk(
     refine: int = RP_REFINE,
     query_vec_id: int = QUERY_VEC_ID,
 ) -> DataFrame:
-    """Random-projection approximate top-k against the vec_id=0 query:
+    """Random-projection approximate top-k against the query vector:
     score sum(rp_d * q_rp_d) in the 16-dim projected space (pure JVM
     zip_with/aggregate over the reduced arrays), TakeOrdered k*refine
     candidates, exact-cosine re-rank of only those (broadcast id list).
-    Recall is pytest-gated against the exact brute-force tier."""
+    Recall is pytest-gated against the exact brute-force tier on
+    SEPARATED data — that is this tier's regime. On noise-dominated
+    corpora (neighbor gaps smaller than the 64->16 JL distortion) it
+    measures 0.48 recall@10 even at refine=96 (SCALING.md ANN section,
+    measured at sf1): use sq8_topk there, or raise RP_DIM at the cost
+    of the compression that motivates the tier."""
     emb_all = load_table(spark, sf_dir, "embeddings")
     proj = rp_project(emb_all).select("vec_id", "label", "rp")
     # project ONLY the query row for the collect: a filter above
