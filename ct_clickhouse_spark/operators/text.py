@@ -599,8 +599,12 @@ def top_terms_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # term != '': split of an empty/whitespace-only doc yields [''] —
+    # such docs contribute NO terms, matching the UDAF twin's skip rule
+    # (Python str.split drops empties) and the oracle's term <> ''
     counts = (
         docs.select("source", F.explode(_words(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
         .groupBy("source", "term")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
     )
@@ -1521,7 +1525,7 @@ ORACLES = {
             SELECT source, unnest({_WORDS_SQL}) AS term FROM documents
         ), counts AS (
             SELECT source, term, count(*) AS n_occurrences
-            FROM words GROUP BY source, term
+            FROM words WHERE term <> '' GROUP BY source, term
         ), ranked AS (
             SELECT *, row_number() OVER (
                 PARTITION BY source ORDER BY n_occurrences DESC, term

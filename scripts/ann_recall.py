@@ -83,22 +83,38 @@ def main() -> int:
         "tiers": {},
     }
 
-    # batched IVF across probe counts: the distributed many-query path
+    # batched IVF across probe counts: the distributed many-query path.
+    # k=K+1: every query is itself a corpus vector, and the batch tier
+    # does not exclude self — it always lands at rank 1 (its home cell
+    # is probed by construction), so asking for exactly K and filtering
+    # self AFTERWARD caps recall at (K-1)/K. Fetch one extra, drop self,
+    # score the first K real neighbors.
     qdf = spark.createDataFrame(
         [(int(q),) for q in q_ids], "query_id long"
     ).join(
         emb.withColumnRenamed("vec_id", "query_id"), "query_id"
     )
-    for probes in (1, 2, 4):
+    for probes in (1, 2, 4, 8, 12):
         got = (
-            ivf_topk_batch(spark, args.sf_dir, qdf, k=K, probes=probes)
+            ivf_topk_batch(spark, args.sf_dir, qdf, k=K + 1, probes=probes)
             .filter(F.col("vec_id") != F.col("query_id"))
-            .groupBy("query_id")
-            .agg(F.collect_list("vec_id").alias("hits"))
-            .collect()
+            .select("query_id", "rank", "vec_id")
+            .collect()  # <= (K+1) * n_queries rows; ordered client-side
         )
+        hits_by_q: dict[int, list[tuple[int, int]]] = {}
+        for r in got:
+            hits_by_q.setdefault(r["query_id"], []).append(
+                (r["rank"], r["vec_id"])
+            )
+        # queries with NO surviving rows (e.g. a singleton probed cell)
+        # must score 0, not vanish from the mean
         per_q = [
-            len(set(r["hits"][:K]) & truth[r["query_id"]]) / K for r in got
+            len(
+                {v for _, v in sorted(hits_by_q.get(int(q), []))[:K]}
+                & truth[int(q)]
+            )
+            / K
+            for q in q_ids
         ]
         result["tiers"][f"ivf_batch_probes{probes}"] = {
             "queries": len(per_q),
@@ -107,15 +123,26 @@ def main() -> int:
         }
         print(f"ivf_batch probes={probes}:", result["tiers"][f"ivf_batch_probes{probes}"])
 
-    # single-query tiers (driver-slot shapes), smaller query set
+    # single-query tiers (driver-slot shapes, self excluded BEFORE the
+    # limit inside each tier), smaller query set; rp additionally swept
+    # over refine to record its recall/cost curve in this regime
     sq_ids = [int(q) for q in q_ids[:: max(1, len(q_ids) // SINGLE_QUERIES)]][
         :SINGLE_QUERIES
     ]
-    for name, fn in (
+    variants = [
         ("ivf_probes2", lambda q: ivf_topk(spark, args.sf_dir, query_vec_id=q)),
         ("sq8_refine", lambda q: sq8_topk(spark, args.sf_dir, query_vec_id=q)),
         ("rp_refine", lambda q: rp_topk(spark, args.sf_dir, query_vec_id=q)),
-    ):
+        (
+            "rp_refine24",
+            lambda q: rp_topk(spark, args.sf_dir, refine=24, query_vec_id=q),
+        ),
+        (
+            "rp_refine96",
+            lambda q: rp_topk(spark, args.sf_dir, refine=96, query_vec_id=q),
+        ),
+    ]
+    for name, fn in variants:
         per_q = []
         for q in sq_ids:
             hits = {r["vec_id"] for r in fn(q).collect()}
@@ -126,6 +153,12 @@ def main() -> int:
             "recall_min": round(float(np.min(per_q)), 4),
         }
         print(name + ":", result["tiers"][name])
+    result["notes"] = (
+        "sf1 embeddings are noise-dominated (10 centers, signal 2x center "
+        "+ unit gaussian): cluster-pruning recall follows the probe curve; "
+        "SQ8 full-scan+refine is exact-equivalent at 4x compression; RP@16d "
+        "JL distortion swamps the neighbor gaps in this regime."
+    )
 
     print(json.dumps(result))
     if args.out:

@@ -103,23 +103,22 @@ def _set_sth(base: str, tree_size: int) -> None:
         os.replace(tmp, path)
 
 
+def _progress_row(p) -> dict:
+    if isinstance(p, str):
+        p = json.loads(p)
+    so = (p.get("stateOperators") or [{}])[0]
+    return {
+        "batch": p.get("batchId"),
+        "rows": p.get("numInputRows", 0),
+        "trigger_ms": p.get("durationMs", {}).get("triggerExecution"),
+        "addbatch_ms": p.get("durationMs", {}).get("addBatch"),
+        "state_rows": so.get("numRowsTotal"),
+        "state_bytes": so.get("memoryUsedBytes"),
+    }
+
+
 def _progress_rows(q) -> list[dict]:
-    out = []
-    for p in q.recentProgress:
-        if isinstance(p, str):
-            p = json.loads(p)
-        so = (p.get("stateOperators") or [{}])[0]
-        out.append(
-            {
-                "batch": p.get("batchId"),
-                "rows": p.get("numInputRows", 0),
-                "trigger_ms": p.get("durationMs", {}).get("triggerExecution"),
-                "addbatch_ms": p.get("durationMs", {}).get("addBatch"),
-                "state_rows": so.get("numRowsTotal"),
-                "state_bytes": so.get("memoryUsedBytes"),
-            }
-        )
-    return out
+    return [_progress_row(p) for p in q.recentProgress]
 
 
 def bench_ingest(spark, n_leaves: int, max_per_trigger: int) -> dict:
@@ -152,19 +151,42 @@ def bench_ingest(spark, n_leaves: int, max_per_trigger: int) -> dict:
             time.sleep(0.05)
         _set_sth(logs, per_log_full)
         done_rows = N_LOGS * per_log_full
-        seen = 0
-        while seen < done_rows and time.time() - t0 < 600:
+        # accumulate progress by batchId while polling: recentProgress
+        # retains only the last ~100 entries, so long runs would both
+        # hang the summed-rows completion check and silently truncate
+        # the recorded trigger series. Completion is judged on the
+        # source's committed END OFFSETS (monotone, cap-proof).
+        by_batch: dict[int, dict] = {}
+        consumed = 0
+        while consumed < done_rows and time.time() - t0 < 600:
             if q.exception() is not None:
                 raise RuntimeError(f"ingest query died: {q.exception()}")
-            seen = sum(
-                (json.loads(p) if isinstance(p, str) else p).get(
-                    "numInputRows", 0
-                )
-                for p in q.recentProgress
-            )
+            for p in q.recentProgress:
+                r = _progress_row(p)
+                if r["batch"] is not None:
+                    by_batch[r["batch"]] = r
+            lp = q.lastProgress
+            if lp:
+                if isinstance(lp, str):
+                    lp = json.loads(lp)
+                try:
+                    end = lp["sources"][0]["endOffset"]
+                    if isinstance(end, str):
+                        # a Python DataSource offset round-trips as the
+                        # DICT'S PYTHON REPR (single quotes), not JSON
+                        import ast
+
+                        end = ast.literal_eval(end)
+                    consumed = sum(end.values())
+                except (KeyError, TypeError, ValueError, AttributeError):
+                    pass
             time.sleep(0.2)
         wall = time.time() - t0
-        rows = _progress_rows(q)
+        for p in q.recentProgress:
+            r = _progress_row(p)
+            if r["batch"] is not None:
+                by_batch[r["batch"]] = r
+        rows = [by_batch[b] for b in sorted(by_batch)]
         q.stop()
         q.awaitTermination(30)
         sink_rows = spark.read.parquet(os.path.join(work, "table")).count()
