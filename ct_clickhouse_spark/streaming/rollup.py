@@ -35,7 +35,12 @@ Spark-first shape:
 
 At scale: state is bounded by the watermark horizon x keys-per-window;
 the rollup table is partitioned by window id so both the overwrite and
-typical dashboard reads touch few partitions.
+typical dashboard reads touch few partitions. Size the query's
+shuffle/state WIDTH to the live group cardinality, not the corpus
+width — every state partition pays open/commit/snapshot fixed cost per
+trigger (measured at sf1: 1.79 s/trigger at width 8 vs 3.83 s at the
+session's 32 for ~480 live groups; start the stream on a
+``get_small_job_session`` clone to scope the width per-workload).
 """
 
 from __future__ import annotations
