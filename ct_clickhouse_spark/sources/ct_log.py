@@ -294,4 +294,12 @@ class CTLogDataSource(DataSource):
 
 
 def register(spark) -> None:
-    spark.dataSource.register(CTLogDataSource)
+    """Idempotent: a config-clone session (``newSession``) shares the
+    parent's data-source registry, and re-registering raises
+    DATA_SOURCE_ALREADY_EXISTS — callers must be able to say
+    'make sure ct_log is available on THIS session' unconditionally."""
+    try:
+        spark.dataSource.register(CTLogDataSource)
+    except Exception as e:  # pragma: no cover - message-matched
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise

@@ -335,7 +335,19 @@ def main() -> int:
 
     from ct_clickhouse_spark.session import get_spark
 
-    spark = get_spark(app_name="bench-streaming")
+    # width 8, not the 32-core default: streaming state pays open/
+    # commit/snapshot fixed cost PER PARTITION PER TRIGGER, and these
+    # workloads carry small live state (~480 rollup groups; <=274k
+    # dedup keys). Measured at the reference ingest knob: 1,890 leaves/s
+    # at width 8 vs 1,082 at width 32 (identical sink rows). A clone
+    # session can't be used for the ingest runs — Python data-source
+    # registration is session-local but its duplicate-name check is
+    # JVM-wide (see sources/ct_log.register) — so the width is set on
+    # the bench's root session.
+    spark = get_spark(
+        app_name="bench-streaming",
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_STREAM_WIDTH", "8")),
+    )
     spark.sparkContext.setLogLevel("ERROR")
     result: dict = {"metric": "streaming_throughput", "runs": {}}
     if not args.only or args.only == "ingest":

@@ -121,3 +121,14 @@ def test_read_raises_on_sth_overstating_entries(tmp_path):
     assert next(it)[1] == 1
     with pytest.raises(IOError, match="lagging"):
         list(it)  # range beyond the recorded entries must fail, not spin
+
+
+def test_ct_log_register_is_idempotent(spark):
+    """register() must be callable unconditionally: re-registering the
+    same name raises DATA_SOURCE_ALREADY_EXISTS upstream (the duplicate
+    check is JVM-wide even though resolution is session-local), and
+    callers just mean 'make sure ct_log is available'."""
+    from ct_clickhouse_spark.sources.ct_log import register
+
+    register(spark)
+    register(spark)  # second call must not raise
