@@ -25,6 +25,7 @@ import argparse
 import json
 import os
 import sys
+import tempfile
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
@@ -33,11 +34,57 @@ BATCH_QUERIES = 64  # ids spread across the corpus
 SINGLE_QUERIES = 12  # driver-loop tiers: one job per query
 
 
+def _planted_dir() -> str:
+    """Deterministic sf1-SIZED well-separated corpus (the planted-
+    cluster regime the pytest recall gates cover at fixture scale):
+    same n/d/k as sf1 but signal 4x center + 0.5x noise instead of
+    2x + 1x, so nearest neighbors are cluster-aligned. Lets the same
+    recall protocol measure BOTH regimes at the same scale."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = os.path.join(tempfile.gettempdir(), "ann_recall_planted_sf1")
+    path = os.path.join(out, "embeddings.parquet")
+    if os.path.exists(path):
+        return out
+    os.makedirs(out, exist_ok=True)
+    rng = np.random.default_rng(777)
+    n, d, k = 20000, 64, 10
+    centers = rng.normal(size=(k, d))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    labels = rng.integers(0, k, n).astype(np.int32)
+    vecs = 4.0 * centers[labels] + 0.5 * rng.normal(size=(n, d))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    emb = pa.FixedSizeListArray.from_arrays(
+        pa.array(vecs.astype(np.float32).ravel(), type=pa.float32()), d
+    ).cast(pa.list_(pa.float32()))
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                "embedding": emb,
+                "label": pa.array(labels),
+            }
+        ),
+        path,
+    )
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=".benchdata/sf1")
+    ap.add_argument(
+        "--planted",
+        action="store_true",
+        help="measure on the deterministic well-separated planted corpus "
+        "instead of --sf-dir (same 20k x 64 scale)",
+    )
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    if args.planted:
+        args.sf_dir = _planted_dir()
 
     import numpy as np
 
@@ -153,6 +200,7 @@ def main() -> int:
             "recall_min": round(float(np.min(per_q)), 4),
         }
         print(name + ":", result["tiers"][name])
+    result["regime"] = "planted-separated" if args.planted else "sf1-noise-dominated"
     result["notes"] = (
         "sf1 embeddings are noise-dominated (10 centers, signal 2x center "
         "+ unit gaussian): cluster-pruning recall follows the probe curve; "
