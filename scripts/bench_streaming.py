@@ -209,6 +209,97 @@ def bench_ingest(spark, n_leaves: int, max_per_trigger: int) -> dict:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_ingest_restart(
+    spark, n_leaves: int = 24_000, max_per_trigger: int = 2048
+) -> dict:
+    """Measured restart recovery for the ingest path (T3/T7 evidence):
+    kill the query mid-stream after a few committed triggers, restart it
+    from the checkpoint, and record (a) recovery latency — start() to
+    the first post-restart committed batch — and (b) exactly-once across
+    the restart: the sink must hold the SAME rows an uninterrupted run
+    produces (68,409 distinct (fingerprint, domain) rows at 24k leaves)
+    with zero duplicate keys, even though the kill can interrupt an
+    in-flight batch that then replays."""
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.streaming.ingest import start_ingest
+
+    work = tempfile.mkdtemp(prefix="ctspark_stream_restart_")
+    logs = os.path.join(work, "logs")
+    table = os.path.join(work, "table")
+    ckpt = os.path.join(work, "ckpt")
+    try:
+        build_fixture(logs, n_leaves)
+        per_log_full = n_leaves // N_LOGS
+        assert per_log_full >= max_per_trigger
+        _set_sth(logs, max_per_trigger)
+
+        def _start():
+            return start_ingest(
+                spark,
+                logs,
+                table,
+                ckpt,
+                available_now=False,
+                max_per_trigger=max_per_trigger,
+                processing_time="0 seconds",
+            )
+
+        q = _start()
+        while not q.recentProgress:
+            if q.exception() is not None:
+                raise RuntimeError(f"ingest query died: {q.exception()}")
+            time.sleep(0.05)
+        _set_sth(logs, per_log_full)
+        # let a few paced triggers commit, then kill mid-stream
+        while len(q.recentProgress) < 4:
+            time.sleep(0.1)
+        q.stop()
+        q.awaitTermination(30)
+
+        t0 = time.time()
+        q = _start()
+        while not q.recentProgress:
+            if q.exception() is not None:
+                raise RuntimeError(f"restarted query died: {q.exception()}")
+            time.sleep(0.02)
+        recovery_sec = time.time() - t0
+        # drain the remainder (the restarted reader's first latestOffset
+        # takes everything still pending, so one or two more batches)
+        done_rows = N_LOGS * per_log_full
+        while time.time() - t0 < 300:
+            lp = q.lastProgress
+            if lp:
+                if isinstance(lp, str):
+                    lp = json.loads(lp)
+                try:
+                    end = lp["sources"][0]["endOffset"]
+                    if isinstance(end, str):
+                        import ast
+
+                        end = ast.literal_eval(end)
+                    if sum(end.values()) >= done_rows:
+                        break
+                except (KeyError, TypeError, ValueError, AttributeError):
+                    pass
+            time.sleep(0.2)
+        q.stop()
+        q.awaitTermination(30)
+        sink = spark.read.parquet(table)
+        total = sink.count()
+        distinct = sink.select("fingerprint", "domain").distinct().count()
+        return {
+            "leaves": done_rows,
+            "recovery_sec": round(recovery_sec, 2),
+            "sink_rows": total,
+            "distinct_keys": distinct,
+            "duplicate_rows": total - distinct,
+            "exactly_once": total == distinct,
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def bench_rollup(spark, n_chunks: int = 8, state_width: int = 8) -> dict:
     import datetime
 
@@ -355,6 +446,8 @@ def main() -> int:
         result["runs"]["ingest_4096"] = bench_ingest(
             spark, args.scale_leaves, 4096
         )
+    if not args.only or args.only == "restart":
+        result["runs"]["ingest_restart"] = bench_ingest_restart(spark)
     if not args.only or args.only == "rollup":
         result["runs"]["rollup_sf1"] = bench_rollup(spark)
     print(json.dumps(result))
