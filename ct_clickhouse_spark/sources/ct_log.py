@@ -294,10 +294,19 @@ class CTLogDataSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent: a config-clone session (``newSession``) shares the
-    parent's data-source registry, and re-registering raises
-    DATA_SOURCE_ALREADY_EXISTS — callers must be able to say
-    'make sure ct_log is available on THIS session' unconditionally."""
+    """Idempotent for SAME-SESSION re-registration: callers must be able
+    to say 'make sure ct_log is available' unconditionally, and a second
+    register on the session that already has it raises
+    DATA_SOURCE_ALREADY_EXISTS, which is swallowed here.
+
+    Clone-session caveat (measured on Spark 4.1.2): Python data-source
+    RESOLUTION is session-local, but the duplicate-name check consults
+    state a ``newSession`` clone shares with its parent — so on a clone
+    this call is a no-op (the swallow fires) AND the clone still cannot
+    resolve ``format("ct_log")``; the subsequent read fails loudly with
+    DATA_SOURCE_NOT_FOUND. Queries using this source must run on the
+    session that first registered it (see scripts/bench_streaming.py's
+    width note for the practical consequence)."""
     try:
         spark.dataSource.register(CTLogDataSource)
     except Exception as e:  # pragma: no cover - message-matched

@@ -121,6 +121,32 @@ def _progress_rows(q) -> list[dict]:
     return [_progress_row(p) for p in q.recentProgress]
 
 
+def _consumed(q) -> int:
+    """Entries the source has committed, summed over logs, read from
+    lastProgress — monotone and immune to the ~100-entry recentProgress
+    cap. A Python DataSource offset round-trips through the progress
+    payload as the DICT'S PYTHON REPR (single quotes), not JSON."""
+    import ast
+
+    lp = q.lastProgress
+    if not lp:
+        return 0
+    if isinstance(lp, str):
+        lp = json.loads(lp)
+    try:
+        end = lp["sources"][0]["endOffset"]
+        if isinstance(end, str):
+            end = ast.literal_eval(end)
+        return sum(end.values())
+    except (KeyError, TypeError, ValueError, AttributeError, IndexError):
+        return 0
+
+
+def _raise_if_dead(q, what: str) -> None:
+    if q.exception() is not None:
+        raise RuntimeError(f"{what} died: {q.exception()}")
+
+
 def bench_ingest(spark, n_leaves: int, max_per_trigger: int) -> dict:
     from ct_clickhouse_spark.streaming.ingest import start_ingest
 
@@ -157,29 +183,12 @@ def bench_ingest(spark, n_leaves: int, max_per_trigger: int) -> dict:
         # the recorded trigger series. Completion is judged on the
         # source's committed END OFFSETS (monotone, cap-proof).
         by_batch: dict[int, dict] = {}
-        consumed = 0
-        while consumed < done_rows and time.time() - t0 < 600:
-            if q.exception() is not None:
-                raise RuntimeError(f"ingest query died: {q.exception()}")
+        while _consumed(q) < done_rows and time.time() - t0 < 600:
+            _raise_if_dead(q, "ingest query")
             for p in q.recentProgress:
                 r = _progress_row(p)
                 if r["batch"] is not None:
                     by_batch[r["batch"]] = r
-            lp = q.lastProgress
-            if lp:
-                if isinstance(lp, str):
-                    lp = json.loads(lp)
-                try:
-                    end = lp["sources"][0]["endOffset"]
-                    if isinstance(end, str):
-                        # a Python DataSource offset round-trips as the
-                        # DICT'S PYTHON REPR (single quotes), not JSON
-                        import ast
-
-                        end = ast.literal_eval(end)
-                    consumed = sum(end.values())
-                except (KeyError, TypeError, ValueError, AttributeError):
-                    pass
             time.sleep(0.2)
         wall = time.time() - t0
         for p in q.recentProgress:
@@ -220,8 +229,6 @@ def bench_ingest_restart(
     produces (68,409 distinct (fingerprint, domain) rows at 24k leaves)
     with zero duplicate keys, even though the kill can interrupt an
     in-flight batch that then replays."""
-    from pyspark.sql import functions as F
-
     from ct_clickhouse_spark.streaming.ingest import start_ingest
 
     work = tempfile.mkdtemp(prefix="ctspark_stream_restart_")
@@ -246,13 +253,14 @@ def bench_ingest_restart(
             )
 
         q = _start()
+        t0 = time.time()
         while not q.recentProgress:
-            if q.exception() is not None:
-                raise RuntimeError(f"ingest query died: {q.exception()}")
+            _raise_if_dead(q, "ingest query")
             time.sleep(0.05)
         _set_sth(logs, per_log_full)
         # let a few paced triggers commit, then kill mid-stream
-        while len(q.recentProgress) < 4:
+        while len(q.recentProgress) < 4 and time.time() - t0 < 120:
+            _raise_if_dead(q, "ingest query (pre-kill)")
             time.sleep(0.1)
         q.stop()
         q.awaitTermination(30)
@@ -260,41 +268,36 @@ def bench_ingest_restart(
         t0 = time.time()
         q = _start()
         while not q.recentProgress:
-            if q.exception() is not None:
-                raise RuntimeError(f"restarted query died: {q.exception()}")
+            _raise_if_dead(q, "restarted query")
             time.sleep(0.02)
         recovery_sec = time.time() - t0
         # drain the remainder (the restarted reader's first latestOffset
         # takes everything still pending, so one or two more batches)
         done_rows = N_LOGS * per_log_full
-        while time.time() - t0 < 300:
-            lp = q.lastProgress
-            if lp:
-                if isinstance(lp, str):
-                    lp = json.loads(lp)
-                try:
-                    end = lp["sources"][0]["endOffset"]
-                    if isinstance(end, str):
-                        import ast
-
-                        end = ast.literal_eval(end)
-                    if sum(end.values()) >= done_rows:
-                        break
-                except (KeyError, TypeError, ValueError, AttributeError):
-                    pass
+        while _consumed(q) < done_rows and time.time() - t0 < 300:
+            _raise_if_dead(q, "restarted query (drain)")
             time.sleep(0.2)
+        drained = _consumed(q) >= done_rows
         q.stop()
         q.awaitTermination(30)
         sink = spark.read.parquet(table)
         total = sink.count()
         distinct = sink.select("fingerprint", "domain").distinct().count()
+        # BOTH failure directions of exactly-once: total != distinct is
+        # duplication; total != expected is LOSS (a dropped committed
+        # batch would pass a duplicates-only check). The unique cert
+        # count is closed-form from build_fixture's dup_every rule.
+        unique_per_log = per_log_full - (per_log_full - 1) // 20
+        expected = N_LOGS * unique_per_log * 3
         return {
             "leaves": done_rows,
             "recovery_sec": round(recovery_sec, 2),
+            "drained": drained,
             "sink_rows": total,
             "distinct_keys": distinct,
             "duplicate_rows": total - distinct,
-            "exactly_once": total == distinct,
+            "expected_rows": expected,
+            "exactly_once": bool(drained and total == distinct == expected),
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -435,10 +438,8 @@ def main() -> int:
     # registration is session-local but its duplicate-name check is
     # JVM-wide (see sources/ct_log.register) — so the width is set on
     # the bench's root session.
-    spark = get_spark(
-        app_name="bench-streaming",
-        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_STREAM_WIDTH", "8")),
-    )
+    width = int(os.environ.get("SPARK_GRAFT_STREAM_WIDTH", "8"))
+    spark = get_spark(app_name="bench-streaming", shuffle_partitions=width)
     spark.sparkContext.setLogLevel("ERROR")
     result: dict = {"metric": "streaming_throughput", "runs": {}}
     if not args.only or args.only == "ingest":
@@ -449,7 +450,7 @@ def main() -> int:
     if not args.only or args.only == "restart":
         result["runs"]["ingest_restart"] = bench_ingest_restart(spark)
     if not args.only or args.only == "rollup":
-        result["runs"]["rollup_sf1"] = bench_rollup(spark)
+        result["runs"]["rollup_sf1"] = bench_rollup(spark, state_width=width)
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:
