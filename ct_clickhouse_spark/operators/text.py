@@ -624,21 +624,28 @@ def top_terms_per_source_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark SQL can't express. This one *is* SQL-expressible, so it is the
     pytest-gated small-data twin of top_terms_per_source above (the
     rel_quantiles exact-vs-distributed pattern,
-    tests/test_text.py::test_top_terms_udaf_matches_distributed): the
-    driver slot runs the distributed plan you'd ship; this demo pulls a
-    whole source into one pandas group, which is exactly the shape that
-    cannot hold a 100 TB source in one executor."""
+    tests/test_text_chunks_bm25.py::test_top_terms_udaf_matches_distributed):
+    the driver slot runs the distributed plan you'd ship; this demo pulls
+    a whole source into one pandas group, which is exactly the shape that
+    cannot hold a 100 TB source in one executor.
+
+    Tokenization happens JVM-side (the bpe_encode pattern): the term
+    array is built with the same Java ``\\s+`` split as the distributed
+    twin BEFORE the group-map, so Python's ``str.split()`` Unicode-
+    whitespace semantics (U+00A0 etc.) can never make the twins
+    diverge — the UDAF only counts pre-split terms."""
     import pandas as pd
 
     docs = load_table(spark, sf_dir, "documents")
 
     def _top(pdf: pd.DataFrame) -> pd.DataFrame:
         counts: dict[str, int] = {}
-        for text in pdf["text"]:
-            if not text:  # NULL/empty text contributes no terms — the
+        for terms in pdf["terms"]:
+            if terms is None:  # NULL text contributes no terms — the
                 continue  # SQL unnest(split(NULL)) semantics
-            for w in text.lower().strip().split():
-                counts[w] = counts.get(w, 0) + 1
+            for w in terms:
+                if w:  # split of empty/ws-only text yields [''] — skip,
+                    counts[w] = counts.get(w, 0) + 1  # matching term != ''
         best = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_TERMS]
         return pd.DataFrame(
             {
@@ -651,7 +658,7 @@ def top_terms_per_source_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     schema = "source string, term string, term_rank int, n_occurrences long"
     return (
-        docs.select("source", "text")
+        docs.select("source", _words(F.col("text")).alias("terms"))
         .groupBy("source")
         .applyInPandas(_top, schema)
     )

@@ -258,7 +258,7 @@ class CTLogStreamReader(DataSourceStreamReader):
         # (ct_ingestor.py:205-224). An EMPTY response must raise, not
         # spin: RFC 6962 lets get-entries lag the STH (and a recorded
         # dir's sth.json can overstate entries.jsonl), and
-        # RecordedTransport returns [] rather than raising for
+        # DirTransport returns [] rather than raising for
         # out-of-range reads — without this check the task loops
         # forever. Raising hands recovery to Spark's task retry, the
         # same error layer as T6.

@@ -40,21 +40,34 @@ def _planted_dir() -> str:
     same n/d/k as sf1 but signal 4x center + 0.5x noise instead of
     2x + 1x, so nearest neighbors are cluster-aligned. Lets the same
     recall protocol measure BOTH regimes at the same scale."""
+    import hashlib
+
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    out = os.path.join(tempfile.gettempdir(), "ann_recall_planted_sf1")
+    seed, n, d, k = 777, 20000, 64, 10
+    signal, noise = 4.0, 0.5
+    # Cache path embeds a hash of EVERY generation constant: changing
+    # the recipe changes the path, so a stale artifact from an older
+    # recipe can never be silently reused (and the per-user suffix
+    # avoids trusting a world-writable shared path on multi-user hosts).
+    recipe = hashlib.sha256(
+        repr((seed, n, d, k, signal, noise)).encode()
+    ).hexdigest()[:12]
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"ann_recall_planted_{recipe}_u{os.getuid()}",
+    )
     path = os.path.join(out, "embeddings.parquet")
     if os.path.exists(path):
         return out
     os.makedirs(out, exist_ok=True)
-    rng = np.random.default_rng(777)
-    n, d, k = 20000, 64, 10
+    rng = np.random.default_rng(seed)
     centers = rng.normal(size=(k, d))
     centers /= np.linalg.norm(centers, axis=1, keepdims=True)
     labels = rng.integers(0, k, n).astype(np.int32)
-    vecs = 4.0 * centers[labels] + 0.5 * rng.normal(size=(n, d))
+    vecs = signal * centers[labels] + noise * rng.normal(size=(n, d))
     vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
     emb = pa.FixedSizeListArray.from_arrays(
         pa.array(vecs.astype(np.float32).ravel(), type=pa.float32()), d
