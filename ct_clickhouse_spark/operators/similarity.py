@@ -560,15 +560,18 @@ def _ivf_centroids(spark: SparkSession, sf_dir: str):
 
 
 def ivf_topk(
-    spark: SparkSession, sf_dir: str, query_vec_id: int = QUERY_VEC_ID
+    spark: SparkSession,
+    sf_dir: str,
+    query_vec_id: int = QUERY_VEC_ID,
+    n_probes: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k (the other classic ANN scale path, besides
     LSH): vectors are bucketed by nearest coarse centroid; the query
-    probes only its IVF_PROBES closest buckets and runs exact cosine
-    there. At scale the assignment is a partition key — the probe reads
-    IVF_PROBES/IVF_CLUSTERS of the data instead of all of it. Training
-    is distributed (see _ivf_centroids); only the k centroids and the
-    single query vector are broadcast."""
+    probes only its ``n_probes`` (default IVF_PROBES) closest buckets
+    and runs exact cosine there. At scale the assignment is a partition
+    key — the probe reads n_probes/IVF_CLUSTERS of the data instead of
+    all of it. Training is distributed (see _ivf_centroids); only the k
+    centroids and the single query vector are broadcast."""
     import numpy as np
     import pandas as pd
 
@@ -581,7 +584,9 @@ def ivf_topk(
     )
     qvec = np.array(qrow[0].embedding, dtype=np.float64)
     qvec /= np.linalg.norm(qvec)
-    probe = set(np.argsort(-(cents @ qvec))[:IVF_PROBES].tolist())
+    probe = set(
+        np.argsort(-(cents @ qvec))[: (n_probes or IVF_PROBES)].tolist()
+    )
     bc_cents = spark.sparkContext.broadcast((cents, probe, qvec))
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
@@ -1211,6 +1216,133 @@ def ann_topk_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cosine",
     )
     return ivf.unionByName(sq8).unionByName(rp).unionByName(batch)
+
+
+# ---------------------------------------------------------------------------
+# Regime-aware ANN routing (the round-9 recall study, encoded as the default)
+#
+# The sf1 recall study (ANN_RECALL_sf1.json / ANN_RECALL_planted.json,
+# SCALING.md ANN section) measured two regimes at the same 20k x 64 scale:
+# on a NOISE-DOMINATED corpus SQ8 held recall@10 = 1.00 at 4x compression
+# while IVF needed 12 of 20 probes to reach 0.91 (cell pruning discards
+# true neighbors when neighbors don't align with cells); on a WELL-
+# SEPARATED corpus IVF hit 0.93 at 2 probes (pruning pays exactly there).
+# ann_topk_auto turns that lesson into the default: a cheap sampled
+# cell-concentration probe decides the regime, SQ8 unless the corpus is
+# demonstrably clustered, in which case IVF with a probe count sized to a
+# target recall ON THE SAMPLE. Existing driver slots (ivf_topk, sq8_topk,
+# ann_topk_variants) are untouched — this is the frame-level default for
+# callers who don't know their corpus.
+
+ANN_PROBE_SAMPLE = 512  # vectors collected for the probe (sample_n x d
+#   doubles — ~256 KB at d=64, bounded regardless of corpus size)
+ANN_PROBE_QUERIES = 64  # sample rows treated as queries
+ANN_CLUSTERED_MIN_RECALL = 0.6  # 1-probe sample recall above which the
+#   corpus counts as clustered (measured: 0.93 planted vs 0.20 sf1 noise)
+_ANN_ROUTE_CACHE: dict[tuple[str, str], dict] = {}
+
+
+def ann_regime_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    sample_n: int = ANN_PROBE_SAMPLE,
+    k: int = TOPK,
+    target_recall: float = 0.9,
+) -> dict:
+    """Sampled cell-concentration probe: is this corpus's neighbor
+    structure aligned with its IVF cells?
+
+    Takes a deterministic hash-ordered sample of ``sample_n`` vectors
+    (TakeOrdered — only the sample ever reaches the driver), assigns
+    each to its nearest trained centroid, and for ANN_PROBE_QUERIES of
+    them computes the exact top-k within the sample. Reports:
+
+    - ``cell_recall_1probe``: mean fraction of a query's true neighbors
+      living in the query's own top-1 cell — the statistic that
+      separated the two measured regimes by >4x;
+    - ``probes_for_target``: the 90th-percentile minimal probe count at
+      which cell-ranked coverage of true neighbors reaches
+      ``target_recall`` on the sample (the recall-targeted IVF knob);
+    - ``route``: "ivf" iff cell_recall_1probe >= ANN_CLUSTERED_MIN_RECALL
+      else "sq8".
+
+    Cost: one distributed centroid training (cached per session/sf) +
+    one TakeOrdered sample scan + numpy on sample_n x d — independent of
+    corpus size."""
+    import numpy as np
+
+    from ..catalog import _session_key
+
+    ckey = (_session_key(spark), sf_dir)
+    hit = _ANN_ROUTE_CACHE.get(ckey)
+    if hit is not None:
+        return hit
+
+    cents = _ivf_centroids(spark, sf_dir)
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .orderBy(F.xxhash64("vec_id"), "vec_id")
+        .limit(sample_n)
+        .collect()
+    )
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    m /= np.linalg.norm(m, axis=1, keepdims=True)
+    cell_sims = m @ cents.T  # (n, n_cells)
+    assign = np.argmax(cell_sims, axis=1)
+    sims = m @ m.T
+    np.fill_diagonal(sims, -np.inf)
+    n_q = min(ANN_PROBE_QUERIES, len(m))
+    recalls, probes_needed = [], []
+    for qi in range(n_q):
+        nbrs = np.argsort(-sims[qi])[:k]
+        recalls.append(float(np.mean(assign[nbrs] == assign[qi])))
+        cell_rank = {
+            c: r for r, c in enumerate(np.argsort(-cell_sims[qi]))
+        }
+        nbr_ranks = sorted(cell_rank[c] for c in assign[nbrs])
+        # minimal p with >= target_recall of neighbors in the top-p cells
+        need = int(np.ceil(target_recall * len(nbr_ranks)))
+        probes_needed.append(nbr_ranks[need - 1] + 1)
+    one_probe = float(np.mean(recalls))
+    result = {
+        "route": "ivf" if one_probe >= ANN_CLUSTERED_MIN_RECALL else "sq8",
+        "cell_recall_1probe": round(one_probe, 4),
+        "probes_for_target": int(
+            np.percentile(probes_needed, 90, method="higher")
+        ),
+        "n_cells": int(cents.shape[0]),
+        "sample_n": len(m),
+        "target_recall": target_recall,
+    }
+    return _bounded_cache_put(_ANN_ROUTE_CACHE, ckey, result)
+
+
+def ann_topk_auto(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOPK,
+    query_vec_id: int = QUERY_VEC_ID,
+    target_recall: float = 0.9,
+) -> DataFrame:
+    """Regime-routed ANN top-k — the recommended default when the
+    corpus's neighbor structure is unknown: SQ8 (measured regime-
+    independent at 4x compression) unless ann_regime_probe finds the
+    corpus clustered, then IVF with the probe count the sample says
+    reaches ``target_recall`` (cell pruning reads probes/n_cells of the
+    data — strictly cheaper than SQ8's full code scan when it applies).
+    Output shape is the tiers' common (vec_id, label, cosine)."""
+    probe = ann_regime_probe(spark, sf_dir, k=k, target_recall=target_recall)
+    if probe["route"] == "ivf":
+        return ivf_topk(
+            spark,
+            sf_dir,
+            query_vec_id=query_vec_id,
+            n_probes=probe["probes_for_target"],
+        ).limit(k)
+    return sq8_topk(spark, sf_dir, k=k, query_vec_id=query_vec_id).select(
+        "vec_id", "label", "cosine"
+    )
 
 
 def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,11 +40,18 @@ def ingest_stream(
     log_dir: str | None = None,
     max_per_trigger: int = 512,
     urls: str | None = None,
+    watermark: str = WATERMARK,
 ) -> DataFrame:
     """The unbounded cert_domains DataFrame (pre-sink). Source = either a
     recorded log directory (``log_dir``) or live HTTP endpoints
     (``urls`` = "Name=http://...," — the reference's transport,
-    ct_ingestor.py:100-111)."""
+    ct_ingestor.py:100-111).
+
+    ``watermark`` bounds the dedup state horizon (default 1 hour — the
+    production late-data allowance). The state-drain bench
+    (scripts/bench_streaming.py --only drain) shortens it so a
+    minutes-long run crosses the horizon and the state plateau/drain is
+    *observed* rather than extrapolated from rate x horizon."""
     register(spark)
     reader = spark.readStream.format("ct_log").option(
         "maxEntriesPerTrigger", str(max_per_trigger)
@@ -81,7 +88,7 @@ def ingest_stream(
             "log_name",
         )
     )
-    deduped = exploded.withWatermark("ts", WATERMARK).dropDuplicatesWithinWatermark(
+    deduped = exploded.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["fingerprint", "domain"]
     )
     # normalize to the catalog's TIMESTAMP_NTZ after the stateful stage
@@ -97,6 +104,7 @@ def start_ingest(
     urls: str | None = None,
     max_per_trigger: int = 512,
     processing_time: str = "5 seconds",
+    watermark: str = WATERMARK,
 ) -> StreamingQuery:
     """Start the ingest query. availableNow=True is the backfill/test mode
     (reference T4: frozen-log completion); the live-mode defaults mirror
@@ -106,7 +114,11 @@ def start_ingest(
     to run triggers back-to-back and measure engine rate rather than the
     poll cadence."""
     df = ingest_stream(
-        spark, log_dir, max_per_trigger=max_per_trigger, urls=urls
+        spark,
+        log_dir,
+        max_per_trigger=max_per_trigger,
+        urls=urls,
+        watermark=watermark,
     ).withColumn("month", F.date_format("ts", "yyyyMM"))
     writer = (
         df.writeStream.format("parquet")
