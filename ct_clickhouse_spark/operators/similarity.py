@@ -1239,7 +1239,7 @@ ANN_PROBE_SAMPLE = 512  # vectors collected for the probe (sample_n x d
 ANN_PROBE_QUERIES = 64  # sample rows treated as queries
 ANN_CLUSTERED_MIN_RECALL = 0.6  # 1-probe sample recall above which the
 #   corpus counts as clustered (measured: 0.93 planted vs 0.20 sf1 noise)
-_ANN_ROUTE_CACHE: dict[tuple[str, str], dict] = {}
+_ANN_ROUTE_CACHE: dict[tuple, dict] = {}
 
 
 def ann_regime_probe(
@@ -1273,7 +1273,10 @@ def ann_regime_probe(
 
     from ..catalog import _session_key
 
-    ckey = (_session_key(spark), sf_dir)
+    # the probe parameters are part of the key: a second call with a
+    # different k/target_recall/sample_n must not reuse the first
+    # call's verdict
+    ckey = (_session_key(spark), sf_dir, sample_n, k, target_recall)
     hit = _ANN_ROUTE_CACHE.get(ckey)
     if hit is not None:
         return hit
