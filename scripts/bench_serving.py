@@ -35,7 +35,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SERVE_SF", "/root/testdata/sf0.01")
 N_THREADS = 8
 SOLO_ROUNDS = 20
-LOADED_ROUNDS_PER_THREAD = 12
+LOADED_ROUNDS_PER_THREAD = 24
 # the 6 GET query endpoints (the reference's read surface, api/app.py);
 # /stream is SSE (long-lived — latency means something different) and /
 # is static HTML, so both stay out of the latency table
