@@ -564,6 +564,7 @@ def ivf_topk(
     sf_dir: str,
     query_vec_id: int = QUERY_VEC_ID,
     n_probes: int | None = None,
+    k: int = TOPK,
 ) -> DataFrame:
     """IVF approximate top-k (the other classic ANN scale path, besides
     LSH): vectors are bucketed by nearest coarse centroid; the query
@@ -575,6 +576,8 @@ def ivf_topk(
     import numpy as np
     import pandas as pd
 
+    if n_probes is not None and n_probes < 1:
+        raise ValueError(f"n_probes must be >= 1, got {n_probes}")
     cents = _ivf_centroids(spark, sf_dir)
     qrow = (
         load_table(spark, sf_dir, "embeddings")
@@ -585,7 +588,9 @@ def ivf_topk(
     qvec = np.array(qrow[0].embedding, dtype=np.float64)
     qvec /= np.linalg.norm(qvec)
     probe = set(
-        np.argsort(-(cents @ qvec))[: (n_probes or IVF_PROBES)].tolist()
+        np.argsort(-(cents @ qvec))[
+            : (IVF_PROBES if n_probes is None else n_probes)
+        ].tolist()
     )
     bc_cents = spark.sparkContext.broadcast((cents, probe, qvec))
 
@@ -616,7 +621,7 @@ def ivf_topk(
     return (
         emb.mapInPandas(_search, "vec_id long, label int, cosine double")
         .orderBy(F.col("cosine").desc(), "vec_id")
-        .limit(TOPK)
+        .limit(k)
     )
 
 
@@ -1290,15 +1295,22 @@ def ann_regime_probe(
         .collect()
     )
     m = np.array([r.embedding for r in rows], dtype=np.float64)
+    if len(m) < 2:
+        raise ValueError(
+            f"ann_regime_probe needs >= 2 sample vectors, got {len(m)}"
+        )
     m /= np.linalg.norm(m, axis=1, keepdims=True)
     cell_sims = m @ cents.T  # (n, n_cells)
     assign = np.argmax(cell_sims, axis=1)
     sims = m @ m.T
     np.fill_diagonal(sims, -np.inf)
     n_q = min(ANN_PROBE_QUERIES, len(m))
+    # at most len(m)-1 true neighbors exist: the -inf diagonal must never
+    # let the query count itself among them on tiny corpora
+    k_eff = min(k, len(m) - 1)
     recalls, probes_needed = [], []
     for qi in range(n_q):
-        nbrs = np.argsort(-sims[qi])[:k]
+        nbrs = np.argsort(-sims[qi])[:k_eff]
         recalls.append(float(np.mean(assign[nbrs] == assign[qi])))
         cell_rank = {
             c: r for r, c in enumerate(np.argsort(-cell_sims[qi]))
@@ -1342,7 +1354,8 @@ def ann_topk_auto(
             sf_dir,
             query_vec_id=query_vec_id,
             n_probes=probe["probes_for_target"],
-        ).limit(k)
+            k=k,
+        )
     return sq8_topk(spark, sf_dir, k=k, query_vec_id=query_vec_id).select(
         "vec_id", "label", "cosine"
     )

@@ -50,6 +50,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", ".benchdata/sf1")
 N_LOGS = 3
+_WATERMARK_UNIT_S = {
+    "second": 1, "seconds": 1,
+    "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600,
+}
 TOKEN = b"qqqqqqqq"  # 8 bytes, 0x71 run: never occurs in DER structure
 
 
@@ -336,6 +341,16 @@ def bench_ingest_drain(
     across the phase boundary while triggers keep committing rows."""
     from ct_clickhouse_spark.streaming.ingest import start_ingest
 
+    # validate the watermark BEFORE the multi-minute run, not at summary
+    # time (a '1 hour' knob previously KeyError'd after the full run)
+    _num, _unit = watermark.split()
+    if _unit not in _WATERMARK_UNIT_S:
+        raise ValueError(
+            f"unsupported watermark unit {_unit!r}; "
+            f"known: {sorted(_WATERMARK_UNIT_S)}"
+        )
+    float(_num)
+
     work = tempfile.mkdtemp(prefix="ctspark_stream_drain_")
     logs = os.path.join(work, "logs")
     try:
@@ -399,9 +414,7 @@ def bench_ingest_drain(
             return round(sum(xs) / len(xs), 1) if xs else None
 
         num, unit = watermark.split()
-        horizon_s = float(num) * {
-            "second": 1, "seconds": 1, "minute": 60, "minutes": 60
-        }[unit]
+        horizon_s = float(num) * _WATERMARK_UNIT_S[unit]
         dpl = 3  # domains (state keys) per leaf in the fixture template
         # plateau = the last 60 s of each phase; phases are sized well
         # past horizon + watermark-update lag (~30 s observed) so both

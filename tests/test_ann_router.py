@@ -125,3 +125,62 @@ def test_auto_recall_on_planted(spark, tmp_path):
     exact = set(np.argsort(-sims)[:10].tolist())
     got = {r.vec_id for r in ann_topk_auto(spark, planted).collect()}
     assert len(got & exact) >= 9
+
+
+def test_auto_k_gt_10_consistent_across_routes(spark, tmp_path):
+    """ADVICE r10: ivf_topk used to hard-limit to TOPK=10 internally, so
+    ann_topk_auto(k=25) silently returned 10 rows on the IVF route but
+    25 on the SQ8 route. Both routes must honor k now."""
+    from ct_clickhouse_spark.operators.similarity import ann_topk_auto
+
+    planted = _write_planted(tmp_path)
+    ivf_rows = ann_topk_auto(spark, planted, k=25).collect()
+    assert len(ivf_rows) == 25
+    # descending cosine with vec_id tiebreak, no self-match
+    cosines = [r.cosine for r in ivf_rows]
+    assert cosines == sorted(cosines, reverse=True)
+    sq8_rows = ann_topk_auto(spark, SF_DIR, k=25).collect()
+    assert len(sq8_rows) == 25
+
+
+def test_ivf_topk_rejects_zero_probes(spark, tmp_path):
+    """ADVICE r10: n_probes=0 used to silently fall back to the default
+    via `or`; it must error instead."""
+    from ct_clickhouse_spark.operators.similarity import ivf_topk
+
+    planted = _write_planted(tmp_path)
+    with pytest.raises(ValueError, match="n_probes"):
+        ivf_topk(spark, planted, n_probes=0)
+
+
+def test_probe_tiny_sample_no_self_match(spark, tmp_path):
+    """ADVICE r10: with sample <= k vectors, argsort over the -inf
+    diagonal row used to include the query among its own 'true
+    neighbors', inflating cell_recall_1probe. k is clamped to
+    len(sample)-1 now; a 1-vector sample errors."""
+    from ct_clickhouse_spark.operators.similarity import ann_regime_probe
+
+    planted = _write_planted(tmp_path, n=6)
+    probe = ann_regime_probe(spark, planted, sample_n=6, k=10)
+    # 6 planted vectors over 8 centers: neighbors rarely share cells;
+    # the old bug pushed recall up via the self-match. All we pin is
+    # that the statistic is computed over 5 (= n-1) neighbors without
+    # crashing and stays a valid fraction.
+    assert 0.0 <= probe["cell_recall_1probe"] <= 1.0
+    assert probe["sample_n"] == 6
+
+    single = _write_planted(tmp_path / "one", n=1)
+    with pytest.raises(ValueError, match=">= 2 sample"):
+        ann_regime_probe(spark, single, sample_n=1, k=10)
+
+
+def test_drain_bench_validates_watermark_unit():
+    """ADVICE r10: '1 hour' used to KeyError at summary time AFTER the
+    multi-minute run; the unit map now covers hours and validates
+    up front."""
+    import scripts.bench_streaming as bs
+
+    assert bs._WATERMARK_UNIT_S["hour"] == 3600
+    assert bs._WATERMARK_UNIT_S["hours"] == 3600
+    with pytest.raises(ValueError, match="unsupported watermark unit"):
+        bs.bench_ingest_drain(None, watermark="1 fortnight")
