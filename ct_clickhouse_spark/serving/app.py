@@ -10,6 +10,8 @@ Endpoint map (reference line refs):
   /stats?date=            daily corpus stats       (app.py:169-209)
   /size                   storage bytes            (app.py:222-239)
   /stream                 SSE change tail          (app.py:245-274)
+  /similar/<vec_id>?k=    regime-routed ANN top-k  (ours; no reference
+                          analog — ClickHouse schema has no vectors)
 
 Access control parity: optional ips.txt allowlist (app.py:27-53) and
 flask-limiter rate limit when available (app.py:56-64).
@@ -68,32 +70,89 @@ def _rows_json(df) -> list[list]:
     ]
 
 
-def create_app(spark: SparkSession, table_path: str):
-    """Build the Flask app over a cert_domains Parquet table."""
+def _dir_state(path: str) -> tuple:
+    """Cheap staleness fingerprint of a LOCAL table directory: (file
+    count, total bytes, max mtime_ns) over every file under ``path``.
+    One os.stat per file — ~100x cheaper than the JVM-side
+    InMemoryFileIndex + parquet-footer schema inference a fresh
+    ``spark.read.parquet`` pays, and it changes whenever a streaming
+    ingest appends (new files), a compaction rewrites (count/size), or
+    a mutation lands (mtime). On an object store this probe would read
+    the versioned-publish marker (plans/versioned.py) instead of
+    stat-ing files; the contract is the same — a token that changes iff
+    the file listing changed."""
+    n = 0
+    total = 0
+    mx = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            st = os.stat(os.path.join(root, fn))
+            n += 1
+            total += st.st_size
+            if st.st_mtime_ns > mx:
+                mx = st.st_mtime_ns
+    return (n, total, mx)
+
+
+def create_app(
+    spark: SparkSession,
+    table_path: str,
+    embeddings_sf_dir: str | None = None,
+):
+    """Build the Flask app over a cert_domains Parquet table.
+
+    ``embeddings_sf_dir`` (optional) enables ``/similar/<vec_id>``:
+    regime-routed ANN top-k over that directory's embeddings table via
+    ann_topk_auto — the serving face of the ANN tier. Beyond the
+    reference's 8 endpoints (its ClickHouse schema has no vector
+    column); omitted -> the route 404s."""
     if not HAVE_FLASK:
         raise NotImplementedError("flask not installed; serving layer unavailable")
 
     app = Flask("ct_clickhouse_spark")
     allowed_ips = load_allowed_ips()
 
-    # startup read serves ONLY the fail-fast schema check; no long-lived
-    # DataFrame or temp view is kept — a view registered here would pin
-    # this moment's file-listing snapshot, the exact staleness the
-    # per-request table() below exists to avoid
+    # fail-fast schema check on the startup resolution (the resolved
+    # relation itself is seeded into the staleness-checked cache below)
     cert = spark.read.parquet(table_path)
     missing = set(f.name for f in CERT_DOMAINS_SCHEMA.fields) - set(cert.columns)
     if missing:
         raise ValueError(f"cert_domains table missing columns: {missing}")
 
+    # staleness-safe relation cache (round-11, serving-floor item): a
+    # DataFrame pins its file-listing snapshot (InMemoryFileIndex) at
+    # creation, so a long-lived handle would never serve rows a
+    # streaming ingest appends AFTER app start — the exact bug the r5
+    # per-request re-resolution fixed. But re-resolving EVERY request
+    # paid listing + parquet-footer schema inference (~100 ms at
+    # sf0.01) on the point-lookup path the reference's ClickHouse
+    # serves in ~ms. The fix keeps both properties: a sub-ms local
+    # _dir_state fingerprint decides per request whether the cached
+    # relation's listing is still the live one; any append/compaction/
+    # mutation changes the fingerprint and forces one re-resolution.
+    # The e2e stream-serving test still pins the freshness semantics.
+    import threading
+
+    _tbl_lock = threading.Lock()
+    _tbl_cache: dict = {"state": None, "df": None}
+
     def table():
-        # re-resolve the relation per request: a DataFrame pins its
-        # file-listing snapshot (InMemoryFileIndex) at creation, so a
-        # long-lived handle would never serve rows a streaming ingest
-        # appends AFTER app start (the reference's ClickHouse reads are
-        # always live — this is the Spark-side equivalent; the listing
-        # cost is bounded by the table's partition directories, and the
-        # e2e stream-serving test pins the freshness)
-        return spark.read.parquet(table_path)
+        st = _dir_state(table_path)
+        with _tbl_lock:
+            if st != _tbl_cache["state"]:
+                _tbl_cache["df"] = spark.read.parquet(table_path)
+                _tbl_cache["state"] = st
+            return _tbl_cache["df"]
+
+    # seed the cache with the startup resolution and pre-warm the point
+    # path once: the first query on a fresh session pays whole-stage
+    # codegen compilation + JVM JIT that every later request reuses —
+    # without this, one client eats a cold-start outlier
+    _tbl_cache["df"] = cert
+    _tbl_cache["state"] = _dir_state(table_path)
+    cert.filter(F.col("domain") == "\x00warmup\x00").orderBy(
+        F.col("ts").desc()
+    ).limit(100).collect()
 
     # FAIR scheduling is per-POOL: spark.scheduler.mode=FAIR alone puts
     # every job in the single "default" pool, whose internal order is
@@ -261,6 +320,31 @@ def create_app(spark: SparkSession, table_path: str):
         }
         data["date"] = date_str or "today"
         return jsonify(data)
+
+    @app.route("/similar/<int:vec_id>")
+    def similar(vec_id: int):
+        if embeddings_sf_dir is None:
+            return jsonify({"error": "similarity search not configured"}), 404
+        try:
+            k = int(request.args.get("k", 10))
+        except ValueError:
+            k = 10
+        k = max(1, min(k, 100))  # clamp, same policy as /tld's limit
+        from ..operators.similarity import ann_topk_auto
+
+        try:
+            # the regime probe inside is cached per (session, sf,
+            # params): only the first request pays it; every later one
+            # runs just the routed tier's query under this request's
+            # FAIR pool
+            df = ann_topk_auto(
+                spark, embeddings_sf_dir, k=k, query_vec_id=vec_id
+            )
+        except IndexError:
+            # both tiers resolve the query vector eagerly; an unknown
+            # vec_id surfaces as an empty driver-side collect
+            return jsonify({"error": f"vec_id {vec_id} not found"}), 404
+        return jsonify(_rows_json(df))
 
     @app.route("/size")
     def size():

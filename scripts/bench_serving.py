@@ -46,6 +46,10 @@ PATHS = [
     "/tld/rs?limit=5",
     "/stats?date=1995-06-15",
     "/size",
+    # round-11: the ANN tier's serving face (regime-routed top-k; the
+    # probe is cached after the warmup hit, so timed requests measure
+    # the routed tier's query like any other endpoint)
+    "/similar/3?k=10",
 ]
 
 
@@ -74,7 +78,7 @@ def main() -> int:
     work = tempfile.mkdtemp(prefix="ctspark_serve_bench_")
     table = os.path.join(work, "cert_domains")
     write_cert_domains(spark, SF_DIR, table)
-    app = create_app(spark, table)
+    app = create_app(spark, table, embeddings_sf_dir=SF_DIR)
     app.config["TESTING"] = True
 
     # --- solo baseline ---

@@ -119,6 +119,11 @@ def _progress_row(p) -> dict:
         "addbatch_ms": p.get("durationMs", {}).get("addBatch"),
         "state_rows": so.get("numRowsTotal"),
         "state_bytes": so.get("memoryUsedBytes"),
+        # RocksDB provider only: live SST bytes on local disk — the
+        # number that proves state actually spills out of the JVM heap
+        "state_disk_bytes": (so.get("customMetrics") or {}).get(
+            "rocksdbSstFileSize"
+        ),
         "state_evicted": so.get("numRowsRemoved"),
         "watermark": (p.get("eventTime") or {}).get("watermark"),
     }
@@ -707,9 +712,30 @@ def main() -> int:
     # JVM-wide (see sources/ct_log.register) — so the width is set on
     # the bench's root session.
     width = int(os.environ.get("SPARK_GRAFT_STREAM_WIDTH", "8"))
-    spark = get_spark(app_name="bench-streaming", shuffle_partitions=width)
+    # SPARK_GRAFT_STATE_PROVIDER=rocksdb runs the same benches with the
+    # disk-backed state store (the 100 TB spill path of SCALING.md's
+    # state-sizing rule); default stays the in-memory HDFS-backed
+    # provider the recorded baselines used.
+    provider = os.environ.get("SPARK_GRAFT_STATE_PROVIDER", "memory")
+    extra_conf: dict[str, str] = {}
+    if provider == "rocksdb":
+        extra_conf["spark.sql.streaming.stateStore.providerClass"] = (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        )
+    elif provider != "memory":
+        raise SystemExit(f"unknown SPARK_GRAFT_STATE_PROVIDER {provider!r}")
+    spark = get_spark(
+        app_name="bench-streaming",
+        shuffle_partitions=width,
+        extra_conf=extra_conf,
+    )
     spark.sparkContext.setLogLevel("ERROR")
-    result: dict = {"metric": "streaming_throughput", "runs": {}}
+    result: dict = {
+        "metric": "streaming_throughput",
+        "state_provider": provider,
+        "runs": {},
+    }
     if not args.only or args.only == "ingest":
         result["runs"]["ingest_512"] = bench_ingest(spark, args.leaves, 512)
         result["runs"]["ingest_4096"] = bench_ingest(

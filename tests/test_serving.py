@@ -105,3 +105,62 @@ def test_stream_pages_without_skipping(client, spark, table_path):
         .collect()
     ]
     assert emitted == expected
+
+
+@pytest.fixture(scope="module")
+def sim_client(spark, table_path):
+    from ct_clickhouse_spark.serving.app import create_app
+
+    app = create_app(spark, table_path, embeddings_sf_dir=SF_DIR)
+    app.config["TESTING"] = True
+    return app.test_client()
+
+
+def test_similar_routed_topk(sim_client):
+    """Round-11: /similar/<vec_id> is ann_topk_auto's serving face."""
+    rows = json.loads(sim_client.get("/similar/3?k=5").data)
+    assert len(rows) == 5
+    # (vec_id, label, cosine), descending cosine, never the query itself
+    assert all(len(r) == 3 for r in rows)
+    assert all(r[0] != 3 for r in rows)
+    cosines = [r[2] for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+
+
+def test_similar_k_clamped(sim_client):
+    rows = json.loads(sim_client.get("/similar/3?k=99999").data)
+    assert len(rows) <= 100
+
+
+def test_similar_unknown_vec_is_404(sim_client):
+    r = sim_client.get("/similar/999999999")
+    assert r.status_code == 404
+
+
+def test_similar_unconfigured_is_404(client):
+    r = client.get("/similar/3")
+    assert r.status_code == 404
+
+
+def test_relation_cache_serves_fresh_appends(spark, table_path, client):
+    """Round-11: the staleness-checked relation cache must never serve a
+    stale file listing — an append between two requests (the streaming
+    ingest pattern) must be visible on the very next request."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    fresh = "fresh-append.example"
+    assert json.loads(client.get(f"/domain/{fresh}").data) == []
+    month_dir = next(
+        d for d in os.listdir(table_path) if d.startswith("month=")
+    )
+    tmpl = (
+        spark.read.parquet(table_path)
+        .drop("month")
+        .limit(1)
+        .withColumn("domain", F.lit(fresh))
+    )
+    tmpl.write.mode("append").parquet(os.path.join(table_path, month_dir))
+    rows = json.loads(client.get(f"/domain/{fresh}").data)
+    assert len(rows) == 1 and rows[0][1] == fresh
