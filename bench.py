@@ -24,7 +24,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-RUNS = 5
+# per-slot timed repetitions (median taken). The driver's official runs
+# use the default 5; large-SF growth studies (where one warm run per
+# slot already answers the question and 5x would cost hours) dial it
+# down via the env knob.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
 SECTION_RUNS = 3  # diagnostic per-section attribution, cheaper than slots
 
 

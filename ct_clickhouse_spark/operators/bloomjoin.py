@@ -19,9 +19,15 @@ Spark-first construction, no driver-side key materialization:
   word. The aggregate output is AT MOST m/64 rows (the sketch size,
   independent of dim cardinality) — only the sketch reaches the driver,
   like the k centroids in operators/similarity.py.
-- Probe: the word array is embedded as a literal array column and tested
-  with element_at/shiftright/& — whole-stage-codegen JVM expressions, so
-  the filter sits directly on the fact scan, before any Exchange.
+- Probe: the word array rides as a column tested with element_at/
+  shiftright/& — whole-stage-codegen JVM expressions, so the filter sits
+  directly on the fact scan, before any Exchange. SMALL sketches embed
+  as a literal array; large ones ship as DATA (a broadcast 1-row frame
+  cross-joined in): a literal array is an expression tree with one node
+  per word, and at ~77k words (a 500k-key corpus) just BUILDING it costs
+  tens of seconds of driver time per query while analysis/codegen walk
+  every node — the round-11 sf10 shakeout measured 36 s of pure
+  plan-side cost on the incremental-dedup slot before this split.
 
 False positives only (a set bit can collide, a clear bit cannot), so the
 downstream equality join returns IDENTICAL rows to the unpruned join;
@@ -37,9 +43,29 @@ from pyspark.sql import functions as F
 
 BITS_PER_ITEM = 10
 N_HASHES = 7  # ~= (bits/item) * ln 2, the optimal hash count
-MAX_LITERAL_WORDS = 2_000_000  # 16 MB literal ceiling; beyond this, use a
+MAX_LITERAL_WORDS = 2_000_000  # 16 MB sketch ceiling; beyond this, use a
 # broadcast semi-join on the key set instead — at that sketch size the
 # key set itself is usually broadcastable.
+# Above this word count the sketch ships as broadcast DATA (1-row frame)
+# instead of a literal expression tree — the expression path costs
+# O(words) driver time PER QUERY in construction + analysis + codegen.
+# 1024 words (~65k keys, 8 KB) keeps every fixture-scale plan (and the
+# plan-shape tests) on the literal path, bit-identical to pre-r11.
+LITERAL_WORDS_MAX = 1024
+
+
+def _tag_words(fact: DataFrame, bitmap: list[int]) -> DataFrame:
+    """``fact`` plus a ``_bf_words`` array<long> column holding the
+    sketch, via whichever carrier is sane for the sketch size (literal
+    expression below LITERAL_WORDS_MAX, broadcast 1-row frame above)."""
+    if len(bitmap) <= LITERAL_WORDS_MAX:
+        return fact.withColumn("_bf_words", F.array(*[F.lit(w) for w in bitmap]))
+    arr_df = fact.sparkSession.createDataFrame(
+        [(bitmap,)], "_bf_words: array<bigint>"
+    )
+    # crossJoin against a broadcast 1-row bound frame: the sketch is
+    # shipped once per executor as data, not re-walked per plan pass
+    return fact.crossJoin(F.broadcast(arr_df))
 
 
 def _positions(key: str, m_bits: int) -> list[Column]:
@@ -125,7 +151,8 @@ def bloom_prune(
     The word array is MATERIALIZED as a column before the k bit checks:
     an inline literal array would be copied into the expression tree once
     per hash (7 x up-to-2M-element CreateArray nodes near the ceiling —
-    enough to stall planning); as an attribute it exists once."""
+    enough to stall planning); as an attribute it exists once (and above
+    LITERAL_WORDS_MAX it ships as broadcast data, not an expression)."""
     return bloom_prune_prebuilt(fact, key, build_bloom(dim, key, expected_items))
 
 
@@ -138,8 +165,7 @@ def bloom_prune_prebuilt(fact: DataFrame, key: str, bitmap: list[int]) -> DataFr
         # NULL — every fact row silently dropped (the same hazard
         # build_bloom's expected_items guard exists for)
         raise ValueError("bitmap must be non-empty")
-    arr = F.array(*[F.lit(w) for w in bitmap])
-    tagged = fact.withColumn("_bf_words", arr)
+    tagged = _tag_words(fact, bitmap)
     return tagged.filter(
         _membership(F.col("_bf_words"), key, len(bitmap) * 64)
     ).drop("_bf_words")

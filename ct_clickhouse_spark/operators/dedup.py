@@ -563,7 +563,7 @@ def incremental_dedup(
     built here, sized by ``expected_items`` (defaulting to a count over
     the corpus key column — one cheap single-column scan).
     """
-    from .bloomjoin import _membership, build_bloom
+    from .bloomjoin import _membership, _tag_words, build_bloom
 
     keys = corpus.select(key)
     if prebuilt_bloom is not None:
@@ -577,9 +577,10 @@ def incremental_dedup(
         if expected_items is None:
             expected_items = max(keys.count(), 1)
         bitmap = build_bloom(keys, key, expected_items)
-    tagged = new_batch.withColumn(
-        "_bf_words", F.array(*[F.lit(w) for w in bitmap])
-    )
+    # large sketches ride as broadcast data, not a literal expression
+    # tree (the r11 sf10 shakeout measured 36 s/query of plan-side cost
+    # on a ~77k-word literal) — see bloomjoin._tag_words
+    tagged = _tag_words(new_batch, bitmap)
     member = _membership(F.col("_bf_words"), key, len(bitmap) * 64)
     definite_new = tagged.filter(~member).drop("_bf_words")
     candidates = tagged.filter(member).drop("_bf_words")

@@ -218,50 +218,114 @@ def lsh_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LSH_BANDS = 4  # 4 bands x 4 bits
+LSH_BANDS = 4  # minimum band count (4 bands x 4 bits at fixture scale)
+LSH_TARGET_BUCKET = 512  # expected bucket membership the plan sizes for
+LSH_MAX_BITS = 16  # per-band bucket bits ceiling (65,536 buckets/band)
+LSH_REF_SIM = 0.9  # strong-dup similarity the recall law is preserved at
+
+
+def _lsh_plan(n: int) -> tuple[int, int]:
+    """Size-adaptive (bits_per_band, n_bands) for banded hyperplane LSH.
+
+    Round-11 scale fix: the original fixed 4-bit bands give only 16
+    buckets per band, so bucket MEMBERSHIP grows linearly with corpus
+    size and the bucket-local exact-cosine verify grows quadratically —
+    the sf10 shakeout measured the hyperplane section at 209.6 s for
+    200k vectors (92x the 20k cost; 12.5k-vector buckets). Bits now grow
+    with log2(n / LSH_TARGET_BUCKET), holding expected bucket size flat,
+    and the band count is raised to keep candidate recall at
+    LSH_REF_SIM >= the original (4, 4) plan's value (recall per pair is
+    1-(1-p^bits)^bands with p = 1 - angle/pi, so more bits per band
+    must be paid for with more bands). At n <= 8,192 this returns
+    exactly (4, 4) — fixture/driver-scale plans are bit-identical to
+    pre-r11. Beyond n = LSH_TARGET_BUCKET * 2^LSH_MAX_BITS (~33.5M
+    vectors) buckets grow linearly again — raise LSH_TARGET_BUCKET
+    there (bucket verify is GEMM work; a few-thousand-row bucket is
+    cheap) rather than the bits cap."""
+    import math
+
+    min_bits = LSH_BITS // LSH_BANDS
+    bits = min_bits
+    if n > LSH_TARGET_BUCKET * (1 << min_bits):
+        bits = min(LSH_MAX_BITS, math.ceil(math.log2(n / LSH_TARGET_BUCKET)))
+    p = 1.0 - math.acos(LSH_REF_SIM) / math.pi
+    ref_recall = 1.0 - (1.0 - p**min_bits) ** LSH_BANDS
+    bands = max(
+        LSH_BANDS,
+        # the 1e-9 slack keeps ceil() from rounding the exact solution
+        # up on float noise (at bits == min_bits the quotient IS 4.0)
+        math.ceil(
+            math.log(1.0 - ref_recall) / math.log(1.0 - p**bits) - 1e-9
+        ),
+    )
+    return bits, bands
 
 
 def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN near-dup pairs: banded signature buckets, exact cosine verified
     *inside each bucket* — the canonical LSH shape. Recall per pair is
-    1-(1-p^b)^bands with p = 1 - angle/pi.
+    1-(1-p^bits)^bands with p = 1 - angle/pi.
 
-    Plan: signatures -> explode into (band, bucket) keys -> ONE shuffle
-    grouping each bucket's vectors together -> a dense numpy kernel runs
-    the exact all-pairs cosine within the bucket (buckets are small by
-    construction; a hot bucket is bounded by its own membership, and the
-    band count bounds replication at LSH_BANDS rows per vector) ->
-    dropDuplicates on the pair key since a pair can collide in several
-    bands. No candidate self-join, no driver collect, no full-matrix
-    broadcast: this is strictly bucket-local work, which is what makes
-    LSH sub-quadratic at 100 TB."""
+    Plan: per-band bucket keys from the banded hyperplane dots (two hash
+    aggregates, all JVM) -> ONE shuffle grouping each bucket's vectors
+    together -> a dense numpy kernel runs the exact all-pairs cosine
+    within the bucket -> dropDuplicates on the pair key since a pair can
+    collide in several bands. Bucket sizes are held ~flat across corpus
+    sizes by _lsh_plan (bits grow with log2 n, bands compensate recall),
+    so the bucket-local work stays sub-quadratic at 100 TB. No candidate
+    self-join, no driver collect, no full-matrix broadcast. The global
+    plane index gbit = band * bits + bit reproduces the original 16-bit
+    signature slicing exactly at the fixture-scale (4, 4) plan."""
     import numpy as np
     import pandas as pd
 
-    bits_per_band = LSH_BITS // LSH_BANDS
-    sigs = lsh_signatures(spark, sf_dir)
-    mask = (1 << bits_per_band) - 1
+    n = table_rowcount(spark, sf_dir, "embeddings")
+    bits_per_band, n_bands = _lsh_plan(n)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bands = (
-        sigs.join(emb, "vec_id")
+
+    planes = (
+        spark.range(n_bands * bits_per_band)
         .select(
-            "vec_id",
-            "embedding",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            F.expr(
-                                f"CAST(shiftright(signature, {b * bits_per_band}) AS BIGINT) & {mask}"
-                            ).alias("bucket"),
-                        )
-                        for b in range(LSH_BANDS)
-                    ]
-                )
-            ).alias("bb"),
+            F.col("id").alias("gbit"),
+            F.explode(F.sequence(F.lit(0), F.lit(EMBED_DIM - 1))).alias("pos"),
         )
-        .select("vec_id", "embedding", "bb.band", "bb.bucket")
+        .select(
+            "gbit",
+            "pos",
+            (
+                F.when(F.pmod(F.xxhash64("gbit", "pos"), 2) == 0, 1.0).otherwise(
+                    -1.0
+                )
+            ).alias("sign"),
+        )
+    )
+    comps = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v"),
+    )
+    dots = (
+        comps.join(F.broadcast(planes), "pos")
+        .groupBy("vec_id", "gbit")
+        .agg(F.sum(F.col("v") * F.col("sign")).alias("dot"))
+    )
+    buckets = (
+        dots.groupBy(
+            "vec_id",
+            (F.col("gbit") / bits_per_band).cast("int").alias("band"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("dot") > 0,
+                    F.expr(
+                        f"shiftleft(1L, CAST(pmod(gbit, {bits_per_band}) AS INT))"
+                    ),
+                ).otherwise(F.lit(0))
+            ).alias("bucket")
+        )
+    )
+    bands = buckets.join(emb, "vec_id").select(
+        "vec_id", "embedding", "band", "bucket"
     )
 
     empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})

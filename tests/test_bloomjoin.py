@@ -112,3 +112,59 @@ def test_prebuilt_probe_rejects_empty_bitmap(spark):
     fact = spark.range(5).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="non-empty"):
         bloom_prune_prebuilt(fact, "k", [])
+
+
+def test_large_sketch_ships_as_broadcast_data(spark, monkeypatch):
+    """Round-11 scale fix: above LITERAL_WORDS_MAX the word array rides
+    as a broadcast 1-row frame instead of a literal expression tree
+    (a ~77k-word literal cost 36 s/query of driver-side plan work at
+    sf10). Forced here by lowering the threshold: the data-carrier path
+    must stay row-identical to the literal path and to the plain join."""
+    from ct_clickhouse_spark.operators import bloomjoin
+
+    orders = load_table(spark, SF_DIR, "orders")
+    dim = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_custkey"
+    )
+    fact = load_table(spark, SF_DIR, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    want = sorted(
+        r.o_custkey
+        for r in fact.join(dim, "o_custkey", "left_semi").collect()
+    )
+    bitmap = bloomjoin.build_bloom(dim, "o_custkey", 1000)
+    assert len(bitmap) > 8  # the forced threshold below is meaningful
+    monkeypatch.setattr(bloomjoin, "LITERAL_WORDS_MAX", 8)
+    pruned = bloomjoin.bloom_prune_prebuilt(fact, "o_custkey", bitmap)
+    got = sorted(
+        r.o_custkey
+        for r in pruned.join(dim, "o_custkey", "left_semi").collect()
+    )
+    assert got == want
+    # and the probe plan carries the sketch via a broadcast join, not a
+    # giant CreateArray literal
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_incremental_dedup_broadcast_carrier_row_identical(spark, monkeypatch):
+    from ct_clickhouse_spark.operators import bloomjoin
+    from ct_clickhouse_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )
+    new_batch = docs.filter(F.col("doc_id") % 7 == 0)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0).select("text_hash")
+    want = sorted(
+        r.doc_id
+        for r in new_batch.join(
+            corpus.distinct(), "text_hash", "left_anti"
+        ).collect()
+    )
+    monkeypatch.setattr(bloomjoin, "LITERAL_WORDS_MAX", 8)
+    got = sorted(
+        r.doc_id for r in incremental_dedup(new_batch, corpus, "text_hash").collect()
+    )
+    assert got == want

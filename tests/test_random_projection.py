@@ -109,3 +109,31 @@ def test_ann_variants_slot_carries_all_kinds(spark):
     assert kinds == {"ivf", "sq8", "rp"} | {
         f"batch:{q}" for q in BATCH_QUERY_IDS
     }
+
+
+def test_lsh_plan_bounds_buckets_and_preserves_recall():
+    """Round-11 scale fix: fixed 4-bit bands gave 16 buckets/band, so
+    bucket membership grew linearly with corpus size and bucket-local
+    verification quadratically (209.6 s hyperplane section at sf10).
+    The plan must (a) stay exactly (4, 4) at fixture/driver scales,
+    (b) hold expected bucket size <= the target across the sized range,
+    (c) never lose candidate recall at the strong-dup reference
+    similarity relative to the original (4, 4) curve."""
+    import math
+
+    from ct_clickhouse_spark.operators.similarity import (
+        LSH_REF_SIM,
+        LSH_TARGET_BUCKET,
+        _lsh_plan,
+    )
+
+    assert _lsh_plan(200) == (4, 4)
+    assert _lsh_plan(8192) == (4, 4)
+
+    p = 1.0 - math.acos(LSH_REF_SIM) / math.pi
+    ref = 1.0 - (1.0 - p**4) ** 4
+    for n in (10_000, 200_000, 2_000_000, 30_000_000):
+        bits, bands = _lsh_plan(n)
+        assert n / (1 << bits) <= LSH_TARGET_BUCKET * 1.01, (n, bits)
+        recall = 1.0 - (1.0 - p**bits) ** bands
+        assert recall >= ref - 1e-9, (n, bits, bands, recall, ref)
