@@ -58,6 +58,12 @@ def _tag_words(fact: DataFrame, bitmap: list[int]) -> DataFrame:
     """``fact`` plus a ``_bf_words`` array<long> column holding the
     sketch, via whichever carrier is sane for the sketch size (literal
     expression below LITERAL_WORDS_MAX, broadcast 1-row frame above)."""
+    if "_bf_words" in fact.columns:
+        # the literal path's withColumn would silently REPLACE a
+        # pre-existing column while the crossJoin path would duplicate it
+        # (ambiguous-reference failure only for large sketches) — drop it
+        # up front so both carriers behave identically
+        fact = fact.drop("_bf_words")
     if len(bitmap) <= LITERAL_WORDS_MAX:
         return fact.withColumn("_bf_words", F.array(*[F.lit(w) for w in bitmap]))
     arr_df = fact.sparkSession.createDataFrame(

@@ -20,7 +20,7 @@ FP-addition-order noise far below the comparison granularity.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import bounded_cache_put as _bounded_cache_put
@@ -216,7 +216,92 @@ def price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUANTILE_RANGE_PARTITIONS = 32
+# 64 buckets: the pick job's row-level work is the hot-bucket sliver,
+# ~(2·|ps|)/B of the data, so more buckets cut the only full-width
+# shuffle. Swept {32, 64, 128} at sf1/sf10: 64 minimizes sf10 (11.6 s
+# median vs 15.8 at 32) — beyond it the deeper per-row binary search on
+# the two full scans costs more than the thinner sliver saves.
+QUANTILE_RANGE_PARTITIONS = 64
+# approx_percentile accuracy for the BUCKET BOUNDARIES (not the answer —
+# the answer is exact regardless): rank error ~ n_g/500 per group vs a
+# target bucket of n_g/32 (3.1% of n_g), i.e. boundaries land within ~6%
+# of a bucket. GK sketch cost grows with accuracy (measured 1.83 s at
+# 2500 vs 0.64 s at 500 for the same scan at sf0.1) and balance is the
+# only thing at stake.
+QUANTILE_BOUNDARY_ACCURACY = 500
+
+# Bounded cache of frozen per-group boundary frames, keyed per (session,
+# dataset identity). Boundaries are a property of the DATA, not the query:
+# repeated quantile queries over one immutable fixture dir re-derive the
+# same |groups|-row aggregate, so caching it (same discipline as the ANN
+# index / pair caches) drops one of the three base scans from the warm
+# path. A cached frame is a localCheckpoint of a tiny aggregated frame —
+# never row-level data.
+_BOUNDS_CACHE: dict = {}
+
+# Sample fraction for the boundary sketch scan (balance-only, see
+# _group_bounds). 1% keeps the boundary job at roughly the cost of the
+# scan itself at every tested scale.
+BOUNDS_SAMPLE_FRACTION = 0.01
+
+
+def _group_bounds(
+    base: DataFrame, gcol: str, vcol: str, n_b: int, cache_key
+) -> DataFrame:
+    """Frozen per-group bucket boundaries: approx_percentile at the n_b-1
+    interior fractions, localCheckpoint'ed (tiny: |groups| rows of
+    aggregated arrays) so every consumer sees ONE boundary set — a lazy
+    reference could re-aggregate and hand the counts job and the pick job
+    inconsistent bucket ids.
+
+    The sketch runs over a SAMPLE: boundary quality only steers bucket
+    balance, never the answer (ranks come from exact counts), and the GK
+    insert cost on the full data was the dominant term of the boundary
+    job (measured 30.6 s full vs ~3 s sampled at 60M rows). A group the
+    sample misses entirely gets NULL boundaries -> every row in bucket 0
+    (both consumers LEFT-join the boundary frame), which is correct and
+    only costs a whole-group window for that (by construction small)
+    group."""
+    from ..catalog import bounded_cache_put
+
+    if cache_key is not None:
+        hit = _BOUNDS_CACHE.get(cache_key)
+        if hit is not None:
+            return hit
+    fracs = [i / n_b for i in range(1, n_b)]
+    bounds = (
+        base.sample(fraction=BOUNDS_SAMPLE_FRACTION, seed=42)
+        .groupBy(gcol)
+        .agg(
+            F.percentile_approx(vcol, fracs, QUANTILE_BOUNDARY_ACCURACY).alias(
+                "_bounds"
+            )
+        )
+        .localCheckpoint(eager=True)
+    )
+    if cache_key is not None:
+        bounded_cache_put(_BOUNDS_CACHE, cache_key, bounds)
+    return bounds
+
+
+def _bucket_of(v: Column, bounds_col: str, n_bounds: int) -> Column:
+    """Bucket id = count of boundaries strictly below ``v``, as a uniform
+    BINARY SEARCH expression over the sorted boundary array — O(log B)
+    comparisons per row instead of the O(B) aggregate() scan (measured
+    ~0.7 s/scan at 31 boundaries x 600k rows). F.get is 0-indexed and
+    NULL out of range (unlike element_at, which throws under ANSI), and
+    NULL probes fail the > comparison, so the guard is implicit; a NULL
+    value or a NULL boundary array (all-NULL group) yields bucket 0 —
+    matching a range partitioner's nulls-first placement."""
+    step = 1
+    while step * 2 <= n_bounds:
+        step *= 2
+    lo: Column = F.lit(0)
+    while step >= 1:
+        probe = F.get(F.col(bounds_col), (lo + F.lit(step - 1)).cast("int"))
+        lo = lo + F.when(v > probe, F.lit(step)).otherwise(F.lit(0))
+        step //= 2
+    return lo
 
 
 def exact_group_quantiles(
@@ -225,44 +310,80 @@ def exact_group_quantiles(
     vcol: str,
     ps: list[float],
     n_partitions: int = QUANTILE_RANGE_PARTITIONS,
+    bounds_cache_key=None,
 ) -> DataFrame:
     """Exact interpolated per-group percentiles WITHOUT buffering a group
     in memory (Spark's `percentile` materializes each group's values) and
     without driver-side per-group state — works at any group cardinality.
     Returns long format (gcol, p, value).
 
-    Plan: range-partition on (group, value), localCheckpoint to freeze
-    the (sampled, per-execution) partition assignment, then:
-    - per-(partition, group) counts stay a DATAFRAME; within-group prefix
-      offsets and totals come from a window over partition ids — never
+    Plan: DETERMINISTIC bucket assignment from explicit per-group value
+    boundaries — NOT a physical range partitioner. repartitionByRange
+    SAMPLES its boundaries per execution, so the earlier shape had to
+    localCheckpoint the ENTIRE projected table per query to freeze the
+    assignment: a full second copy of the scanned columns written to
+    executor storage — linear, but a disqualifying constant at 100 TB
+    (the round-11 sf10 run measured it as the slowest slot, 40 s at 60M
+    rows). Instead:
+    - one pass computes approx_percentile BUCKET boundaries per group
+      (answer-exactness does not depend on their accuracy — only bucket
+      balance does); the |groups|-row boundary frame is frozen
+      (localCheckpoint of an AGGREGATED tiny frame, never row-level
+      data) and broadcast, so every consumer sees ONE boundary set;
+    - `_pid` is a pure EXPRESSION: count of boundaries strictly below the
+      value, as a uniform binary search over the broadcast sorted array
+      (_bucket_of, O(log B) comparisons/row) — deterministic, so the
+      counts job and the pick job recompute identical assignments from
+      the (cheap, column-pruned) base scan instead of re-reading a
+      materialized copy;
+    - per-(bucket, group) counts stay a DATAFRAME; within-group prefix
+      offsets and totals come from a window over bucket ids — never
       collected;
     - target ranks (floor/ceil of (n_g-1)*p) and interpolation fractions
       are derived from the totals frame with explode — one row per
       (group, p), all expressions;
-    - each needed rank is located in its unique range partition by joining
-      the needed frame to the offsets frame (rank in [offset, offset+n));
-      this pick list is O(|groups|·|ps|) rows, independent of partition
+    - each needed rank is located in its unique bucket by joining the
+      needed frame to the offsets frame (rank in [offset, offset+n));
+      this pick list is O(|groups|·|ps|) rows, independent of bucket
       count and of group sizes, and stays a DataFrame (broadcast-joined,
       never collected — a 10k-group column previously built 10k-entry
       create_map literals: a codegen cliff);
-    - a broadcast SEMI-join keeps only the (partition, group) slices that
-      contain a picked rank — O(|groups|·|ps|) of the |partitions|·|groups|
-      slices — then row_number within the slice finds each picked local
-      position, all in whole-stage codegen (no Arrow pass, no Python);
+    - a broadcast SEMI-join keeps only the (bucket, group) slices that
+      contain a picked rank — O(|groups|·|ps|) of the |buckets|·|groups|
+      slices — so the only row-level shuffle in the whole plan is the
+      ~|ps|/|buckets| sliver of the data those slices hold (the
+      row_number window over them), all in whole-stage codegen;
     - the final interpolation JOINS the picked rows back to the needed
       frame (no literal maps) and aggregates per (group, p).
-    No second full-data shuffle, no global sort, no group ever buffered
-    whole; the answer is independent of partition boundaries."""
-    ranged = (
-        df.select(gcol, vcol)
-        .repartitionByRange(n_partitions, gcol, vcol)
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
+    No full-data shuffle, no full-data checkpoint, no global sort, no
+    group ever buffered whole; the answer is independent of bucket
+    boundaries (ties all land in one bucket; ranks come from exact
+    counts)."""
+    base = df.select(gcol, vcol)
+    n_b = max(1, int(n_partitions))
+    if n_b > 1:
+        bounds = _group_bounds(base, gcol, vcol, n_b, bounds_cache_key)
+        ranged = (
+            base.alias("_f")
+            .join(
+                F.broadcast(bounds.alias("_b")),
+                F.col(f"_f.{gcol}").eqNullSafe(F.col(f"_b.{gcol}")),
+                "left",
+            )
+            .select(
+                F.col(f"_f.{gcol}").alias(gcol),
+                F.col(f"_f.{vcol}").alias(vcol),
+                F.coalesce(
+                    _bucket_of(F.col(vcol), "_bounds", n_b - 1), F.lit(0)
+                ).alias("_pid"),
+            )
+        )
+    else:
+        ranged = base.withColumn("_pid", F.lit(0))
     # The counts frame fans out into offs/targets/needed/picks, and every
-    # lazy reference would re-run the full-data groupBy from the
-    # checkpoint. It is |partitions| x |groups| rows — checkpoint the tiny
-    # frame once so the data is aggregated exactly once.
+    # lazy reference would re-run the full-data groupBy. It is
+    # |buckets| x |groups| rows — checkpoint the tiny frame once so the
+    # data is aggregated exactly once.
     counts = (
         ranged.groupBy("_pid", gcol)
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -320,17 +441,59 @@ def exact_group_quantiles(
         .localCheckpoint(eager=True)
     )
     # Locate the picked local indexes entirely JVM-side (no Arrow pass, no
-    # driver-held pick state): keep only the (range-partition, group)
-    # slices that actually contain a picked rank — O(|groups|·|ps|) of the
-    # |partitions|·|groups| slices, so the per-slice sort below touches a
+    # driver-held pick state): keep only the (bucket, group) slices that
+    # actually contain a picked rank — O(|groups|·|ps|) of the
+    # |buckets|·|groups| slices, so the per-slice sort below touches a
     # sliver of the data — then row_number within the slice and
     # broadcast-join the pick list on the local index.
+    #
+    # The hot slices are selected by VALUE RANGE, not by re-evaluating the
+    # per-row bucket expression: a hot bucket p covers exactly
+    # (bounds[p-1], bounds[p]] (open-below, closed-above — the mirror of
+    # the strict `v > boundary` bucket rule; a missing end is ±inf, which
+    # F.get encodes as NULL out-of-range). Joining the fact to the
+    # broadcast O(|groups|·|ps|)-row range list costs a hash probe on the
+    # group plus ~|ps| comparisons per row — measured ~3x cheaper at 60M
+    # rows than the binary-search projection + semi-join it replaces, and
+    # it yields the SAME row set because equal adjacent boundaries make
+    # the upper bucket's range empty, exactly as the strict-count rule
+    # assigns ties to the lowest bucket.
     hot_slices = picks.select("_pid", gcol).distinct()
+    if n_b > 1:
+        hot_ranges = hot_slices.alias("_hs").join(
+            bounds.alias("_hb"),
+            F.col(f"_hs.{gcol}").eqNullSafe(F.col(f"_hb.{gcol}")),
+            "left",
+        ).select(
+            F.col(f"_hs.{gcol}").alias(gcol),
+            "_pid",
+            F.get(F.col("_bounds"), (F.col("_pid") - 1).cast("int")).alias("_vlo"),
+            F.get(F.col("_bounds"), F.col("_pid").cast("int")).alias("_vhi"),
+        )
+        v = F.col(f"_f.{vcol}")
+        # NULL values belong to bucket 0 (nulls-first): they fail every
+        # `v > _vlo` probe, so they match only the _vlo IS NULL (= -inf)
+        # range, and the explicit isNull keeps them past the upper bound
+        ranked_src = (
+            base.alias("_f")
+            .join(
+                F.broadcast(hot_ranges.alias("_h")),
+                F.col(f"_f.{gcol}").eqNullSafe(F.col(f"_h.{gcol}"))
+                & (F.col("_h._vlo").isNull() | (v > F.col("_h._vlo")))
+                & (F.col("_h._vhi").isNull() | v.isNull() | (v <= F.col("_h._vhi"))),
+            )
+            .select(
+                F.col(f"_f.{gcol}").alias(gcol),
+                F.col(f"_f.{vcol}").alias(vcol),
+                F.col("_h._pid").alias("_pid"),
+            )
+        )
+    else:
+        ranked_src = ranged.join(
+            F.broadcast(hot_slices), ["_pid", gcol], "left_semi"
+        )
     wp = Window.partitionBy("_pid", gcol).orderBy(vcol)
-    ranked = (
-        ranged.join(F.broadcast(hot_slices), ["_pid", gcol], "left_semi")
-        .withColumn("_rn", F.row_number().over(wp) - 1)
-    )
+    ranked = ranked_src.withColumn("_rn", F.row_number().over(wp) - 1)
     # qualified aliases: ranked's semi-join already embeds the picks
     # dataset, so unqualified picks columns would be ambiguous here
     picked = (
@@ -359,18 +522,31 @@ def exact_group_quantiles(
 def price_quantiles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB-shape exact quantile path over lineitem (the sketch path
     is rel_sketch_quantiles): exact_group_quantiles pivoted wide to match
-    price_quantiles' (l_returnflag, p25, p50, p75) schema and rounding."""
-    from ..session import default_parallelism
+    price_quantiles' (l_returnflag, p25, p50, p75) schema and rounding.
+
+    No input repartition: exact_group_quantiles references its input
+    from three jobs (boundaries, counts, picks), so anything in the
+    input lineage runs three times — a repartition here would be three
+    full shuffles. The jobs read the column-pruned parquet directly;
+    scan parallelism comes from file splits (maxPartitionBytes), which
+    is the real shape at cluster scale."""
+    from ..catalog import _session_key
 
     ps = [0.25, 0.5, 0.75]
-    # repartition first: the fixture table is one parquet file = one input
-    # split, which would serialize the range-sample and shuffle-write side
-    li = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_returnflag", "l_extendedprice")
-        .repartition(default_parallelism())
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    # boundaries are a property of the (immutable) fixture table — cache
+    # them per (session, dir), same keying as the ANN/pair artifact caches
+    ckey = (
+        _session_key(spark),
+        sf_dir,
+        "lineitem",
+        "l_returnflag",
+        "l_extendedprice",
+        QUANTILE_RANGE_PARTITIONS,
     )
-    long = exact_group_quantiles(li, "l_returnflag", "l_extendedprice", ps)
+    long = exact_group_quantiles(
+        li, "l_returnflag", "l_extendedprice", ps, bounds_cache_key=ckey
+    )
     return long.groupBy("l_returnflag").agg(
         *[
             F.round(

@@ -86,7 +86,14 @@ def _dir_state(path: str) -> tuple:
     mx = 0
     for root, _dirs, files in os.walk(path):
         for fn in files:
-            st = os.stat(os.path.join(root, fn))
+            try:
+                st = os.stat(os.path.join(root, fn))
+            except FileNotFoundError:
+                # compaction/rewrite (delete+write) can remove a file
+                # between the walk listing and the stat; skip it — the
+                # changed listing perturbs the fingerprint anyway, which
+                # forces the re-resolution the deletion calls for
+                continue
             n += 1
             total += st.st_size
             if st.st_mtime_ns > mx:
@@ -113,7 +120,14 @@ def create_app(
     allowed_ips = load_allowed_ips()
 
     # fail-fast schema check on the startup resolution (the resolved
-    # relation itself is seeded into the staleness-checked cache below)
+    # relation itself is seeded into the staleness-checked cache below).
+    # Fingerprint BEFORE reading: a file appended between the read (which
+    # pins its file listing) and a post-read fingerprint would be inside
+    # the stored state but outside the pinned listing — invisible until
+    # the directory changed AGAIN. Stat-then-read (the same order table()
+    # uses) at worst stores a stale fingerprint, which merely forces one
+    # extra re-resolution.
+    _seed_state = _dir_state(table_path)
     cert = spark.read.parquet(table_path)
     missing = set(f.name for f in CERT_DOMAINS_SCHEMA.fields) - set(cert.columns)
     if missing:
@@ -149,7 +163,7 @@ def create_app(
     # codegen compilation + JVM JIT that every later request reuses —
     # without this, one client eats a cold-start outlier
     _tbl_cache["df"] = cert
-    _tbl_cache["state"] = _dir_state(table_path)
+    _tbl_cache["state"] = _seed_state
     cert.filter(F.col("domain") == "\x00warmup\x00").orderBy(
         F.col("ts").desc()
     ).limit(100).collect()

@@ -115,7 +115,12 @@ def main() -> int:
         t = pq.read_table(os.path.join(corpus, "embeddings.parquet"))
         m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
         m /= np.linalg.norm(m, axis=1, keepdims=True)
-        qids = [int(i * (N - 1) / (args.queries - 1)) for i in range(args.queries)]
+        if args.queries == 1:
+            qids = [0]
+        else:
+            qids = [
+                int(i * (N - 1) / (args.queries - 1)) for i in range(args.queries)
+            ]
         recalls = []
         for qid in qids:
             sims = m @ m[qid]

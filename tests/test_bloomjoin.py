@@ -168,3 +168,46 @@ def test_incremental_dedup_broadcast_carrier_row_identical(spark, monkeypatch):
         r.doc_id for r in incremental_dedup(new_batch, corpus, "text_hash").collect()
     )
     assert got == want
+
+
+def test_tag_words_drops_preexisting_bf_words_on_both_carriers(
+    spark, monkeypatch
+):
+    """r11 advice: a fact that already carries a _bf_words column made the
+    two carriers diverge — the literal path silently replaced it while the
+    crossJoin path duplicated it (ambiguous-reference AnalysisException
+    only for large sketches). Both must drop it up front and return
+    identical rows."""
+    from ct_clickhouse_spark.operators import bloomjoin
+
+    dim = load_table(spark, SF_DIR, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    fact = (
+        load_table(spark, SF_DIR, "customer")
+        .withColumnRenamed("c_custkey", "o_custkey")
+        .withColumn("_bf_words", F.array(F.lit(123)))
+    )
+    bitmap = bloomjoin.build_bloom(dim, "o_custkey", 1000)
+    want = sorted(
+        r.o_custkey
+        for r in bloomjoin.bloom_prune_prebuilt(
+            fact.drop("_bf_words"), "o_custkey", bitmap
+        ).collect()
+    )
+    # literal carrier
+    got_lit = sorted(
+        r.o_custkey
+        for r in bloomjoin.bloom_prune_prebuilt(
+            fact, "o_custkey", bitmap
+        ).collect()
+    )
+    # broadcast-data carrier (forced)
+    monkeypatch.setattr(bloomjoin, "LITERAL_WORDS_MAX", 8)
+    got_bc = sorted(
+        r.o_custkey
+        for r in bloomjoin.bloom_prune_prebuilt(
+            fact, "o_custkey", bitmap
+        ).collect()
+    )
+    assert got_lit == want and got_bc == want

@@ -712,6 +712,62 @@ def test_exact_group_quantiles_high_cardinality_no_literal_maps(spark):
             assert abs(got[(r.g, p)] - w) < 1e-9, (r.g, p)
 
 
+def test_exact_group_quantiles_no_full_data_checkpoint(spark):
+    """The r11 verdict's structural objection: the old shape eagerly
+    localCheckpoint'ed the ENTIRE range-partitioned projection per query
+    (a full second copy of the scanned columns at 100 TB). The rewrite
+    derives deterministic bucket ids from a frozen boundary frame, so the
+    only frames that may ever be checkpointed are AGGREGATED tiny ones —
+    assert no checkpointed frame carries the row-level value column."""
+    from unittest import mock
+
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    seen = []
+    orig = CDF.localCheckpoint
+
+    def spy(self, *a, **k):
+        seen.append(list(self.columns))
+        return orig(self, *a, **k)
+
+    df = spark.range(5000).selectExpr(
+        "concat('g', id % 7) as g", "cast(id % 997 as double) as v"
+    )
+    with mock.patch.object(CDF, "localCheckpoint", spy):
+        got = relational.exact_group_quantiles(df, "g", "v", [0.5]).collect()
+    assert seen, "expected tiny-frame checkpoints (bounds/counts/picks)"
+    for cols in seen:
+        assert "v" not in cols, f"row-level value column checkpointed: {cols}"
+    assert len(got) == 7
+
+
+def test_exact_group_quantiles_bucket_count_independence(spark):
+    """The answer must be identical whatever the bucket count (boundary
+    placement steers balance only): sweep n_partitions across 1, 2, a
+    non-power-of-two, and widths at/above the value cardinality."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(3000).select(
+        F.concat(F.lit("g"), (F.col("id") % 5)).alias("g"),
+        (F.xxhash64("id") % 50).cast("double").alias("v"),
+    )
+    ps = [0.1, 0.5, 0.9]
+    want = {
+        (r.g, r.p): r.value
+        for r in relational.exact_group_quantiles(df, "g", "v", ps, 32).collect()
+    }
+    for n_p in (1, 2, 7, 64, 256):
+        got = {
+            (r.g, r.p): r.value
+            for r in relational.exact_group_quantiles(
+                df, "g", "v", ps, n_p
+            ).collect()
+        }
+        assert got.keys() == want.keys(), n_p
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-12, (n_p, k)
+
+
 def test_cert_dedup_log_name_fd(spark):
     """cert_dedup_exact's distinct-on-(fingerprint, domain, log_name)
     equals dropDuplicates([fingerprint, domain]) ONLY under the data
