@@ -84,6 +84,41 @@ def _gemm_blocks(n_rows: int) -> int:
 # physically (same precedent as the shingle / signature caches).
 _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 
+# Resolved query vectors, cached per (session, sf_dir) -> {vec_id: list}.
+# Every point-ANN tier resolved its query vector with a per-request Spark
+# job (parquet scan + 1-row collect) — measured as one of /similar's two
+# sequential jobs (serving p50 363 ms vs the 95 ms relational floor,
+# r11). A repeated query id is the serving common case, so the resolved
+# row is cached driver-side: the hot path then runs exactly ONE Spark
+# job (the routed tier). Unknown ids keep raising IndexError (the
+# serving 404 contract) and are NOT negative-cached — a vector ingested
+# later must become visible. Bounded at both levels like every sibling
+# artifact cache.
+_QVEC_CACHE: dict[tuple[str, str], dict] = {}
+QVEC_CACHE_MAX_IDS = 4096
+
+
+def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list:
+    from ..catalog import _session_key
+
+    key = (_session_key(spark), sf_dir)
+    per = _QVEC_CACHE.get(key)
+    if per is None:
+        per = _bounded_cache_put(_QVEC_CACHE, key, {})
+    v = per.get(vec_id)
+    if v is None:
+        v = (
+            load_table(spark, sf_dir, "embeddings")
+            .filter(F.col("vec_id") == vec_id)
+            .select("embedding")
+            .collect()[0]  # IndexError on unknown id -> serving 404
+            .embedding
+        )
+        while len(per) >= QVEC_CACHE_MAX_IDS:
+            per.pop(next(iter(per)))
+        per[vec_id] = v
+    return v
+
 
 def cosine_pairs(
     spark: SparkSession, sf_dir: str, blocks: int | None = None
@@ -643,13 +678,7 @@ def ivf_topk(
     if n_probes is not None and n_probes < 1:
         raise ValueError(f"n_probes must be >= 1, got {n_probes}")
     cents = _ivf_centroids(spark, sf_dir)
-    qrow = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == query_vec_id)
-        .select("embedding")
-        .collect()
-    )
-    qvec = np.array(qrow[0].embedding, dtype=np.float64)
+    qvec = np.array(_query_vector(spark, sf_dir, query_vec_id), dtype=np.float64)
     qvec /= np.linalg.norm(qvec)
     probe = set(
         np.argsort(-(cents @ qvec))[
@@ -994,13 +1023,7 @@ def ivf_topk_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             _IVF_INDEX_PATHS, key, path,
             release=lambda p: shutil.rmtree(p, ignore_errors=True),
         )
-    qvec = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == QUERY_VEC_ID)
-        .select("embedding")
-        .collect()[0]
-        .embedding
-    )
+    qvec = _query_vector(spark, sf_dir, QUERY_VEC_ID)
     return ivf_probe(spark, path, qvec, exclude_vec_id=QUERY_VEC_ID)
 
 
@@ -1087,13 +1110,7 @@ def sq8_topk(
     cosine re-rank of only those candidates (broadcast of k*refine ids).
     Recall is pytest-gated against the exact brute-force tier."""
     codes, scales = _sq8_cached(spark, sf_dir)
-    qrow = (
-        load_table(spark, sf_dir, "embeddings")
-        .filter(F.col("vec_id") == query_vec_id)
-        .select("embedding")
-        .collect()[0]
-        .embedding
-    )
+    qrow = _query_vector(spark, sf_dir, query_vec_id)
     qn = sum(x * x for x in qrow) ** 0.5
     qnorm = [x / qn for x in qrow]
     # w_d = q_code_d * scale_d^2 / 127^2, so sum(code_d * w_d) ~= cosine
@@ -1118,15 +1135,14 @@ def sq8_topk(
         .select("vec_id")
     )
     emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
-    query = emb.filter(F.col("vec_id") == query_vec_id).select(
-        F.col("emb").alias("qvec")
-    )
-    cos = _dot(F.col("emb"), F.col("qvec")) / (
-        _norm(F.col("emb")) * _norm(F.col("qvec"))
-    )
+    # the query vector is already resolved driver-side (cached, qrow):
+    # carry it as a 64-literal array instead of a broadcast 1-row
+    # subplan — same doubles, same zip_with arithmetic, one fewer
+    # parquet-scan subtree in the per-request serving job
+    qarr = F.array(*[F.lit(float(x)) for x in qrow])
+    cos = _dot(F.col("emb"), qarr) / (_norm(F.col("emb")) * _norm(qarr))
     return (
         emb.join(F.broadcast(cand), "vec_id")
-        .crossJoin(F.broadcast(query))
         .select("vec_id", "label", F.round(cos, 4).alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(k)

@@ -104,6 +104,50 @@ def pandas_signature(pdf) -> tuple[list[str], int, str]:
     return cols, len(pdf), digest
 
 
+# Significant digits for the tolerance-mode float grid. The sf10
+# certification proved exact str(double) hashing scale-unsound for big FP
+# aggregates: a sum ~6e12 rounded to 2 decimals needs 15 significant
+# digits to render, so engines whose addition orders differ by one ulp
+# (rel ~1e-16) render apart. 9 significant digits keeps ~1e-9 relative
+# agreement hashing identically while any real divergence (wrong rows,
+# wrong aggregation) still splits the hash.
+RTOL_SIG_DIGITS = 9
+
+
+def _grid_cell(v) -> str:
+    """Tolerance-mode cell rendering: floats snap to a RELATIVE grid
+    (RTOL_SIG_DIGITS significant digits, scientific notation) so
+    last-ulp FP-addition-order noise hashes identically on both engines;
+    every non-float cell renders exactly as the strict compare does.
+    A value that lands exactly on a grid boundary can still round apart
+    — which is why the strict hash remains primary and this verdict is
+    recorded BESIDE it, not instead of it."""
+    if isinstance(v, float) or type(v).__name__.startswith("float"):
+        f = float(v)
+        if math.isnan(f):
+            return "NULL"
+        if f == 0.0:
+            return "0"  # collapses -0.0 vs 0.0
+        if math.isinf(f):
+            return "inf" if f > 0 else "-inf"
+        return f"{f:.{RTOL_SIG_DIGITS - 1}e}"
+    return _pandas_cell(v)
+
+
+def pandas_signature_rtol(pdf) -> tuple[list[str], int, str]:
+    """(sorted columns, row count, order-insensitive RELATIVE-GRID value
+    hash): the first-class tolerance verdict for scales where exact
+    str(double) hashing is unsound (see _grid_cell). Emitted beside the
+    strict hash by scripts/verify_driver.py on every run."""
+    cols = sorted(pdf.columns)
+    lines = sorted(
+        "\x01".join(_grid_cell(v) for v in row)
+        for row in pdf[cols].itertuples(index=False, name=None)
+    )
+    digest = hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
+    return cols, len(pdf), digest
+
+
 def duckdb_fixture_connection(sf_dir: str):
     """A DuckDB connection with the 10 fixture tables registered as views,
     exactly like the driver's oracle environment."""

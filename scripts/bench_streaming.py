@@ -159,10 +159,36 @@ def _raise_if_dead(q, what: str) -> None:
         raise RuntimeError(f"{what} died: {q.exception()}")
 
 
-def bench_ingest(spark, n_leaves: int, max_per_trigger: int) -> dict:
+def _table_strhash(spark, path: str) -> tuple[int, str]:
+    """(rows, order-insensitive value hash) of a parquet table, every
+    column cast to string so array columns hash too — the output-identity
+    check for the solo-vs-concurrent comparison."""
+    from pyspark.sql import functions as F
+
+    from ct_clickhouse_spark.testing import pandas_signature
+
+    df = spark.read.parquet(path)
+    pdf = df.select(
+        [F.col(c).cast("string").alias(c) for c in df.columns]
+    ).toPandas()
+    sig = pandas_signature(pdf)
+    return sig[1], sig[2]
+
+
+def bench_ingest(
+    spark,
+    n_leaves: int,
+    max_per_trigger: int,
+    work: str | None = None,
+    pool: str | None = None,
+    hash_sink: bool = False,
+) -> dict:
+    from ct_clickhouse_spark.session import run_in_scheduler_pool
     from ct_clickhouse_spark.streaming.ingest import start_ingest
 
-    work = tempfile.mkdtemp(prefix="ctspark_stream_bench_")
+    own_work = work is None
+    if own_work:
+        work = tempfile.mkdtemp(prefix="ctspark_stream_bench_")
     logs = os.path.join(work, "logs")
     try:
         build_fixture(logs, n_leaves)
@@ -171,15 +197,22 @@ def bench_ingest(spark, n_leaves: int, max_per_trigger: int) -> dict:
         # past the end fails the task, by design)
         assert per_log_full >= max_per_trigger, "need >= 1 trigger per log"
         _set_sth(logs, max_per_trigger)  # batch 0 = one trigger's worth
-        q = start_ingest(
-            spark,
-            logs,
-            os.path.join(work, "table"),
-            os.path.join(work, "ckpt"),
-            available_now=False,
-            max_per_trigger=max_per_trigger,
-            processing_time="0 seconds",
-        )
+
+        def _start():
+            return start_ingest(
+                spark,
+                logs,
+                os.path.join(work, "table"),
+                os.path.join(work, "ckpt"),
+                available_now=False,
+                max_per_trigger=max_per_trigger,
+                processing_time="0 seconds",
+            )
+
+        # the FAIR pool is captured from the STARTING thread's local
+        # properties by the stream-execution thread, so scoping the
+        # start call is enough to pin every microbatch of this query
+        q = run_in_scheduler_pool(spark, pool, _start) if pool else _start()
         t0 = time.time()
         # wait for batch 0 to commit, then reveal the full tree: from
         # here every trigger is pacing-bound at max_per_trigger per log
@@ -213,7 +246,7 @@ def bench_ingest(spark, n_leaves: int, max_per_trigger: int) -> dict:
         sink_rows = spark.read.parquet(os.path.join(work, "table")).count()
         steady = [r for r in rows if r["batch"] and r["rows"]]
         busy_s = sum(r["trigger_ms"] for r in steady) / 1000 if steady else 0
-        return {
+        out = {
             "leaves": done_rows,
             "max_per_trigger": max_per_trigger,
             "sink_rows": sink_rows,
@@ -226,8 +259,14 @@ def bench_ingest(spark, n_leaves: int, max_per_trigger: int) -> dict:
             "n_triggers": len(rows),
             "triggers": rows,
         }
+        if hash_sink:
+            out["sink_rows"], out["sink_hash"] = _table_strhash(
+                spark, os.path.join(work, "table")
+            )
+        return out
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        if own_work:
+            shutil.rmtree(work, ignore_errors=True)
 
 
 def bench_ingest_restart(
@@ -576,12 +615,18 @@ def bench_ingest_executor_kill(
         shutil.rmtree(work, ignore_errors=True)
 
 
-def bench_rollup(spark, n_chunks: int = 8, state_width: int = 8) -> dict:
+def bench_rollup(
+    spark,
+    n_chunks: int = 8,
+    state_width: int = 8,
+    pool: str | None = None,
+    hash_out: bool = False,
+) -> dict:
     import datetime
 
     from pyspark.sql import functions as F
 
-    from ct_clickhouse_spark.session import get_small_job_session
+    from ct_clickhouse_spark.session import get_small_job_session, run_in_scheduler_pool
     from ct_clickhouse_spark.streaming.rollup import start_rollup
 
     # shuffle/state width sized to the KEY CARDINALITY (~480 live
@@ -648,13 +693,17 @@ def bench_rollup(spark, n_chunks: int = 8, state_width: int = 8) -> dict:
             .select("ts", "user_id", "event_type", "value")
         )
         t0 = time.time()
-        q = start_rollup(
-            spark,
-            stream,
-            os.path.join(work, "rollup"),
-            os.path.join(work, "ckpt"),
-            available_now=True,
-        )
+
+        def _start():
+            return start_rollup(
+                spark,
+                stream,
+                os.path.join(work, "rollup"),
+                os.path.join(work, "ckpt"),
+                available_now=True,
+            )
+
+        q = run_in_scheduler_pool(spark, pool, _start) if pool else _start()
         q.awaitTermination()
         wall = time.time() - t0
         rows = _progress_rows(q)
@@ -673,7 +722,7 @@ def bench_rollup(spark, n_chunks: int = 8, state_width: int = 8) -> dict:
             .distinct()
             .count()
         )
-        return {
+        out = {
             "events": n,
             "rollup_rows": out_rows,
             "expected_groups": expected,
@@ -687,6 +736,147 @@ def bench_rollup(spark, n_chunks: int = 8, state_width: int = 8) -> dict:
             else None,
             "n_triggers": len(rows),
             "triggers": rows,
+        }
+        if hash_out:
+            out["rollup_rows"], out["rollup_hash"] = _table_strhash(
+                spark, os.path.join(work, "rollup")
+            )
+        return out
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def bench_concurrent(
+    spark, n_leaves: int = 24_000, max_per_trigger: int = 2048
+) -> dict:
+    """r12 (verdict #8): the PRODUCTION topology — ingest + rollup + tail
+    all live on ONE session under FAIR pools — vs the solo runs every
+    other bench measures. The tail consumes the concurrent ingest's own
+    output directory (the real dataflow chain). Gates:
+    - ingest sink table VALUE-IDENTICAL (rows + order-insensitive hash)
+      to its solo run;
+    - rollup output VALUE-IDENTICAL to its solo run;
+    - tail delivered exactly the sink's row count (gap-free);
+    and reports the per-query throughput interference factor
+    (solo rate / concurrent rate)."""
+    import threading
+
+    from ct_clickhouse_spark.session import run_in_scheduler_pool
+    from ct_clickhouse_spark.streaming.tail import tail_cert_domains
+
+    # -- solo baselines (identical params to the concurrent phase)
+    solo_ingest = bench_ingest(
+        spark, n_leaves, max_per_trigger, hash_sink=True
+    )
+    solo_rollup = bench_rollup(spark, hash_out=True)
+
+    # -- concurrent phase
+    work = tempfile.mkdtemp(prefix="ctspark_concurrent_")
+    table = os.path.join(work, "ingest", "table")
+    os.makedirs(table, exist_ok=True)
+    tail_rows = []
+    tail_lock = threading.Lock()
+
+    def on_rows(rows):
+        with tail_lock:
+            tail_rows.extend(rows)
+
+    out: dict = {}
+    errs: dict = {}
+
+    def run(name, fn):
+        try:
+            out[name] = fn()
+        except Exception as e:  # noqa: BLE001 — joined + reported below
+            errs[name] = repr(e)
+
+    try:
+        t0 = time.time()
+        threads = [
+            threading.Thread(
+                target=run,
+                args=(
+                    "ingest",
+                    lambda: bench_ingest(
+                        spark,
+                        n_leaves,
+                        max_per_trigger,
+                        work=os.path.join(work, "ingest"),
+                        pool="s_ingest",
+                        hash_sink=True,
+                    ),
+                ),
+            ),
+            threading.Thread(
+                target=run,
+                args=(
+                    "rollup",
+                    lambda: bench_rollup(spark, pool="s_rollup", hash_out=True),
+                ),
+            ),
+        ]
+        for t in threads:
+            t.start()
+        # tail starts beside them, polling the growing ingest table
+        tail_q = run_in_scheduler_pool(
+            spark,
+            "s_tail",
+            lambda: tail_cert_domains(
+                spark,
+                table,
+                os.path.join(work, "tail_ckpt"),
+                on_rows,
+                available_now=False,
+                poll_seconds=1,
+            ),
+        )
+        for t in threads:
+            t.join(timeout=900)
+        concurrent_wall = round(time.time() - t0, 2)
+        if errs:
+            raise RuntimeError(f"concurrent queries failed: {errs}")
+        # drain the tail to the final sink row count
+        sink_rows = out["ingest"]["sink_rows"]
+        t_drain = time.time()
+        while len(tail_rows) < sink_rows and time.time() - t_drain < 120:
+            _raise_if_dead(tail_q, "tail query")
+            time.sleep(0.5)
+        tail_q.stop()
+        tail_q.awaitTermination(30)
+
+        def factor(solo, conc):
+            return round(solo / conc, 3) if solo and conc else None
+
+        return {
+            "leaves": n_leaves,
+            "max_per_trigger": max_per_trigger,
+            "concurrent_wall_sec": concurrent_wall,
+            "ingest_identical": (
+                out["ingest"]["sink_rows"] == solo_ingest["sink_rows"]
+                and out["ingest"]["sink_hash"] == solo_ingest["sink_hash"]
+            ),
+            "rollup_identical": (
+                out["rollup"]["rollup_rows"] == solo_rollup["rollup_rows"]
+                and out["rollup"]["rollup_hash"] == solo_rollup["rollup_hash"]
+            ),
+            "tail_rows": len(tail_rows),
+            "tail_gap_free": len(tail_rows) == sink_rows,
+            "interference": {
+                "ingest_rate_solo": solo_ingest["leaves_per_sec_steady"],
+                "ingest_rate_concurrent": out["ingest"]["leaves_per_sec_steady"],
+                "ingest_slowdown_x": factor(
+                    solo_ingest["leaves_per_sec_steady"],
+                    out["ingest"]["leaves_per_sec_steady"],
+                ),
+                "rollup_rate_solo": solo_rollup["events_per_sec_steady"],
+                "rollup_rate_concurrent": out["rollup"]["events_per_sec_steady"],
+                "rollup_slowdown_x": factor(
+                    solo_rollup["events_per_sec_steady"],
+                    out["rollup"]["events_per_sec_steady"],
+                ),
+            },
+            "solo": {"ingest": solo_ingest, "rollup": solo_rollup},
+            "concurrent": out,
         }
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -746,6 +936,24 @@ def main() -> int:
     if args.only == "drain":
         # not in the default set: a ~6 min wall-clock run by design
         result["runs"]["ingest_drain"] = bench_ingest_drain(spark)
+    if args.only == "drain10x":
+        # r12 (verdict #7): the retention law at 10x state scale — a
+        # 450 s watermark (5x) at 512 leaves/log/s (2x) holds a plateau
+        # of rate x dpl x ~2xdelay ~= 4.3M state rows (the r11 law's
+        # ~398k plateau was the extrapolation base). Phases sized past
+        # the ~2x-delay effective horizon (900 s) plus the 60 s plateau
+        # window. ~36 min wall by design; run under
+        # SPARK_GRAFT_STATE_PROVIDER=rocksdb so the SST series shows the
+        # state physically on disk.
+        result["runs"]["ingest_drain_10x"] = bench_ingest_drain(
+            spark,
+            watermark="450 seconds",
+            hi_per_log_per_sec=512,
+            lo_per_log_per_sec=64,
+            hi_secs=1080,
+            lo_secs=1080,
+            max_per_trigger=4096,
+        )
     if args.only == "executor-kill":
         # needs SPARK_GRAFT_MASTER=local-cluster[...]
         result["runs"]["ingest_executor_kill"] = bench_ingest_executor_kill(
@@ -753,6 +961,8 @@ def main() -> int:
         )
     if not args.only or args.only == "rollup":
         result["runs"]["rollup_sf1"] = bench_rollup(spark, state_width=width)
+    if args.only == "concurrent":
+        result["runs"]["concurrent_topology"] = bench_concurrent(spark)
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:

@@ -1,0 +1,729 @@
+#!/usr/bin/env python
+"""Whole-surface correctness certification above sf1 (r12: verdict items
+2+3). Produces ONE artifact covering all 50 driver slots with a NAMED
+verification mode per slot — no prose-only claims:
+
+- mode="oracle":  the slot's full DuckDB oracle on a spill-enabled
+  connection (temp_directory + 60 GB limit — the r11 protocol that fixed
+  the 4 OOM slots), verdict "hash" (strict str(double) signature) or
+  "rtol" (the relative-grid signature verify_driver emits — the sf10-
+  proven failure class is last-ulp FP-addition-order noise on ~6e12 sums).
+- mode="sampled": a LINEAR surrogate oracle for the slots whose full
+  DuckDB oracle is O(n^2) (~66 h at sf10): candidate-restricted SQL with
+  the full oracle's own CTEs, exact numpy recomputation over the raw
+  parquet, planted-truth recall (the generator plants deterministic
+  dup/near-dup structure: docs i%500==2 exact copy of i-2, i%100==1
+  3-word-perturbed copy of i-1; embeddings i%41==1 near-copy of i-1),
+  and union-find closure over the verified edge sets.
+- mode="pytest":  rows-only-by-nature slots (engine-specific sketches,
+  FS metadata, binary decode) — spark_rows recorded + the gate named.
+
+Self-check (--selfcheck, sane at sf0.01): for each sampled slot that has
+a full oracle, ALSO run the full oracle and record whether the strict
+signature agrees — evidence that the surrogate would have caught what
+the full oracle catches.
+
+Usage:
+  python scripts/certify_sf10.py --sf-dir .benchdata/sf10 \
+      --out CORRECTNESS_sf10_r12.json
+  python scripts/certify_sf10.py --sf-dir /root/testdata/sf0.01 \
+      --out /tmp/selfcheck.json --selfcheck
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+# Slots whose full DuckDB oracle is O(n^2) at scale (recursive closure
+# over an all-pairs self-join, or the all-pairs join itself), plus the
+# two approximate rows-only families a sampled check CAN certify.
+SAMPLED_SLOTS = {
+    "dedup_ngram_jaccard_pairs",
+    "sim_cosine_pairs",
+    "dedup_embedding_groups",
+    "dedup_lsh_pairs",
+    "sim_ivf_topk",
+}
+
+PYTEST_GATES = {
+    "dedup_sketch_signatures": "tests/test_sketches.py (seeded-minhash/simhash pins + property suite)",
+    "rel_sketch_quantiles": "tests/test_operators.py approx-vs-exact bounds; tests/test_streaming_rollup.py",
+    "text_doc_fingerprint": "tests/test_functions.py rolling-hash pins",
+    "ref_sketches": "tests/test_sketches.py (HLL/KMV/CMS vs exact counts)",
+    "ref_table_sizes": "tests/test_round5_gates.py (metadata/maintenance rows)",
+    "mm_decode_features": "tests/test_multimodal.py codec round-trips",
+    "ingest_parse_batch": "tests/test_http_transport.py + tests/test_functions.py (RFC 6962 + DER)",
+}
+
+# Soundness comparisons tolerate half a 4-decimal grid step plus slack:
+# reported scores are round(x, 4) of a float64 kernel whose BLAS blocking
+# may differ from the recompute's by last-ulp summation order.
+SCORE_TOL = 1.1e-4
+PAIR_THRESHOLD = 0.42  # operators/similarity.py:28
+JACCARD_THRESHOLD = 0.5  # operators/dedup.py:41
+
+
+def spill_con(oracle_dir: str):
+    import duckdb
+
+    con = duckdb.connect()
+    os.makedirs("/tmp/duckdb_spill", exist_ok=True)
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET memory_limit='60GB'")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{oracle_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def load_embeddings(sf_dir: str):
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t["vec_id"].to_numpy()
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    order = np.argsort(ids)
+    return ids[order], mn[order]
+
+
+class UnionFind:
+    def __init__(self, ids):
+        self.p = {int(i): int(i) for i in ids}
+
+    def find(self, x):
+        p = self.p
+        r = x
+        while p[r] != r:
+            r = p[r]
+        while p[x] != r:
+            p[x], x = r, p[x]
+        return r
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            # min-label convention: component representative = min id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            self.p[hi] = lo
+
+    def labels(self):
+        return {i: self.find(i) for i in self.p}
+
+
+def check_labels(pdf_rows, all_ids, edges, what):
+    """Spark (vec_id, canonical_id, is_keeper) rows vs union-find closure
+    over ``edges`` seeded with ``all_ids`` (canonical = component min)."""
+    uf = UnionFind(all_ids)
+    for a, b in edges:
+        uf.union(int(a), int(b))
+    want = uf.labels()
+    got = {
+        int(r[0]): (int(r[1]), bool(r[2]))
+        for r in pdf_rows.itertuples(index=False, name=None)
+    }
+    if set(got) != set(want):
+        return {
+            "ok": False,
+            "what": what,
+            "err": f"id set differs: spark {len(got)} vs expected {len(want)}",
+        }
+    bad = [
+        i
+        for i, lbl in want.items()
+        if got[i] != (lbl, i == lbl)
+    ]
+    return {
+        "ok": not bad,
+        "what": what,
+        "n_ids": len(want),
+        "n_edges": len(edges),
+        "n_label_mismatch": len(bad),
+        "sample_mismatch": bad[:5],
+    }
+
+
+# ---------------------------------------------------------------------------
+# Surrogate verifiers. Each returns a JSON-able dict with "ok".
+# ---------------------------------------------------------------------------
+
+
+def verify_sim_cosine_pairs(pdf, ids, mn, rng):
+    import numpy as np
+
+    n = len(ids)
+    got = {
+        (int(a), int(b)): float(c)
+        for a, b, c in pdf[["id_a", "id_b", "cosine"]].itertuples(
+            index=False, name=None
+        )
+    }
+    # soundness: EVERY reported pair recomputed exactly (O(|pairs| * d))
+    worst = 0.0
+    for (a, b), c in got.items():
+        exact = float(mn[a] @ mn[b])
+        worst = max(worst, abs(exact - c))
+        if abs(exact - c) > SCORE_TOL or round(exact, 4) < PAIR_THRESHOLD - SCORE_TOL:
+            return {"ok": False, "err": f"unsound pair {(a, b)}: {c} vs {exact}"}
+    # completeness: planted near-copies (i%41==1 ~ cos > 0.99) ...
+    planted = [(i - 1, i) for i in range(1, n) if i % 41 == 1]
+    missed_planted = [
+        p
+        for p in planted
+        if round(float(mn[p[0]] @ mn[p[1]]), 4) >= PAIR_THRESHOLD + SCORE_TOL
+        and p not in got
+    ]
+    # ... and FULL completeness for k random probe rows (each checked
+    # against the whole corpus — brute force O(k * n * d))
+    probes = rng.choice(n, size=min(64, n), replace=False)
+    missed_probe = both_present = 0
+    for q in probes:
+        sims = mn @ mn[int(q)]
+        sims[int(q)] = -np.inf
+        hits = np.nonzero(np.round(sims, 4) >= PAIR_THRESHOLD + SCORE_TOL)[0]
+        for j in hits:
+            key = (min(int(q), int(j)), max(int(q), int(j)))
+            if key in got:
+                both_present += 1
+            else:
+                missed_probe += 1
+    ok = not missed_planted and missed_probe == 0
+    return {
+        "ok": ok,
+        "n_pairs_sound": len(got),
+        "worst_abs_err": worst,
+        "n_planted": len(planted),
+        "n_planted_missed": len(missed_planted),
+        "n_probe_rows": int(len(probes)),
+        "n_probe_pairs_found": both_present,
+        "n_probe_pairs_missed": missed_probe,
+    }
+
+
+def verify_embedding_groups(pdf, ids, mn, cos_pairs_pdf, spark, sf_dir):
+    import numpy as np
+
+    from ct_clickhouse_spark.operators.similarity import (
+        EXACT_PAIRS_MAX_ROWS,
+        _grid_bits,
+        lsh_candidate_pairs,
+    )
+
+    n = len(ids)
+    out = {}
+    # -- kind='global': closure over the slot's ACTUAL routed pair source
+    #    (exact GEMM <= EXACT_PAIRS_MAX_ROWS, banded LSH beyond — the
+    #    edges themselves are certified by the sim_cosine_pairs /
+    #    dedup_lsh_pairs surrogates; this check certifies the distributed
+    #    label propagation against an exact union-find).
+    if n <= EXACT_PAIRS_MAX_ROWS:
+        if cos_pairs_pdf is None:  # --only without sim_cosine_pairs
+            from ct_clickhouse_spark.operators.similarity import cosine_pairs
+
+            cos_pairs_pdf = cosine_pairs(spark, sf_dir).toPandas()
+        edges = list(
+            cos_pairs_pdf[["id_a", "id_b"]].itertuples(index=False, name=None)
+        )
+        route = "exact-gemm"
+    else:
+        edges = [
+            (int(r.id_a), int(r.id_b))
+            for r in lsh_candidate_pairs(spark, sf_dir)
+            .select("id_a", "id_b")
+            .collect()
+        ]
+        route = "banded-lsh"
+    g = pdf[pdf["kind"] == "global"][["vec_id", "canonical_id", "is_keeper"]]
+    out["global"] = check_labels(g, ids, edges, f"closure over {route} edges")
+    # -- kind='semdedup_cell': FULLY recomputable — deterministic sign-bit
+    #    cells + within-cell exact pairs (same numpy kernel shape) +
+    #    union-find. This is an exact certificate, not a sample.
+    bits = _grid_bits(n)
+    cells = np.zeros(n, dtype=np.int64)
+    for j in range(bits):
+        cells |= (mn[:, j] >= 0).astype(np.int64) << j
+    cell_edges = []
+    for c in np.unique(cells):
+        idx = np.nonzero(cells == c)[0]
+        if len(idx) < 2:
+            continue
+        sub = mn[idx]
+        sims = np.round(sub @ sub.T, 4)
+        ai, bj = np.nonzero((sims >= PAIR_THRESHOLD) & (idx[:, None] < idx[None, :]))
+        cell_edges.extend(zip(idx[ai].tolist(), idx[bj].tolist()))
+    s = pdf[pdf["kind"] == "semdedup_cell"][
+        ["vec_id", "canonical_id", "is_keeper"]
+    ]
+    out["semdedup_cell"] = check_labels(
+        s, ids, cell_edges, f"exact grid-cell closure (bits={bits})"
+    )
+    out["ok"] = out["global"]["ok"] and out["semdedup_cell"]["ok"]
+    return out
+
+
+NGRAM_CAND_SQL = """
+WITH raw_sh AS (
+    SELECT doc_id, unnest(list_distinct(sh_list)) AS shingle FROM (
+        SELECT doc_id,
+               CASE WHEN len(words) >= 3
+                    THEN list_transform(
+                        range(1, len(words) - 1),
+                        i -> concat_ws(' ', words[i], words[i+1], words[i+2]))
+                    ELSE [] END AS sh_list
+        FROM (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS words
+            FROM documents
+        )
+    )
+), sh AS (
+    SELECT * FROM raw_sh
+    WHERE shingle NOT IN (
+        SELECT shingle FROM raw_sh GROUP BY shingle HAVING count(*) > 50
+    )
+), sizes AS (
+    SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), npairs AS (
+    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+    GROUP BY 1, 2
+)
+SELECT c.doc_a, c.doc_b,
+       CASE WHEN sa.n_sh IS NULL OR sb.n_sh IS NULL THEN NULL
+            ELSE round(COALESCE(np.n_common, 0)
+                       / (sa.n_sh + sb.n_sh - COALESCE(np.n_common, 0)), 4)
+       END AS jaccard
+FROM cand c
+LEFT JOIN npairs np ON np.doc_a = c.doc_a AND np.doc_b = c.doc_b
+LEFT JOIN sizes sa ON sa.doc_id = c.doc_a
+LEFT JOIN sizes sb ON sb.doc_id = c.doc_b
+"""
+
+
+def verify_ngram_pairs(pdf, sf_dir, con, rng):
+    """Candidate-restricted replay of the full oracle's own shingle CTEs
+    (identical tokenization + df-50 stop-shingle cap) over: every Spark
+    pair (soundness), every planted dup/near-dup pair (completeness on
+    the known-positive set), and k random pairs (completeness on the
+    expected-negative set). Group rows = union-find over the verified
+    pair set (exactly the oracle's recursive-closure semantics)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    n_doc = pq.ParquetFile(os.path.join(sf_dir, "documents.parquet")).metadata.num_rows
+    pairs = pdf[pdf["kind"] == "pair"]
+    got = {
+        (int(a), int(b)): float(s)
+        for a, b, s in pairs[["a", "b", "score"]].itertuples(index=False, name=None)
+    }
+    planted = [(i - 2, i) for i in range(2, n_doc) if i % 500 == 2] + [
+        (i - 1, i) for i in range(1, n_doc) if i % 100 == 1
+    ]
+    negatives = set()
+    while len(negatives) < 500:
+        a, b = int(rng.integers(0, n_doc)), int(rng.integers(0, n_doc))
+        if a == b:
+            continue
+        key = (min(a, b), max(a, b))
+        if key not in got:
+            negatives.add(key)
+    cand = sorted(set(got) | set(planted) | negatives)
+    con.register("cand", pd.DataFrame(cand, columns=["doc_a", "doc_b"]))
+    truth = {
+        (int(a), int(b)): (None if j is None else float(j))
+        for a, b, j in con.execute(NGRAM_CAND_SQL).fetchall()
+    }
+    con.unregister("cand")
+    unsound = [
+        k for k, s in got.items()
+        if truth.get(k) is None or abs(truth[k] - s) > 5e-5 or truth[k] < JACCARD_THRESHOLD
+    ]
+    missed = [
+        k for k in planted
+        if truth.get(k) is not None
+        and truth[k] >= JACCARD_THRESHOLD
+        and k not in got
+    ]
+    false_neg_check = [
+        k for k in negatives
+        if truth.get(k) is not None and truth[k] >= JACCARD_THRESHOLD
+    ]  # a random pair that IS a true pair but absent from spark output
+    groups = pdf[pdf["kind"] == "group"].copy()
+    groups["is_keeper"] = groups["score"] >= 0.5
+    label_check = check_labels(
+        groups[["a", "b", "is_keeper"]],
+        range(n_doc),
+        list(got),
+        "closure over verified jaccard pairs",
+    )
+    ok = not unsound and not missed and not false_neg_check and label_check["ok"]
+    return {
+        "ok": ok,
+        "n_pairs_sound": len(got),
+        "n_unsound": len(unsound),
+        "sample_unsound": unsound[:5],
+        "n_planted": len(planted),
+        "n_planted_missed": len(missed),
+        "n_random_negatives": len(negatives),
+        "n_negatives_actually_positive": len(false_neg_check),
+        "groups": label_check,
+    }
+
+
+def verify_lsh_pairs(pdf, sf_dir, ids, mn, con, rng):
+    """Per-family sampled verification of the sub-quadratic candidate
+    families (approximate by design — soundness is exact, completeness
+    is planted-truth recall with a per-family analytic floor)."""
+    import numpy as np
+
+    out = {}
+    n = len(ids)
+    fams = {f: g for f, g in pdf.groupby("family")}
+
+    def cos_sound(g, name, check_threshold=True):
+        worst = 0.0
+        for a, b, s in g[["id_a", "id_b", "score"]].itertuples(index=False, name=None):
+            exact = float(mn[int(a)] @ mn[int(b)])
+            worst = max(worst, abs(exact - float(s)))
+            if abs(exact - float(s)) > SCORE_TOL:
+                return {"ok": False, "err": f"{name} unsound {(a, b)}: {s} vs {exact}"}
+            if check_threshold and round(exact, 4) < PAIR_THRESHOLD - SCORE_TOL:
+                return {"ok": False, "err": f"{name} below threshold {(a, b)}"}
+        return {"ok": True, "n_sound": len(g), "worst_abs_err": worst}
+
+    # hyperplane: scores are exact cosines; planted cos>0.99 pairs are
+    # found with P ~ 1-(1-p_bit^bits)^bands >= 0.95 at every plan size
+    hp = fams.get("hyperplane")
+    planted = [
+        (i - 1, i)
+        for i in range(1, n)
+        if i % 41 == 1 and round(float(mn[i - 1] @ mn[i]), 4) >= PAIR_THRESHOLD
+    ]
+    if hp is not None:
+        r = cos_sound(hp, "hyperplane")
+        hp_set = {
+            (min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in hp[["id_a", "id_b"]].itertuples(index=False, name=None)
+        }
+        strong = [
+            p for p in planted if round(float(mn[p[0]] @ mn[p[1]]), 4) >= 0.99
+        ]
+        # planted structure exists only in the gen_sf benchdata (the
+        # driver fixtures plant none — max pair cosine ~0.51): recall is
+        # asserted only when the planted set is live, else recorded None
+        rec = (
+            sum(1 for p in strong if p in hp_set) / len(strong)
+            if strong
+            else None
+        )
+        r.update({"n_planted_strong": len(strong), "planted_recall": rec})
+        r["ok"] = r["ok"] and (rec is None or rec >= 0.95)
+        out["hyperplane"] = r
+    # semdedup: exact cosines within k-means cells (cell scoping is the
+    # design, so no global-completeness claim — soundness only)
+    sd = fams.get("semdedup")
+    if sd is not None:
+        out["semdedup"] = cos_sound(sd, "semdedup")
+    # ivf_inc: batch (vec_id%5==0) near-dups via ANN — soundness exact,
+    # planted recall recorded (approximate path)
+    inc = fams.get("ivf_inc")
+    if inc is not None:
+        r = cos_sound(inc, "ivf_inc")
+        bad_batch = [
+            (int(a), int(b))
+            for a, b in inc[["id_a", "id_b"]].itertuples(index=False, name=None)
+            if int(a) % 5 != 0 and int(b) % 5 != 0
+        ]
+        inc_set = {
+            (min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in inc[["id_a", "id_b"]].itertuples(index=False, name=None)
+        }
+        inc_planted = [
+            p
+            for p in planted
+            if (p[0] % 5 == 0) != (p[1] % 5 == 0)
+            and round(float(mn[p[0]] @ mn[p[1]]), 4) >= 0.99
+        ]
+        rec = (
+            sum(1 for p in inc_planted if p in inc_set) / len(inc_planted)
+            if inc_planted
+            else None
+        )
+        r.update({
+            "n_nonbatch_rows": len(bad_batch),
+            "n_planted_batch": len(inc_planted),
+            "planted_recall": rec,
+        })
+        r["ok"] = r["ok"] and not bad_batch and (rec is None or rec >= 0.8)
+        out["ivf_inc"] = r
+    # minhash: estimated jaccard from seeded sketches (not recomputable
+    # without the JVM hash). Exact-dup planted pairs have IDENTICAL
+    # shingle sets => identical signatures => est 1.0 and guaranteed
+    # banding collision: recall floor 1.0 (minus docs the df cap strips
+    # to zero shingles). Near-dup (j~0.8) recall ~1-(1-s^4)^4 ~ 0.88:
+    # floor 0.6, actual recorded. True jaccard of sampled reported pairs
+    # recorded (est>=0.5 with k=16 has sigma~0.125).
+    mh = fams.get("minhash")
+    if mh is not None:
+        import pandas as pd
+
+        mh_set = {
+            (min(int(a), int(b)), max(int(a), int(b)))
+            for a, b in mh[["id_a", "id_b"]].itertuples(index=False, name=None)
+        }
+        import pyarrow.parquet as pq
+
+        n_doc = pq.ParquetFile(
+            os.path.join(sf_dir, "documents.parquet")
+        ).metadata.num_rows
+        exact_planted = [(i - 2, i) for i in range(2, n_doc) if i % 500 == 2]
+        near_planted = [(i - 1, i) for i in range(1, n_doc) if i % 100 == 1]
+        samp = list(mh_set)
+        rng.shuffle(samp)
+        samp = samp[:300]
+        cand = sorted(set(exact_planted) | set(near_planted) | set(samp))
+        con.register("cand", pd.DataFrame(cand, columns=["doc_a", "doc_b"]))
+        truth = {
+            (int(a), int(b)): (None if j is None else float(j))
+            for a, b, j in con.execute(NGRAM_CAND_SQL).fetchall()
+        }
+        con.unregister("cand")
+        ex_live = [p for p in exact_planted if (truth.get(p) or 0) >= 0.999]
+        ex_rec = (
+            sum(1 for p in ex_live if p in mh_set) / len(ex_live)
+            if ex_live
+            else None
+        )
+        nr_live = [
+            p for p in near_planted if (truth.get(p) or 0) >= JACCARD_THRESHOLD
+        ]
+        nr_rec = (
+            sum(1 for p in nr_live if p in mh_set) / len(nr_live)
+            if nr_live
+            else None
+        )
+        tj = [truth.get(p) for p in samp if truth.get(p) is not None]
+        low = sum(1 for j in tj if j < 0.2)
+        out["minhash"] = {
+            "ok": (ex_rec is None or ex_rec >= 0.99)
+            and (nr_rec is None or nr_rec >= 0.6)
+            and low / max(1, len(tj)) <= 0.2,
+            "n_exact_planted": len(ex_live),
+            "exact_planted_recall": ex_rec,
+            "n_near_planted": len(nr_live),
+            "near_planted_recall": nr_rec,
+            "n_sampled_true_jaccard": len(tj),
+            "sampled_true_jaccard_below_0.2": low,
+        }
+    out["ok"] = all(v.get("ok") for k, v in out.items() if k != "ok")
+    return out
+
+
+def verify_ivf_topk(pdf, ids, mn):
+    """Soundness: every reported cosine == exact recompute against its
+    query vector. Completeness: recall@k vs exact brute-force per kind
+    (approximate indexes — actual recall recorded, floors catch
+    catastrophic breakage, the recall artifacts track the fine values)."""
+    import numpy as np
+
+    out = {}
+    # rp is record-only: its recall legitimately collapses on noise-
+    # dominated corpora (rp_topk docstring — 0.48@refine=96 at sf1; the
+    # fixture regime), which is exactly why the ANN router exists. Its
+    # soundness (exact re-ranked cosines) IS gated.
+    # batch:<qid> rides the same IVF index at fixed probes over single
+    # queries whose per-query recall legitimately spreads (recall_min 0.1
+    # in ANN_RECALL_sf1.json) — record-only, like rp
+    floors = {"ivf": 0.5, "sq8": 0.8, "rp": None}
+    for kind, g in pdf.groupby("kind"):
+        qid = int(kind.split(":", 1)[1]) if kind.startswith("batch:") else 0
+        floor = floors.get(kind, None)
+        k = len(g)
+        returned = set(int(v) for v in g["vec_id"])
+        sims = mn @ mn[qid]
+        # some kinds exclude the query row, the batched tier may not —
+        # mirror whatever the slot returned when building the exact set
+        if qid not in returned:
+            sims[qid] = -np.inf
+        worst = 0.0
+        sound = True
+        for v, c in g[["vec_id", "cosine"]].itertuples(index=False, name=None):
+            err = abs(float(sims[int(v)]) - float(c))
+            worst = max(worst, err)
+            if err > SCORE_TOL:
+                sound = False
+        order = np.lexsort((np.arange(len(ids)), -sims))
+        exact = set(order[:k].tolist())
+        rec = len(exact & returned) / max(1, k)
+        out[kind] = {
+            "ok": sound and (floor is None or rec >= floor),
+            "k": k,
+            "recall_vs_exact": rec,
+            "floor": floor,
+            "worst_abs_err": worst,
+        }
+    out["ok"] = all(v.get("ok") for k, v in out.items() if k != "ok")
+    return out
+
+
+# ---------------------------------------------------------------------------
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=".benchdata/sf10")
+    ap.add_argument("--out", default="CORRECTNESS_sf10_r12.json")
+    ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument("--selfcheck", action="store_true")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    import __spark_entry__ as entrymod
+    from ct_clickhouse_spark.session import get_spark
+    from ct_clickhouse_spark.testing import pandas_signature, pandas_signature_rtol
+
+    rng = np.random.default_rng(7)
+    spark = get_spark(app_name="certify-sf10")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    record: dict[str, dict] = {}
+    pdfs: dict = {}
+
+    print(f"== Spark side: {len(qs)} slots @ {args.sf_dir} ==", flush=True)
+    for name, fn in qs.items():
+        if args.only and not any(s in name for s in args.only):
+            continue
+        t0 = time.time()
+        try:
+            pdf = fn(spark, args.sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001 — recorded, not raised
+            record[name] = {"mode": "error", "ok": False, "err": str(e)[:300]}
+            print(f"SPARK-FAIL {name}: {e}", flush=True)
+            continue
+        sec = round(time.time() - t0, 2)
+        rec: dict = {"spark_rows": int(len(pdf)), "spark_sec": sec}
+        if name in SAMPLED_SLOTS:
+            rec["mode"] = "sampled"
+            pdfs[name] = pdf
+        elif name in oracles:
+            rec["mode"] = "oracle"
+            rec["_sigs"] = (pandas_signature(pdf), pandas_signature_rtol(pdf))
+        else:
+            rec["mode"] = "pytest"
+            rec["ok"] = True
+            rec["gate"] = PYTEST_GATES.get(name, "rows-only (no named gate?)")
+        record[name] = rec
+        print(f"spark {name}: {len(pdf)} rows [{sec}s] mode={rec['mode']}", flush=True)
+
+    print("== full oracles (spill-enabled DuckDB) ==", flush=True)
+    con = spill_con(args.sf_dir)
+    for name, rec in record.items():
+        if rec.get("mode") != "oracle":
+            continue
+        t0 = time.time()
+        try:
+            opdf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            rec.update({"ok": False, "verdict": "oracle-error", "err": str(e)[:300]})
+            print(f"ORACLE-FAIL {name}: {e}", flush=True)
+            continue
+        osec = round(time.time() - t0, 2)
+        ssig, ssig_r = rec.pop("_sigs")
+        dsig = pandas_signature(opdf)
+        dsig_r = pandas_signature_rtol(opdf)
+        shape_ok = ssig[0] == dsig[0] and ssig[1] == dsig[1]
+        verdict = (
+            "hash" if (shape_ok and ssig[2] == dsig[2])
+            else "rtol" if (shape_ok and ssig_r[2] == dsig_r[2])
+            else "fail"
+        )
+        rec.update({
+            "ok": verdict in ("hash", "rtol"),
+            "verdict": verdict,
+            "oracle_rows": int(dsig[1]),
+            "oracle_sec": osec,
+        })
+        print(f"oracle {name}: {verdict} [{osec}s]", flush=True)
+
+    print("== sampled surrogates ==", flush=True)
+    need_emb = SAMPLED_SLOTS & set(pdfs)
+    if need_emb:
+        ids, mn = load_embeddings(args.sf_dir)
+    if "sim_cosine_pairs" in pdfs:
+        r = verify_sim_cosine_pairs(pdfs["sim_cosine_pairs"], ids, mn, rng)
+        record["sim_cosine_pairs"].update(r)
+        print(f"sampled sim_cosine_pairs: ok={r['ok']}", flush=True)
+    if "dedup_embedding_groups" in pdfs:
+        r = verify_embedding_groups(
+            pdfs["dedup_embedding_groups"], ids, mn,
+            pdfs.get("sim_cosine_pairs"), spark, args.sf_dir,
+        )
+        record["dedup_embedding_groups"].update(r)
+        print(f"sampled dedup_embedding_groups: ok={r['ok']}", flush=True)
+    if "dedup_ngram_jaccard_pairs" in pdfs:
+        r = verify_ngram_pairs(pdfs["dedup_ngram_jaccard_pairs"], args.sf_dir, con, rng)
+        record["dedup_ngram_jaccard_pairs"].update(r)
+        print(f"sampled dedup_ngram_jaccard_pairs: ok={r['ok']}", flush=True)
+    if "dedup_lsh_pairs" in pdfs:
+        r = verify_lsh_pairs(pdfs["dedup_lsh_pairs"], args.sf_dir, ids, mn, con, rng)
+        record["dedup_lsh_pairs"].update(r)
+        print(f"sampled dedup_lsh_pairs: ok={r['ok']}", flush=True)
+    if "sim_ivf_topk" in pdfs:
+        r = verify_ivf_topk(pdfs["sim_ivf_topk"], ids, mn)
+        record["sim_ivf_topk"].update(r)
+        print(f"sampled sim_ivf_topk: ok={r['ok']}", flush=True)
+
+    if args.selfcheck:
+        print("== selfcheck: sampled slots vs their full oracles ==", flush=True)
+        for name in sorted(SAMPLED_SLOTS & set(pdfs) & set(oracles)):
+            t0 = time.time()
+            opdf = con.execute(oracles[name]).df()
+            agree = pandas_signature(pdfs[name]) == pandas_signature(opdf)
+            record[name]["selfcheck_full_oracle_hash_match"] = bool(agree)
+            print(f"selfcheck {name}: full-oracle strict match={agree} "
+                  f"[{time.time()-t0:.1f}s]", flush=True)
+
+    spark.stop()
+    n_ok = sum(1 for r in record.values() if r.get("ok"))
+    artifact = {
+        "sf_dir": args.sf_dir,
+        "protocol": (
+            "scripts/certify_sf10.py: mode=oracle -> full DuckDB oracle on a "
+            "spill-enabled connection, verdict hash|rtol (relative-grid, "
+            "ct_clickhouse_spark/testing.py RTOL_SIG_DIGITS=9); mode=sampled "
+            "-> linear surrogate (candidate-restricted oracle SQL / exact "
+            "numpy recompute / planted-truth recall / union-find closure); "
+            "mode=pytest -> rows-only slot, named gate."
+        ),
+        "n_slots": len(record),
+        "n_ok": n_ok,
+        "queries": {
+            k: {kk: vv for kk, vv in v.items() if not kk.startswith("_")}
+            for k, v in record.items()
+        },
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1, default=str)
+    print(f"== {n_ok}/{len(record)} ok -> {args.out} ==", flush=True)
+    return 0 if n_ok == len(record) else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

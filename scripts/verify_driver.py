@@ -33,6 +33,7 @@ def _err_record(err: str) -> dict:
     so artifact consumers can read every field uniformly."""
     return {
         "rows_match": None, "schema_match": None, "hash_match": None,
+        "rtol_match": None, "verdict": "error",
         "spark_rows": None, "oracle_rows": None, "err": err,
     }
 
@@ -43,7 +44,15 @@ def main() -> int:
 
     import __spark_entry__ as entrymod
     from ct_clickhouse_spark.session import get_spark
-    from ct_clickhouse_spark.testing import pandas_signature
+    from ct_clickhouse_spark.testing import pandas_signature, pandas_signature_rtol
+
+    # Tolerance-aware acceptance (sf1+/sf10 certification): exact
+    # str(double) hashing is scale-unsound for ~6e12 FP sums (last-ulp
+    # addition-order noise), so every run emits BOTH a strict and a
+    # relative-grid verdict per slot; VERIFY_ACCEPT=rtol lets the grid
+    # verdict satisfy the gate (the artifact still records which one
+    # held). Default remains strict — the round driver's own compare.
+    accept_rtol = os.environ.get("VERIFY_ACCEPT", "strict") == "rtol"
 
     spark = get_spark(app_name="verify-driver")
 
@@ -80,6 +89,7 @@ def main() -> int:
             sdf = fn(spark, ORACLE_DIR)
             spdf = sdf.toPandas()
             ssig = pandas_signature(spdf)
+            ssig_r = pandas_signature_rtol(spdf)
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: spark error: {e}")
@@ -90,34 +100,52 @@ def main() -> int:
             print(f"rows-only  {name}: {len(spdf)} rows [{spark_sec:.1f}s]")
             record[name] = {
                 "rows_match": None, "schema_match": None, "hash_match": None,
+                "rtol_match": None, "verdict": "rows-only",
                 "spark_rows": int(len(spdf)), "oracle_rows": None, "err": None,
                 "spark_sec": round(spark_sec, 2),
             }
             continue
         try:
             t1 = time.time()
-            dsig = pandas_signature(con.execute(oracles[name]).df())
+            opdf = con.execute(oracles[name]).df()
+            dsig = pandas_signature(opdf)
+            dsig_r = pandas_signature_rtol(opdf)
             oracle_sec = time.time() - t1
         except Exception as e:
             failures.append(name)
             print(f"FAIL  {name}: oracle error: {e}")
             record[name] = _err_record(f"oracle: {str(e)[:200]}")
             continue
+        hash_ok = ssig[2] == dsig[2]
+        rtol_ok = ssig_r[2] == dsig_r[2]
+        shape_ok = ssig[0] == dsig[0] and ssig[1] == dsig[1]
+        verdict = (
+            "hash" if (hash_ok and shape_ok)
+            else "rtol" if (rtol_ok and shape_ok)
+            else "fail"
+        )
         record[name] = {
             "rows_match": ssig[1] == dsig[1],
             "schema_match": ssig[0] == dsig[0],
-            "hash_match": ssig[2] == dsig[2],
+            "hash_match": hash_ok,
+            "rtol_match": rtol_ok,
+            "verdict": verdict,
             "spark_rows": int(ssig[1]), "oracle_rows": int(dsig[1]),
             "err": None, "spark_sec": round(spark_sec, 2),
             "oracle_sec": round(oracle_sec, 2),
         }
-        if ssig == dsig:
+        if verdict == "hash":
             print(f"MATCH {name}: {ssig[1]} rows hash={ssig[2]} [{spark_sec:.1f}s]")
+        elif verdict == "rtol" and accept_rtol:
+            print(
+                f"MATCH(rtol) {name}: {ssig[1]} rows grid={ssig_r[2]} "
+                f"(strict {ssig[2]} != {dsig[2]}) [{spark_sec:.1f}s]"
+            )
         else:
             failures.append(name)
-            print(f"FAIL  {name}:")
-            print(f"   spark  cols={ssig[0]} rows={ssig[1]} hash={ssig[2]}")
-            print(f"   duckdb cols={dsig[0]} rows={dsig[1]} hash={dsig[2]}")
+            print(f"FAIL  {name}: verdict={verdict}")
+            print(f"   spark  cols={ssig[0]} rows={ssig[1]} hash={ssig[2]} grid={ssig_r[2]}")
+            print(f"   duckdb cols={dsig[0]} rows={dsig[1]} hash={dsig[2]} grid={dsig_r[2]}")
     spark.stop()
     if json_out:
         import json
