@@ -77,10 +77,25 @@ JACCARD_THRESHOLD = 0.5  # operators/dedup.py:41
 def spill_con(oracle_dir: str):
     import duckdb
 
-    con = duckdb.connect()
     os.makedirs("/tmp/duckdb_spill", exist_ok=True)
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
-    con.execute("SET memory_limit='60GB'")
+    # CONNECT-TIME config, not SET-after-connect: the buffer manager is
+    # sized at database construction, and the post-connect SET variant
+    # reproducibly died with bad-allocation on the string-heavy sf10
+    # oracles even with 120 GB free and an empty spill dir.
+    # 100 GB limit, sized for a JVM-FREE process (the two-phase split):
+    # the string-heavy sf10 oracles hold non-evictable working sets the
+    # spill path cannot shrink (text_doc_profile needs ~100 GB and 245 s
+    # ALONE; it dies at 80 GB, and dedup_doc_exact dies at 48 GB), so
+    # the only workable protocol is maximum headroom with nothing else
+    # resident — which is exactly why the spark phase must fully exit
+    # first (--phase-out / --oracle-phase).
+    con = duckdb.connect(
+        config={
+            "temp_directory": "/tmp/duckdb_spill",
+            "memory_limit": "100GB",
+            "threads": 16,
+        }
+    )
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{oracle_dir}/{t}.parquet')"
@@ -162,30 +177,41 @@ def check_labels(pdf_rows, all_ids, edges, what):
 
 
 def verify_sim_cosine_pairs(pdf, ids, mn, rng):
+    """Vectorized: the sf10 output is ~6.7M pairs, so soundness is one
+    einsum over row-gathered matrices and membership is binary search
+    over a sorted composite-key array, never a Python-loop per pair."""
     import numpy as np
 
     n = len(ids)
-    got = {
-        (int(a), int(b)): float(c)
-        for a, b, c in pdf[["id_a", "id_b", "cosine"]].itertuples(
-            index=False, name=None
-        )
-    }
+    a = pdf["id_a"].to_numpy(dtype=np.int64)
+    b = pdf["id_b"].to_numpy(dtype=np.int64)
+    c = pdf["cosine"].to_numpy(dtype=np.float64)
     # soundness: EVERY reported pair recomputed exactly (O(|pairs| * d))
-    worst = 0.0
-    for (a, b), c in got.items():
-        exact = float(mn[a] @ mn[b])
-        worst = max(worst, abs(exact - c))
-        if abs(exact - c) > SCORE_TOL or round(exact, 4) < PAIR_THRESHOLD - SCORE_TOL:
-            return {"ok": False, "err": f"unsound pair {(a, b)}: {c} vs {exact}"}
+    exact = np.einsum("ij,ij->i", mn[a], mn[b])
+    errs = np.abs(exact - c)
+    worst = float(errs.max()) if len(errs) else 0.0
+    if (errs > SCORE_TOL).any() or (
+        np.round(exact, 4) < PAIR_THRESHOLD - SCORE_TOL
+    ).any():
+        bad = int(np.argmax(errs))
+        return {
+            "ok": False,
+            "err": f"unsound pair {(int(a[bad]), int(b[bad]))}: "
+            f"{c[bad]} vs {exact[bad]}",
+        }
+    keys = np.sort(a * n + b)
+
+    def present(pa, pb):
+        k = np.asarray(pa, dtype=np.int64) * n + np.asarray(pb, dtype=np.int64)
+        idx = np.searchsorted(keys, k)
+        idx = np.clip(idx, 0, len(keys) - 1)
+        return keys[idx] == k
+
     # completeness: planted near-copies (i%41==1 ~ cos > 0.99) ...
-    planted = [(i - 1, i) for i in range(1, n) if i % 41 == 1]
-    missed_planted = [
-        p
-        for p in planted
-        if round(float(mn[p[0]] @ mn[p[1]]), 4) >= PAIR_THRESHOLD + SCORE_TOL
-        and p not in got
-    ]
+    pl = np.arange(1, n)[np.arange(1, n) % 41 == 1]
+    pl_cos = np.round(np.einsum("ij,ij->i", mn[pl - 1], mn[pl]), 4)
+    live = pl_cos >= PAIR_THRESHOLD + SCORE_TOL
+    missed_planted = int((~present(pl[live] - 1, pl[live])).sum())
     # ... and FULL completeness for k random probe rows (each checked
     # against the whole corpus — brute force O(k * n * d))
     probes = rng.choice(n, size=min(64, n), replace=False)
@@ -194,19 +220,20 @@ def verify_sim_cosine_pairs(pdf, ids, mn, rng):
         sims = mn @ mn[int(q)]
         sims[int(q)] = -np.inf
         hits = np.nonzero(np.round(sims, 4) >= PAIR_THRESHOLD + SCORE_TOL)[0]
-        for j in hits:
-            key = (min(int(q), int(j)), max(int(q), int(j)))
-            if key in got:
-                both_present += 1
-            else:
-                missed_probe += 1
-    ok = not missed_planted and missed_probe == 0
+        if len(hits) == 0:
+            continue
+        lo = np.minimum(hits, int(q))
+        hi = np.maximum(hits, int(q))
+        found = present(lo, hi)
+        both_present += int(found.sum())
+        missed_probe += int((~found).sum())
+    ok = missed_planted == 0 and missed_probe == 0
     return {
         "ok": ok,
-        "n_pairs_sound": len(got),
+        "n_pairs_sound": int(len(c)),
         "worst_abs_err": worst,
-        "n_planted": len(planted),
-        "n_planted_missed": len(missed_planted),
+        "n_planted": int(live.sum()),
+        "n_planted_missed": missed_planted,
         "n_probe_rows": int(len(probes)),
         "n_probe_pairs_found": both_present,
         "n_probe_pairs_missed": missed_probe,
@@ -239,12 +266,12 @@ def verify_embedding_groups(pdf, ids, mn, cos_pairs_pdf, spark, sf_dir):
         )
         route = "exact-gemm"
     else:
-        edges = [
-            (int(r.id_a), int(r.id_b))
-            for r in lsh_candidate_pairs(spark, sf_dir)
+        lp = (
+            lsh_candidate_pairs(spark, sf_dir)
             .select("id_a", "id_b")
-            .collect()
-        ]
+            .toPandas()  # Arrow path: the sf10 edge set is millions of rows
+        )
+        edges = list(lp.itertuples(index=False, name=None))
         route = "banded-lsh"
     g = pdf[pdf["kind"] == "global"][["vec_id", "canonical_id", "is_keeper"]]
     out["global"] = check_labels(g, ids, edges, f"closure over {route} edges")
@@ -584,13 +611,102 @@ def verify_ivf_topk(pdf, ids, mn):
 # ---------------------------------------------------------------------------
 
 
+def run_oracle_phase(record: dict, sf_dir: str) -> None:
+    """Full-oracle compares for every mode=oracle slot, mutating
+    ``record``. Runs in a FRESH python process (no Spark JVM): the py4j
+    gateway JVM keeps its multi-GB footprint until process exit even
+    after spark.stop(), and DuckDB's buffer manager reproducibly hit
+    bad-allocation on the string-heavy sf10 oracles while sharing the
+    box with it."""
+    import __spark_entry__ as entrymod
+    from ct_clickhouse_spark.testing import pandas_signature, pandas_signature_rtol
+
+    oracles = entrymod.oracle_sql()
+    for name, rec in record.items():
+        if rec.get("mode") != "oracle" or "_sigs" not in rec:
+            continue
+        t0 = time.time()
+        # isolated connection per slot: one slot's buffer-pool exhaustion
+        # must not cascade into trivial later queries
+        con = spill_con(sf_dir)
+        try:
+            opdf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            rec.update({"ok": False, "verdict": "oracle-error", "err": str(e)[:300]})
+            rec.pop("_sigs", None)
+            print(f"ORACLE-FAIL {name}: {e}", flush=True)
+            con.close()
+            continue
+        osec = round(time.time() - t0, 2)
+        con.close()
+        s = rec.pop("_sigs")
+        dsig = pandas_signature(opdf)
+        dsig_r = pandas_signature_rtol(opdf)
+        del opdf
+        shape_ok = list(s["cols"]) == list(dsig[0]) and int(s["rows"]) == int(dsig[1])
+        verdict = (
+            "hash" if (shape_ok and s["hash"] == dsig[2])
+            else "rtol" if (shape_ok and s["grid_hash"] == dsig_r[2])
+            else "fail"
+        )
+        rec.update({
+            "ok": verdict in ("hash", "rtol"),
+            "verdict": verdict,
+            "oracle_rows": int(dsig[1]),
+            "oracle_sec": osec,
+        })
+        print(f"oracle {name}: {verdict} [{osec}s]", flush=True)
+
+
+def write_artifact(record: dict, sf_dir: str, out: str) -> int:
+    n_ok = sum(1 for r in record.values() if r.get("ok"))
+    artifact = {
+        "sf_dir": sf_dir,
+        "protocol": (
+            "scripts/certify_sf10.py: mode=oracle -> full DuckDB oracle on a "
+            "spill-enabled connection, verdict hash|rtol (relative-grid, "
+            "ct_clickhouse_spark/testing.py RTOL_SIG_DIGITS=9); mode=sampled "
+            "-> linear surrogate (candidate-restricted oracle SQL / exact "
+            "numpy recompute / planted-truth recall / union-find closure); "
+            "mode=pytest -> rows-only slot, named gate."
+        ),
+        "n_slots": len(record),
+        "n_ok": n_ok,
+        "queries": {
+            k: {kk: vv for kk, vv in v.items() if not kk.startswith("_")}
+            for k, v in record.items()
+        },
+    }
+    with open(out, "w") as f:
+        json.dump(artifact, f, indent=1, default=str)
+    print(f"== {n_ok}/{len(record)} ok -> {out} ==", flush=True)
+    return 0 if n_ok == len(record) else 1
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=".benchdata/sf10")
     ap.add_argument("--out", default="CORRECTNESS_sf10_r12.json")
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--selfcheck", action="store_true")
+    ap.add_argument("--oracle-phase", default=None, help=argparse.SUPPRESS)
+    ap.add_argument(
+        "--phase-out",
+        default=None,
+        help="write the spark-phase record here and EXIT instead of "
+        "spawning the oracle phase — at big SFs the box's commit budget "
+        "(CommitLimit ~63 GB: overcommit_ratio 50, no swap) cannot hold "
+        "the driver JVM and DuckDB's working set at once, so the caller "
+        "runs `--oracle-phase <file>` as a second, JVM-free invocation",
+    )
     args = ap.parse_args()
+
+    if args.oracle_phase:
+        with open(args.oracle_phase) as f:
+            record = json.load(f)
+        print("== full oracles (fresh process, spill-enabled DuckDB) ==", flush=True)
+        run_oracle_phase(record, args.sf_dir)
+        return write_artifact(record, args.sf_dir, args.out)
 
     import numpy as np
 
@@ -624,7 +740,14 @@ def main() -> int:
             pdfs[name] = pdf
         elif name in oracles:
             rec["mode"] = "oracle"
-            rec["_sigs"] = (pandas_signature(pdf), pandas_signature_rtol(pdf))
+            ssig = pandas_signature(pdf)
+            ssig_r = pandas_signature_rtol(pdf)
+            rec["_sigs"] = {
+                "cols": ssig[0],
+                "rows": int(ssig[1]),
+                "hash": ssig[2],
+                "grid_hash": ssig_r[2],
+            }
         else:
             rec["mode"] = "pytest"
             rec["ok"] = True
@@ -632,37 +755,13 @@ def main() -> int:
         record[name] = rec
         print(f"spark {name}: {len(pdf)} rows [{sec}s] mode={rec['mode']}", flush=True)
 
-    print("== full oracles (spill-enabled DuckDB) ==", flush=True)
-    con = spill_con(args.sf_dir)
-    for name, rec in record.items():
-        if rec.get("mode") != "oracle":
-            continue
-        t0 = time.time()
-        try:
-            opdf = con.execute(oracles[name]).df()
-        except Exception as e:  # noqa: BLE001
-            rec.update({"ok": False, "verdict": "oracle-error", "err": str(e)[:300]})
-            print(f"ORACLE-FAIL {name}: {e}", flush=True)
-            continue
-        osec = round(time.time() - t0, 2)
-        ssig, ssig_r = rec.pop("_sigs")
-        dsig = pandas_signature(opdf)
-        dsig_r = pandas_signature_rtol(opdf)
-        shape_ok = ssig[0] == dsig[0] and ssig[1] == dsig[1]
-        verdict = (
-            "hash" if (shape_ok and ssig[2] == dsig[2])
-            else "rtol" if (shape_ok and ssig_r[2] == dsig_r[2])
-            else "fail"
-        )
-        rec.update({
-            "ok": verdict in ("hash", "rtol"),
-            "verdict": verdict,
-            "oracle_rows": int(dsig[1]),
-            "oracle_sec": osec,
-        })
-        print(f"oracle {name}: {verdict} [{osec}s]", flush=True)
-
+    # Surrogates FIRST (they need the live session for the routed edge
+    # sets); the full-oracle phase runs after spark.stop() so DuckDB's
+    # memory limit and the Spark JVM never coexist — the r12 first run
+    # OOM'd the whole process (malloc failures even in pyarrow) with the
+    # 24g driver + retained frames + a 60 GB DuckDB limit on one box.
     print("== sampled surrogates ==", flush=True)
+    con = spill_con(args.sf_dir)  # light use here: candidate-restricted SQL
     need_emb = SAMPLED_SLOTS & set(pdfs)
     if need_emb:
         ids, mn = load_embeddings(args.sf_dir)
@@ -677,14 +776,19 @@ def main() -> int:
         )
         record["dedup_embedding_groups"].update(r)
         print(f"sampled dedup_embedding_groups: ok={r['ok']}", flush=True)
+        del pdfs["dedup_embedding_groups"]
+    if "sim_cosine_pairs" in pdfs:
+        del pdfs["sim_cosine_pairs"]
     if "dedup_ngram_jaccard_pairs" in pdfs:
         r = verify_ngram_pairs(pdfs["dedup_ngram_jaccard_pairs"], args.sf_dir, con, rng)
         record["dedup_ngram_jaccard_pairs"].update(r)
         print(f"sampled dedup_ngram_jaccard_pairs: ok={r['ok']}", flush=True)
+        del pdfs["dedup_ngram_jaccard_pairs"]
     if "dedup_lsh_pairs" in pdfs:
         r = verify_lsh_pairs(pdfs["dedup_lsh_pairs"], args.sf_dir, ids, mn, con, rng)
         record["dedup_lsh_pairs"].update(r)
         print(f"sampled dedup_lsh_pairs: ok={r['ok']}", flush=True)
+        del pdfs["dedup_lsh_pairs"]
     if "sim_ivf_topk" in pdfs:
         r = verify_ivf_topk(pdfs["sim_ivf_topk"], ids, mn)
         record["sim_ivf_topk"].update(r)
@@ -692,37 +796,54 @@ def main() -> int:
 
     if args.selfcheck:
         print("== selfcheck: sampled slots vs their full oracles ==", flush=True)
-        for name in sorted(SAMPLED_SLOTS & set(pdfs) & set(oracles)):
+        qs_all = entrymod.queries()
+        for name in sorted(SAMPLED_SLOTS & set(oracles)):
+            if args.only and not any(s in name for s in args.only):
+                continue
             t0 = time.time()
             opdf = con.execute(oracles[name]).df()
-            agree = pandas_signature(pdfs[name]) == pandas_signature(opdf)
+            spdf = qs_all[name](spark, args.sf_dir).toPandas()
+            agree = pandas_signature(spdf) == pandas_signature(opdf)
             record[name]["selfcheck_full_oracle_hash_match"] = bool(agree)
             print(f"selfcheck {name}: full-oracle strict match={agree} "
                   f"[{time.time()-t0:.1f}s]", flush=True)
 
+    pdfs.clear()
+    con.close()
     spark.stop()
-    n_ok = sum(1 for r in record.values() if r.get("ok"))
-    artifact = {
-        "sf_dir": args.sf_dir,
-        "protocol": (
-            "scripts/certify_sf10.py: mode=oracle -> full DuckDB oracle on a "
-            "spill-enabled connection, verdict hash|rtol (relative-grid, "
-            "ct_clickhouse_spark/testing.py RTOL_SIG_DIGITS=9); mode=sampled "
-            "-> linear surrogate (candidate-restricted oracle SQL / exact "
-            "numpy recompute / planted-truth recall / union-find closure); "
-            "mode=pytest -> rows-only slot, named gate."
-        ),
-        "n_slots": len(record),
-        "n_ok": n_ok,
-        "queries": {
-            k: {kk: vv for kk, vv in v.items() if not kk.startswith("_")}
-            for k, v in record.items()
-        },
-    }
-    with open(args.out, "w") as f:
-        json.dump(artifact, f, indent=1, default=str)
-    print(f"== {n_ok}/{len(record)} ok -> {args.out} ==", flush=True)
-    return 0 if n_ok == len(record) else 1
+
+    if args.phase_out:
+        with open(args.phase_out, "w") as f:
+            json.dump(record, f)
+        print(f"spark phase done -> {args.phase_out}; run --oracle-phase", flush=True)
+        return 0
+
+    # hand the oracle phase to a FRESH process (see run_oracle_phase):
+    # the driver JVM holds its footprint until THIS process exits
+    import subprocess
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(
+        "w", suffix=".json", delete=False
+    ) as f:
+        json.dump(record, f)
+        phase_file = f.name
+    try:
+        proc = subprocess.run(
+            [
+                sys.executable,
+                os.path.abspath(__file__),
+                "--oracle-phase",
+                phase_file,
+                "--sf-dir",
+                args.sf_dir,
+                "--out",
+                args.out,
+            ],
+        )
+        return proc.returncode
+    finally:
+        os.unlink(phase_file)
 
 
 if __name__ == "__main__":
