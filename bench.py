@@ -98,8 +98,14 @@ def main() -> None:
     # round-over-round delta names its cause without the SURVEY ledger.
     # Section timings are diagnostic — the headline metric stays the sum
     # of the SLOT timings above (sections re-run work the slots share).
+    # SPARK_GRAFT_BENCH_SECTIONS=0 skips the diagnostic section pass —
+    # the multi-run sf10 protocol times slots only (the headline and the
+    # growth table never read sections)
+    run_sections = os.environ.get("SPARK_GRAFT_BENCH_SECTIONS", "1") != "0"
     sections: dict[str, dict[str, float]] = {}
-    for slot, secs in getattr(entrymod, "sections", dict)().items():
+    for slot, secs in (
+        getattr(entrymod, "sections", dict)().items() if run_sections else ()
+    ):
         if slot not in timings:
             continue
         per: dict[str, float] = {}

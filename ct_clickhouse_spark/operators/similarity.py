@@ -42,6 +42,16 @@ def _emb_double(df: DataFrame, out: str = "emb") -> DataFrame:
     return df.withColumn(out, F.col("embedding").cast("array<double>"))
 
 
+def _dbl_array_sql(vals) -> str:
+    """A double-array SQL literal via string-cast elements (repr is the
+    shortest round-trip form, and CAST(string AS DOUBLE) parses it to
+    the exact same IEEE double). Built as ONE parseable string because
+    composing it from 64 F.lit Column objects costs ~200 ms of py4j
+    round trips per query on the serving hot path — the plan, not the
+    data, was the latency."""
+    return "array(" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals) + ")"
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k against the vec_id=0 query vector.
     Broadcast the 1-row query side; TakeOrderedAndProject does the top-k."""
@@ -1094,6 +1104,143 @@ def _sq8_cached(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[float
     return hit
 
 
+_SQ8_SERVING_CACHE: dict = {}
+
+
+def _sq8_serving_index(spark: SparkSession, sf_dir: str):
+    """The SERVING layout of the SQ8 index: codes co-located with the
+    result payload (label) AND the original vector — the classic ANN
+    serving trade (FAISS-style indexes keep re-rank vectors beside the
+    codes). Scanning it reads ~9x the bytes of the codes-only frame, but
+    the whole point lookup becomes ONE distributed job: approximate
+    TakeOrdered returns candidates WITH their vectors, and the exact
+    re-rank of k*refine rows runs driver-side. The codes-only
+    sq8_topk remains the scan-compression shape for batch/analytics."""
+    from ..catalog import _session_key
+
+    key = (_session_key(spark), sf_dir)
+    hit = _SQ8_SERVING_CACHE.get(key)
+    if hit is None:
+        emb = load_table(spark, sf_dir, "embeddings").withColumn(
+            "embedding_raw", F.col("embedding")
+        )
+        codes, scales = sq8_quantize(emb)
+        hit = (codes.persist(), scales)
+        _bounded_cache_put(
+            _SQ8_SERVING_CACHE, key, hit, release=lambda v: v[0].unpersist()
+        )
+    return hit
+
+
+def _round_half_up4(x: float) -> float:
+    """Spark's round(double, 4): BigDecimal.valueOf(double) — the
+    SHORTEST decimal representation (python repr), NOT the exact binary
+    expansion — rounded HALF_UP at 4 decimals. The distinction is real:
+    0.00035 stores as 0.000349999...97, whose exact expansion rounds
+    DOWN while its shortest form "0.00035" rounds UP, and Spark takes
+    the shortest form. Pinned against the in-plan expression by
+    tests/test_sq8_serving.py."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _sq8_serving_scored(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOPK,
+    refine: int = SQ8_REFINE,
+    query_vec_id: int = QUERY_VEC_ID,
+) -> list[tuple]:
+    """The single-job SQ8 point lookup (see sq8_topk_serving), returning
+    plain (vec_id, label, cosine) tuples: one TakeOrdered job over the
+    payload-carrying index (approx score from the codes, exactly as
+    sq8_topk computes it), then the exact re-rank of the k*refine
+    candidates DRIVER-side with bit-identical arithmetic — python's
+    left-to-right sum reproduces aggregate()'s fold order over the same
+    doubles, sqrt is IEEE-exact on both sides, and _round_half_up4 is
+    Spark's round."""
+    codes, scales = _sq8_serving_index(spark, sf_dir)
+    qrow = _query_vector(spark, sf_dir, query_vec_id)
+    qn = sum(x * x for x in qrow) ** 0.5
+    qnorm = [x / qn for x in qrow]
+    weights = [
+        round(q / s * SQ8_LEVELS) * s * s / (SQ8_LEVELS * SQ8_LEVELS)
+        for q, s in zip(qnorm, scales)
+    ]
+    approx = F.expr(
+        f"aggregate(zip_with(codes, {_dbl_array_sql(weights)}, "
+        "(c, w) -> c * w), 0.0D, (s, v) -> s + v)"
+    )
+    cand = (
+        codes.filter(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "label", "embedding_raw", approx.alias("a"))
+        .orderBy(F.col("a").desc(), "vec_id")
+        .limit(k * refine)
+        .collect()
+    )
+    scored = []
+    for r in cand:
+        dot = 0.0
+        nrm = 0.0
+        for x, y in zip(r.embedding_raw, qrow):
+            dot += x * y
+            nrm += x * x
+        cos = _round_half_up4(dot / (nrm**0.5 * qn))
+        scored.append((int(r.vec_id), int(r.label), cos))
+    scored.sort(key=lambda t: (-t[2], t[0]))
+    return scored[:k]
+
+
+def sq8_topk_serving(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOPK,
+    refine: int = SQ8_REFINE,
+    query_vec_id: int = QUERY_VEC_ID,
+) -> DataFrame:
+    """sq8_topk's serving twin as a DataFrame — rows identical to
+    sq8_topk by construction (tests/test_sq8_serving.py pins it per
+    query id). The HTTP endpoint skips this wrapper and takes the raw
+    tuples (ann_topk_auto_rows): createDataFrame on 10 rows costs a
+    full extra job (~500 ms measured), which would give back everything
+    the single-job shape saves."""
+    return spark.createDataFrame(
+        _sq8_serving_scored(spark, sf_dir, k, refine, query_vec_id),
+        "vec_id long, label int, cosine double",
+    )
+
+
+def ann_topk_auto_rows(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = TOPK,
+    query_vec_id: int = QUERY_VEC_ID,
+    target_recall: float = 0.9,
+) -> list[list]:
+    """ann_topk_auto for the serving layer, returning JSON-ready rows
+    ([vec_id, label, cosine]) without a result DataFrame round trip.
+    SQ8 route: the single-job driver re-rank; IVF route: the probed
+    index query, collected."""
+    probe = ann_regime_probe(spark, sf_dir, k=k, target_recall=target_recall)
+    if probe["route"] == "ivf":
+        df = ivf_topk(
+            spark,
+            sf_dir,
+            query_vec_id=query_vec_id,
+            n_probes=probe["probes_for_target"],
+            k=k,
+        )
+        return [list(t) for t in (tuple(r) for r in df.collect())]
+    return [
+        list(t) for t in _sq8_serving_scored(spark, sf_dir, k, SQ8_REFINE, query_vec_id)
+    ]
+
+
 def sq8_topk(
     spark: SparkSession,
     sf_dir: str,
@@ -1118,32 +1265,46 @@ def sq8_topk(
         round(q / s * SQ8_LEVELS) * s * s / (SQ8_LEVELS * SQ8_LEVELS)
         for q, s in zip(qnorm, scales)
     ]
-    approx = F.aggregate(
-        F.zip_with(
-            F.col("codes"),
-            F.array(*[F.lit(w) for w in weights]),
-            lambda c, w: c * w,
-        ),
-        F.lit(0.0),
-        lambda s, v: s + v,
+    approx = F.expr(
+        f"aggregate(zip_with(codes, {_dbl_array_sql(weights)}, "
+        "(c, w) -> c * w), 0.0D, (s, v) -> s + v)"
     )
-    cand = (
-        codes.filter(F.col("vec_id") != query_vec_id)
+    # candidate ids come to the driver as a BOUNDED list (k * refine
+    # rows — a TakeOrderedAndProject job over the code scan) and return
+    # to the plan as an isin literal: a broadcast join here added a
+    # third sequential job (broadcast build) to the serving hot path,
+    # and each job pays the ~95 ms scheduling floor PROFILE_serving_r11
+    # measured. Same candidate set, same final rows.
+    cand_ids = [
+        r.vec_id
+        for r in codes.filter(F.col("vec_id") != query_vec_id)
         .select("vec_id", approx.alias("approx_cos"))
         .orderBy(F.col("approx_cos").desc(), "vec_id")
         .limit(k * refine)
         .select("vec_id")
-    )
+        .collect()
+    ]
     emb = _emb_double(load_table(spark, sf_dir, "embeddings"))
     # the query vector is already resolved driver-side (cached, qrow):
-    # carry it as a 64-literal array instead of a broadcast 1-row
-    # subplan — same doubles, same zip_with arithmetic, one fewer
-    # parquet-scan subtree in the per-request serving job
-    qarr = F.array(*[F.lit(float(x)) for x in qrow])
-    cos = _dot(F.col("emb"), qarr) / (_norm(F.col("emb")) * _norm(qarr))
+    # carried as a literal-array SQL string instead of a broadcast 1-row
+    # subplan — same doubles, same zip_with/aggregate arithmetic (array
+    # order matches python's left-to-right sum, sqrt is IEEE-exact on
+    # both sides), one fewer parquet-scan subtree and ~200 ms less py4j
+    # plan construction in the per-request serving job. norm(q) is the
+    # driver-computed qn, identical to the in-plan aggregate by
+    # construction.
+    cos = F.expr(
+        f"round(aggregate(zip_with(emb, {_dbl_array_sql(qrow)}, "
+        "(x, y) -> x * y), 0.0D, (s, v) -> s + v) / "
+        "(sqrt(aggregate(emb, 0.0D, (s, v) -> s + v * v)) * "
+        f"CAST('{float(qn)!r}' AS DOUBLE)), 4)"
+    )
+    in_cand = F.expr(
+        "vec_id IN (" + ",".join(str(int(i)) for i in cand_ids) + ")"
+    ) if cand_ids else F.lit(False)
     return (
-        emb.join(F.broadcast(cand), "vec_id")
-        .select("vec_id", "label", F.round(cos, 4).alias("cosine"))
+        emb.filter(in_cand)
+        .select("vec_id", "label", cos.alias("cosine"))
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(k)
     )
@@ -1419,6 +1580,7 @@ def ann_topk_auto(
     k: int = TOPK,
     query_vec_id: int = QUERY_VEC_ID,
     target_recall: float = 0.9,
+    serving: bool = False,
 ) -> DataFrame:
     """Regime-routed ANN top-k — the recommended default when the
     corpus's neighbor structure is unknown: SQ8 (measured regime-
@@ -1436,6 +1598,10 @@ def ann_topk_auto(
             n_probes=probe["probes_for_target"],
             k=k,
         )
+    if serving:
+        # row-identical single-job twin (see sq8_topk_serving) — the
+        # point-lookup latency shape for the /similar endpoint
+        return sq8_topk_serving(spark, sf_dir, k=k, query_vec_id=query_vec_id)
     return sq8_topk(spark, sf_dir, k=k, query_vec_id=query_vec_id).select(
         "vec_id", "label", "cosine"
     )

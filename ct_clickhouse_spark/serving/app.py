@@ -344,21 +344,23 @@ def create_app(
         except ValueError:
             k = 10
         k = max(1, min(k, 100))  # clamp, same policy as /tld's limit
-        from ..operators.similarity import ann_topk_auto
+        from ..operators.similarity import ann_topk_auto_rows
 
         try:
             # the regime probe inside is cached per (session, sf,
             # params): only the first request pays it; every later one
             # runs just the routed tier's query under this request's
-            # FAIR pool
-            df = ann_topk_auto(
+            # FAIR pool. Rows come back directly (no result-DataFrame
+            # round trip — sq8's serving shape is one job + a driver
+            # re-rank, row-identical to the batch tier by test)
+            rows = ann_topk_auto_rows(
                 spark, embeddings_sf_dir, k=k, query_vec_id=vec_id
             )
         except IndexError:
-            # both tiers resolve the query vector eagerly; an unknown
+            # the tiers resolve the query vector eagerly; an unknown
             # vec_id surfaces as an empty driver-side collect
             return jsonify({"error": f"vec_id {vec_id} not found"}), 404
-        return jsonify(_rows_json(df))
+        return jsonify(rows)
 
     @app.route("/size")
     def size():
