@@ -159,18 +159,38 @@ def _raise_if_dead(q, what: str) -> None:
         raise RuntimeError(f"{what} died: {q.exception()}")
 
 
-def _table_strhash(spark, path: str) -> tuple[int, str]:
+def _table_strhash(spark, path: str, canon: dict | None = None) -> tuple[int, str]:
     """(rows, order-insensitive value hash) of a parquet table, every
     column cast to string so array columns hash too — the output-identity
-    check for the solo-vs-concurrent comparison."""
+    check for the solo-vs-concurrent comparison.
+
+    ``canon`` maps column -> replacement SQL (or None to drop): the
+    identity claim must exclude what is nondeterministic BY CONTRACT —
+    the ingest's `ts` is processing time (the reference's utcnow(),
+    streaming/ingest.py:20), and an HLL sketch's serialized BYTES depend
+    on merge order while its register state/estimate does not, so the
+    rollup hashes hll_sketch_estimate(users_sketch) instead of the raw
+    payload."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import BinaryType
 
     from ct_clickhouse_spark.testing import pandas_signature
 
+    canon = canon or {}
     df = spark.read.parquet(path)
-    pdf = df.select(
-        [F.col(c).cast("string").alias(c) for c in df.columns]
-    ).toPandas()
+    cols = []
+    for f in df.schema.fields:
+        if f.name in canon:
+            if canon[f.name] is None:
+                continue
+            cols.append(F.expr(canon[f.name]).cast("string").alias(f.name))
+        elif isinstance(f.dataType, BinaryType):
+            # binary -> hex: a raw binary->string cast yields non-UTF-8
+            # bytes Arrow refuses to ship
+            cols.append(F.hex(F.col(f.name)).alias(f.name))
+        else:
+            cols.append(F.col(f.name).cast("string").alias(f.name))
+    pdf = df.select(cols).toPandas()
     sig = pandas_signature(pdf)
     return sig[1], sig[2]
 
@@ -182,6 +202,7 @@ def bench_ingest(
     work: str | None = None,
     pool: str | None = None,
     hash_sink: bool = False,
+    logs_dir: str | None = None,
 ) -> dict:
     from ct_clickhouse_spark.session import run_in_scheduler_pool
     from ct_clickhouse_spark.streaming.ingest import start_ingest
@@ -189,9 +210,14 @@ def bench_ingest(
     own_work = work is None
     if own_work:
         work = tempfile.mkdtemp(prefix="ctspark_stream_bench_")
-    logs = os.path.join(work, "logs")
+    # ``logs_dir`` lets the solo-vs-concurrent identity protocol feed
+    # BOTH runs one prebuilt fixture: make_cert_der self-signs with a
+    # fresh EC key per build, so two builds yield different DER bytes
+    # and fingerprints — a fixture artifact, not engine nondeterminism
+    logs = logs_dir or os.path.join(work, "logs")
     try:
-        build_fixture(logs, n_leaves)
+        if logs_dir is None:
+            build_fixture(logs, n_leaves)
         per_log_full = n_leaves // N_LOGS
         # the STH must never overstate the recorded entries (get-entries
         # past the end fails the task, by design)
@@ -261,7 +287,7 @@ def bench_ingest(
         }
         if hash_sink:
             out["sink_rows"], out["sink_hash"] = _table_strhash(
-                spark, os.path.join(work, "table")
+                spark, os.path.join(work, "table"), canon={"ts": None}
             )
         return out
     finally:
@@ -738,8 +764,18 @@ def bench_rollup(
             "triggers": rows,
         }
         if hash_out:
+            # canon cols: the sketch's serialized bytes vary by merge
+            # order (its estimate does not — verified SAME across solo
+            # runs), and sum_value carries last-ulp FP addition-order
+            # noise (the per-column diff isolated it as the only
+            # unstable raw column); everything else hashes exact
             out["rollup_rows"], out["rollup_hash"] = _table_strhash(
-                spark, os.path.join(work, "rollup")
+                spark,
+                os.path.join(work, "rollup"),
+                canon={
+                    "users_sketch": "hll_sketch_estimate(users_sketch)",
+                    "sum_value": "round(sum_value, 6)",
+                },
             )
         return out
     finally:
@@ -764,14 +800,19 @@ def bench_concurrent(
     from ct_clickhouse_spark.session import run_in_scheduler_pool
     from ct_clickhouse_spark.streaming.tail import tail_cert_domains
 
+    # -- one fixture for BOTH phases (a rebuilt fixture re-signs with a
+    #    fresh key -> different fingerprints; identity needs one input)
+    work = tempfile.mkdtemp(prefix="ctspark_concurrent_")
+    shared_logs = os.path.join(work, "logs")
+    build_fixture(shared_logs, n_leaves)
+
     # -- solo baselines (identical params to the concurrent phase)
     solo_ingest = bench_ingest(
-        spark, n_leaves, max_per_trigger, hash_sink=True
+        spark, n_leaves, max_per_trigger, hash_sink=True, logs_dir=shared_logs
     )
     solo_rollup = bench_rollup(spark, hash_out=True)
 
     # -- concurrent phase
-    work = tempfile.mkdtemp(prefix="ctspark_concurrent_")
     table = os.path.join(work, "ingest", "table")
     os.makedirs(table, exist_ok=True)
     tail_rows = []
@@ -804,6 +845,7 @@ def bench_concurrent(
                         work=os.path.join(work, "ingest"),
                         pool="s_ingest",
                         hash_sink=True,
+                        logs_dir=shared_logs,
                     ),
                 ),
             ),
