@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import bounded_cache_put as _bounded_cache_put
-from ..catalog import load_table
+from ..catalog import load_table, table_rowcount
 from ..cert_domains import (
     build_cert_domains,
     cert_domains_duckdb_sql,
@@ -47,9 +47,76 @@ SHINGLE_WORDS = 3
 # SHINGLE_DF_CAP^2 rows. Jaccard is computed over the kept shingles on both
 # engines, so the oracle parity is exact.
 SHINGLE_DF_CAP = 50
-MINHASH_K = 16  # signature length
+MINHASH_K = 16  # signature length (fixture-scale plan; see _minhash_plan)
 MINHASH_BANDS = 4  # 4 bands x 4 rows: P(candidate) = 1-(1-s^4)^4
+MINHASH_ROWS = 4  # rows per band — fixed: 4x64-bit exact-match bucket keys
+# are collision-free for unrelated docs, so bucket size never grows with
+# corpus size; only the NEAR-THRESHOLD recall needs scale compensation.
+MINHASH_ADAPT_N = 8_192  # below: the original (16, 4, 4) plan, bit-identical
+# to pre-r13 output (driver fixtures sf0.001-0.1 all sit under this).
+MINHASH_REF_SIM = 0.65  # near-threshold similarity the recall law is held at
+MINHASH_TARGET_RECALL = 0.9  # banding recall floor at MINHASH_REF_SIM
 SIMHASH_BITS = 32
+
+
+def _minhash_plan(n: int) -> tuple[int, int, int]:
+    """Size-adaptive (k, rows_per_band, n_bands) for banded MinHash LSH.
+
+    Round-13 scale fix (r12 verdict #2): the fixed (16, 4, 4) plan's
+    candidate probability 1-(1-s^4)^4 is only 0.23 at s = 0.5 and 0.66 at
+    s = 0.7, and the sf10 certification measured planted NEAR-threshold
+    recall at 0.73 — the live planted pairs' all-shingle similarity
+    spectrum widens at scale (the stop-shingle df cap strips more common
+    shingles from the truth at 500k docs, so pairs whose KEPT-shingle
+    jaccard clears 0.5 sit anywhere above ~0.55 in the ALL-shingle
+    similarity the signatures estimate). Mirrors _lsh_plan
+    (similarity.py): rows-per-band stays 4 (band buckets are exact
+    4x64-bit matches — unrelated docs never collide, so bucket size is
+    n-independent), and the band count grows to hold banding recall at
+    MINHASH_REF_SIM >= MINHASH_TARGET_RECALL: bands =
+    ceil(log(1-target) / log(1-s_ref^rows)). At n <= MINHASH_ADAPT_N the
+    original (16, 4, 4) plan is returned unchanged, so fixture- and
+    driver-scale outputs (sf0.01 correctness hashes, sf0.1 bench) are
+    bit-identical to pre-r13. Cost above the knee: k = rows*bands min-
+    aggregates per doc (one map-side-combinable hash agg, linear in k)
+    and bands bucket rows per doc — no quadratic term anywhere."""
+    import math
+
+    if n <= MINHASH_ADAPT_N:
+        return MINHASH_K, MINHASH_ROWS, MINHASH_BANDS
+    p = MINHASH_REF_SIM**MINHASH_ROWS
+    bands = max(
+        MINHASH_BANDS,
+        math.ceil(math.log(1.0 - MINHASH_TARGET_RECALL) / math.log(1.0 - p)),
+    )
+    return MINHASH_ROWS * bands, MINHASH_ROWS, bands
+
+
+def minhash_report_prob(s: float, k: int, r: int, b: int) -> float:
+    """Analytic P(a pair with true all-shingle jaccard s is reported) by
+    doc_minhash_lsh_pairs under plan (k, r, b): at least one band agrees
+    on all r rows (banding collision) AND the k-hash estimated jaccard
+    clears JACCARD_THRESHOLD (the verify filter). Exact DP: per band the
+    agreement count is Binomial(r, s) — the seeded xxhash64 family gives
+    independent Bernoulli(s) agreement per seed — tracking
+    (any-full-band, total agreements). Shared by the two-scale recall
+    gate (tests/test_minhash_plan.py) and the sf10 certification
+    (scripts/certify_sf10.py) so the measured recall is always compared
+    to the analytic of the plan actually chosen."""
+    import math as _math
+    from math import comb
+
+    pb = [comb(r, a) * s**a * (1.0 - s) ** (r - a) for a in range(r + 1)]
+    dist: dict[tuple[bool, int], float] = {(False, 0): 1.0}
+    for _ in range(b):
+        nxt: dict[tuple[bool, int], float] = {}
+        for (full, tot), p in dist.items():
+            for a in range(r + 1):
+                key = (full or a == r, tot + a)
+                nxt[key] = nxt.get(key, 0.0) + p * pb[a]
+        dist = nxt
+    need = _math.ceil(JACCARD_THRESHOLD * k - 1e-9)
+    return sum(p for (full, tot), p in dist.items() if full and tot >= need)
 
 
 def cert_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -916,19 +983,24 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pairs_from_shingles(_kept_shingles_cached(spark, sf_dir))
 
 
-_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SIG_CACHE: dict[tuple[int, str, int], DataFrame] = {}
 
 
-def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_sig_df(
+    spark: SparkSession, sf_dir: str, k: int = MINHASH_K
+) -> DataFrame:
     """MinHash signatures via explode + k min-aggregates, persisted per
-    (session, sf_dir) — both the signature query and the banded-LSH pairs
-    consume it.
+    (session, sf_dir, k) — both the signature query and the banded-LSH
+    pairs consume it. Seed i always produces column h{i}, so a longer
+    signature is a strict prefix-extension of the k=16 one: the
+    doc_minhash_signatures slot stays pinned to the same 16 values while
+    the scale-adaptive banding (_minhash_plan) can ask for more.
 
     This is the scale-correct shape: one explode of distinct shingles, then
     ``min(xxhash64(shingle, seed_i))`` per doc for k seeds — a single
     map-side-combinable hash aggregate, no O(k)-deep expression trees
     (a nested-transform formulation was 20x slower purely on codegen)."""
-    key = (id(spark), sf_dir)
+    key = (id(spark), sf_dir, k)
     sig = _SIG_CACHE.get(key)
     if sig is not None:
         return sig
@@ -943,7 +1015,7 @@ def _minhash_sig_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("sh_h"),
     )
     sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64("sh_h", F.lit(i))).alias(f"h{i}") for i in range(MINHASH_K)]
+        *[F.min(F.xxhash64("sh_h", F.lit(i))).alias(f"h{i}") for i in range(k)]
     ).persist()
     _bounded_cache_put(_SIG_CACHE, key, sig, release=lambda v: v.unpersist())
     return sig
@@ -964,13 +1036,17 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Bands of the signature become bucket keys; docs sharing any band bucket
     are candidates; candidates are verified with the estimated Jaccard
     (fraction of agreeing minhashes). Cost: k hashes/doc + bucket-local
-    joins — never all-pairs."""
-    rows_per_band = MINHASH_K // MINHASH_BANDS
-    sig = _minhash_sig_df(spark, sf_dir)
+    joins — never all-pairs. The (k, rows, bands) plan is size-adaptive
+    (_minhash_plan): the fixture-scale plan is the original (16, 4, 4);
+    past MINHASH_ADAPT_N docs the band count grows to hold near-threshold
+    recall (r12 verdict #2 — sf10 measured 0.73 under the fixed plan)."""
+    n = table_rowcount(spark, sf_dir, "documents")
+    k, rows_per_band, n_bands = _minhash_plan(n)
+    sig = _minhash_sig_df(spark, sf_dir, k)
 
     bands = sig.select(
         "doc_id",
-        F.array(*[f"h{i}" for i in range(MINHASH_K)]).alias("sig"),
+        F.array(*[f"h{i}" for i in range(k)]).alias("sig"),
         F.explode(
             F.array(
                 *[
@@ -983,7 +1059,7 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                             )
                         ).alias("bucket"),
                     )
-                    for b in range(MINHASH_BANDS)
+                    for b in range(n_bands)
                 ]
             )
         ).alias("bb"),
@@ -1012,7 +1088,7 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda eq: eq
             )
         )
-        / F.lit(MINHASH_K),
+        / F.lit(k),
         4,
     )
     return (
