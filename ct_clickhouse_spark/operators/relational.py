@@ -280,7 +280,11 @@ def _group_bounds(
         .localCheckpoint(eager=True)
     )
     if cache_key is not None:
-        bounded_cache_put(_BOUNDS_CACHE, cache_key, bounds)
+        # release evicted boundary frames (r12 advice): localCheckpoint
+        # blocks otherwise linger until Python GC collects the DataFrame
+        bounded_cache_put(
+            _BOUNDS_CACHE, cache_key, bounds, release=lambda df: df.unpersist()
+        )
     return bounds
 
 
@@ -358,7 +362,15 @@ def exact_group_quantiles(
     No full-data shuffle, no full-data checkpoint, no global sort, no
     group ever buffered whole; the answer is independent of bucket
     boundaries (ties all land in one bucket; ranks come from exact
-    counts)."""
+    counts).
+
+    PRECONDITION (r12 advice): the input's lineage must be
+    DETERMINISTIC. The counts job and the pick job re-evaluate the base
+    scan independently; an input whose re-evaluation can change rows
+    (an unfrozen sample, shuffle-order-dependent derivations) breaks the
+    exact-rank arithmetic — the old full-data checkpoint froze such
+    inputs too, this shape does not. Every current caller reads parquet.
+    Same precondition holds in windows._global_rank."""
     base = df.select(gcol, vcol)
     n_b = max(1, int(n_partitions))
     if n_b > 1:

@@ -48,8 +48,24 @@ def _dbl_array_sql(vals) -> str:
     the exact same IEEE double). Built as ONE parseable string because
     composing it from 64 F.lit Column objects costs ~200 ms of py4j
     round trips per query on the serving hot path — the plan, not the
-    data, was the latency."""
-    return "array(" + ",".join(f"CAST('{float(v)!r}' AS DOUBLE)" for v in vals) + ")"
+    data, was the latency.
+
+    Non-finite inputs are rejected (r12 advice): Python repr spells them
+    'inf'/'nan', which CAST(string AS DOUBLE) silently NULLs in
+    non-ANSI Spark (and errors under ANSI) — a degenerate zero-norm
+    query vector would NULL every downstream score instead of carrying
+    IEEE Infinity the way the old F.lit path did. Callers normalize by
+    the query norm, so a non-finite weight is always a caller bug."""
+    import math
+
+    floats = [float(v) for v in vals]
+    bad = [v for v in floats if not math.isfinite(v)]
+    if bad:
+        raise ValueError(
+            f"_dbl_array_sql: non-finite element(s) {bad[:3]} — zero-norm "
+            "or overflowing query vector reached the SQL-literal path"
+        )
+    return "array(" + ",".join(f"CAST('{v!r}' AS DOUBLE)" for v in floats) + ")"
 
 
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -104,6 +120,16 @@ _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 # serving 404 contract) and are NOT negative-cached — a vector ingested
 # later must become visible. Bounded at both levels like every sibling
 # artifact cache.
+#
+# IMMUTABLE-FIXTURE ASSUMPTION (r12 advice): this cache (and
+# _SQ8_SERVING_CACHE below) has no staleness invalidation — an embedding
+# REWRITTEN IN PLACE under a cached vec_id would keep serving the old
+# vector for the session. The data model never mutates embedding rows
+# (fixture dirs are immutable; ingest creates new ids, which are not
+# negative-cached and so become visible), matching every sibling
+# artifact cache keyed on (session, sf_dir). If mutable embedding dirs
+# ever enter scope, key these on a directory fingerprint the way
+# serving's cert-table cache re-resolves on _dir_state changes.
 _QVEC_CACHE: dict[tuple[str, str], dict] = {}
 QVEC_CACHE_MAX_IDS = 4096
 
@@ -1104,6 +1130,8 @@ def _sq8_cached(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[float
     return hit
 
 
+# Same immutable-fixture assumption as _QVEC_CACHE (see its note): no
+# staleness invalidation; embedding rows are never rewritten in place.
 _SQ8_SERVING_CACHE: dict = {}
 
 
@@ -1167,6 +1195,8 @@ def _sq8_serving_scored(
     codes, scales = _sq8_serving_index(spark, sf_dir)
     qrow = _query_vector(spark, sf_dir, query_vec_id)
     qn = sum(x * x for x in qrow) ** 0.5
+    if qn <= 0.0:  # zero vector: every cosine is undefined, not 'low'
+        raise ValueError(f"query vector {query_vec_id} has zero norm")
     qnorm = [x / qn for x in qrow]
     weights = [
         round(q / s * SQ8_LEVELS) * s * s / (SQ8_LEVELS * SQ8_LEVELS)
@@ -1259,6 +1289,8 @@ def sq8_topk(
     codes, scales = _sq8_cached(spark, sf_dir)
     qrow = _query_vector(spark, sf_dir, query_vec_id)
     qn = sum(x * x for x in qrow) ** 0.5
+    if qn <= 0.0:  # zero vector: every cosine is undefined, not 'low'
+        raise ValueError(f"query vector {query_vec_id} has zero norm")
     qnorm = [x / qn for x in qrow]
     # w_d = q_code_d * scale_d^2 / 127^2, so sum(code_d * w_d) ~= cosine
     weights = [

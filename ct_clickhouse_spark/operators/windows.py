@@ -194,7 +194,16 @@ def _global_rank(df: DataFrame, order_cols: list[str]) -> DataFrame:
     cheap column-pruned scan. Bucketing by a PREFIX of the order
     columns is order-consistent: first-column ties all land in one
     bucket, and within-bucket row_number still orders by the full
-    order_cols."""
+    order_cols.
+
+    PRECONDITION (r12 advice): the input's lineage must be
+    DETERMINISTIC. The counts job and the final row_number job evaluate
+    `ranged` independently; an input whose re-evaluation can change
+    row-to-partition assignment (an unfrozen sample, shuffle-order-
+    dependent derivations) would give silently colliding ranks — the old
+    full-data checkpoint froze such inputs too, this shape does not.
+    Every current caller reads parquet, which re-evaluates identically.
+    Same precondition holds in relational.exact_group_quantiles."""
     from .relational import BOUNDS_SAMPLE_FRACTION, _bucket_of
 
     first = order_cols[0]

@@ -924,6 +924,159 @@ def bench_concurrent(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_concurrent_kill(
+    spark, n_leaves: int = 24_000, max_per_trigger: int = 2048
+) -> dict:
+    """r13 (r12 verdict #6): exactly-once through executor SIGKILL under
+    the PRODUCTION topology. The r11 kill proof
+    (BENCH_streaming_r11_rocksdb_kill.json) ran ingest SOLO on the
+    local-cluster; production runs ingest + rollup + tail concurrently
+    under FAIR pools, where a lost executor JVM takes live tasks of ALL
+    queries with it at once. Protocol: shared fixture + the same pool
+    topology as bench_concurrent; once the ingest sink shows >= 2
+    committed trigger files (both sibling queries already live), SIGKILL
+    one CoarseGrainedExecutorBackend; the standalone worker respawns it,
+    in-flight tasks of every query retry, and each query's state store
+    reloads from its own checkpoint. Gates:
+    - ingest sink holds exactly the closed-form unique
+      (fingerprint, domain) rows — 0 duplicates, 0 loss;
+    - rollup output complete — exactly one row per (hour, event_type);
+    - tail delivers exactly the sink's row count (gap-free)."""
+    import signal
+    import threading
+
+    from ct_clickhouse_spark.session import run_in_scheduler_pool
+    from ct_clickhouse_spark.streaming.tail import tail_cert_domains
+
+    assert "local-cluster" in spark.sparkContext.master, (
+        "concurrent-kill bench needs SPARK_GRAFT_MASTER=local-cluster[...]"
+        f" (got {spark.sparkContext.master})"
+    )
+    work = tempfile.mkdtemp(prefix="ctspark_conc_kill_")
+    logs = os.path.join(work, "logs")
+    build_fixture(logs, n_leaves)
+    ingest_work = os.path.join(work, "ingest")
+    table = os.path.join(ingest_work, "table")
+    os.makedirs(table, exist_ok=True)
+    tail_rows: list = []
+    tail_lock = threading.Lock()
+
+    def on_rows(rows):
+        with tail_lock:
+            tail_rows.extend(rows)
+
+    out: dict = {}
+    errs: dict = {}
+
+    def run(name, fn):
+        try:
+            out[name] = fn()
+        except Exception as e:  # noqa: BLE001 — joined + reported below
+            errs[name] = repr(e)
+
+    before = _executor_pids()
+    assert before, "no executor JVMs found — not a local-cluster run?"
+    try:
+        t0 = time.time()
+        threads = [
+            threading.Thread(
+                target=run,
+                args=(
+                    "ingest",
+                    lambda: bench_ingest(
+                        spark,
+                        n_leaves,
+                        max_per_trigger,
+                        work=ingest_work,
+                        pool="k_ingest",
+                        logs_dir=logs,
+                    ),
+                ),
+            ),
+            threading.Thread(
+                target=run,
+                args=("rollup", lambda: bench_rollup(spark, pool="k_rollup")),
+            ),
+        ]
+        for t in threads:
+            t.start()
+        tail_q = run_in_scheduler_pool(
+            spark,
+            "k_tail",
+            lambda: tail_cert_domains(
+                spark,
+                table,
+                os.path.join(work, "tail_ckpt"),
+                on_rows,
+                available_now=False,
+                poll_seconds=1,
+            ),
+        )
+
+        # kill once the sink shows committed progress (>= 2 trigger files
+        # on disk — the query is mid-stream, not warming up)
+        def committed_files() -> int:
+            return sum(
+                1
+                for _, _, fs in os.walk(table)
+                for f in fs
+                if f.startswith("part-")
+            )
+
+        t_wait = time.time()
+        while committed_files() < 2 and time.time() - t_wait < 180:
+            time.sleep(0.2)
+        assert committed_files() >= 2, "ingest never committed pre-kill"
+        victim = _executor_pids()[0]
+        os.kill(victim, signal.SIGKILL)
+        t_kill = time.time()
+        for t in threads:
+            t.join(timeout=900)
+        if errs:
+            raise RuntimeError(f"concurrent queries failed after kill: {errs}")
+        sink = spark.read.parquet(table)
+        total = sink.count()
+        t_drain = time.time()
+        while len(tail_rows) < total and time.time() - t_drain < 120:
+            _raise_if_dead(tail_q, "tail query")
+            time.sleep(0.5)
+        tail_q.stop()
+        tail_q.awaitTermination(30)
+        distinct = sink.select("fingerprint", "domain").distinct().count()
+        per_log_full = n_leaves // N_LOGS
+        unique_per_log = per_log_full - (per_log_full - 1) // 20
+        expected = N_LOGS * unique_per_log * 3
+        after = _executor_pids()
+        ingest_ok = bool(total == distinct == expected)
+        return {
+            "leaves": n_leaves,
+            "max_per_trigger": max_per_trigger,
+            "killed_pid": victim,
+            "kill_after_sec": round(t_kill - t0, 2),
+            "executors_before": len(before),
+            "executors_after": len(after),
+            "respawned": victim not in after and len(after) >= len(before),
+            "wall_sec": round(time.time() - t0, 2),
+            "ingest_sink_rows": total,
+            "ingest_distinct_keys": distinct,
+            "ingest_duplicate_rows": total - distinct,
+            "ingest_expected_rows": expected,
+            "ingest_exactly_once": ingest_ok,
+            "rollup_rows": out["rollup"]["rollup_rows"],
+            "rollup_expected_groups": out["rollup"]["expected_groups"],
+            "rollup_complete": out["rollup"]["complete"],
+            "tail_rows": len(tail_rows),
+            "tail_gap_free": len(tail_rows) == total,
+            "ok": bool(
+                ingest_ok
+                and out["rollup"]["complete"]
+                and len(tail_rows) == total
+            ),
+        }
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--leaves", type=int, default=24_000)
@@ -1005,6 +1158,11 @@ def main() -> int:
         result["runs"]["rollup_sf1"] = bench_rollup(spark, state_width=width)
     if args.only == "concurrent":
         result["runs"]["concurrent_topology"] = bench_concurrent(spark)
+    if args.only == "concurrent-kill":
+        # needs SPARK_GRAFT_MASTER=local-cluster[...]
+        result["runs"]["concurrent_kill"] = bench_concurrent_kill(
+            spark, args.leaves
+        )
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:

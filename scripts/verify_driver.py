@@ -11,8 +11,17 @@ Runs the public surface end-to-end:
      vs Spark int64 "3") fail here the way they fail there.
 
 Usage: python scripts/verify_driver.py [query-name-substring ...]
+                                       [--sf10-modes [CERT.json]]
 Exit 0 iff everything matches. Also warns if an oracle-backed query sits
 past the driver's 50-query correctness window.
+
+``--sf10-modes`` (r12 verdict #7) folds the sf10 certification ledger
+(scripts/certify_sf10.py output, default: newest CORRECTNESS_sf10_*.json
+at the repo root) into this run's emission: every queries() slot must
+appear in the certification with ok=true, each slot's named verification
+mode is printed and recorded in VERIFY_JSON_OUT under "sf10", and a slot
+MISSING from the certification fails the run — so a surface change can't
+silently skip re-certification.
 """
 
 from __future__ import annotations
@@ -38,8 +47,31 @@ def _err_record(err: str) -> dict:
     }
 
 
+def _resolve_sf10_cert(argv: list[str]) -> tuple[list[str], str | None]:
+    """Pop ``--sf10-modes [path]`` from argv; resolve the default path to
+    the newest CORRECTNESS_sf10_*.json at the repo root."""
+    if "--sf10-modes" not in argv:
+        return argv, None
+    i = argv.index("--sf10-modes")
+    rest = argv[:i] + argv[i + 1 :]
+    path = None
+    if i < len(argv) - 1 and argv[i + 1].endswith(".json"):
+        path = argv[i + 1]
+        rest.remove(path)
+    if path is None:
+        import glob
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cands = glob.glob(os.path.join(repo, "CORRECTNESS_sf10_*.json"))
+        if not cands:
+            raise SystemExit("--sf10-modes: no CORRECTNESS_sf10_*.json found")
+        path = max(cands, key=os.path.getmtime)
+    return rest, path
+
+
 def main() -> int:
-    only = sys.argv[1:]
+    argv, sf10_cert_path = _resolve_sf10_cert(sys.argv[1:])
+    only = argv
     import duckdb
 
     import __spark_entry__ as entrymod
@@ -147,11 +179,55 @@ def main() -> int:
             print(f"   spark  cols={ssig[0]} rows={ssig[1]} hash={ssig[2]} grid={ssig_r[2]}")
             print(f"   duckdb cols={dsig[0]} rows={dsig[1]} hash={dsig[2]} grid={dsig_r[2]}")
     spark.stop()
+    sf10_summary = None
+    if sf10_cert_path:
+        import json
+
+        cert = json.load(open(sf10_cert_path))
+        cert_q = cert.get("queries", {})
+        print(f"== sf10 certification modes ({os.path.basename(sf10_cert_path)}) ==")
+        sf10_missing, sf10_bad = [], []
+        modes: dict[str, dict] = {}
+        for name in qs:
+            if only and not any(s in name for s in only):
+                continue
+            rec = cert_q.get(name)
+            if rec is None:
+                sf10_missing.append(name)
+                print(f"sf10 MISSING {name}: not in certification — re-run certify_sf10")
+                continue
+            modes[name] = {
+                "mode": rec.get("mode"),
+                "ok": bool(rec.get("ok")),
+                "verdict": rec.get("verdict"),
+            }
+            if not rec.get("ok"):
+                sf10_bad.append(name)
+            print(
+                f"sf10 {name}: mode={rec.get('mode')} ok={rec.get('ok')}"
+                + (f" verdict={rec.get('verdict')}" if rec.get("verdict") else "")
+            )
+        if sf10_missing or sf10_bad:
+            failures.extend(
+                [f"sf10-missing:{n}" for n in sf10_missing]
+                + [f"sf10-not-ok:{n}" for n in sf10_bad]
+            )
+        sf10_summary = {
+            "source": os.path.basename(sf10_cert_path),
+            "sf_dir": cert.get("sf_dir"),
+            "n_slots": len(modes),
+            "n_ok": sum(1 for m in modes.values() if m["ok"]),
+            "missing": sf10_missing,
+            "modes": modes,
+        }
     if json_out:
         import json
 
+        payload = {"sf_dir": ORACLE_DIR, "queries": record}
+        if sf10_summary is not None:
+            payload["sf10"] = sf10_summary
         with open(json_out, "w") as f:
-            json.dump({"sf_dir": ORACLE_DIR, "queries": record}, f, indent=1)
+            json.dump(payload, f, indent=1)
         print(f"wrote {json_out}")
     print(f"== {'OK' if not failures else 'FAILURES: ' + ', '.join(failures)} ==")
     return 1 if failures else 0
