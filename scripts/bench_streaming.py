@@ -952,6 +952,9 @@ def bench_concurrent_kill(
         "concurrent-kill bench needs SPARK_GRAFT_MASTER=local-cluster[...]"
         f" (got {spark.sparkContext.master})"
     )
+    # reduced-scale runs (the pytest gate) must still get >= 4 triggers
+    # per log: >= 2 committed before the kill, >= 1 replayed/resumed after
+    max_per_trigger = min(max_per_trigger, n_leaves // N_LOGS // 4)
     work = tempfile.mkdtemp(prefix="ctspark_conc_kill_")
     logs = os.path.join(work, "logs")
     build_fixture(logs, n_leaves)
@@ -1025,6 +1028,8 @@ def bench_concurrent_kill(
 
         t_wait = time.time()
         while committed_files() < 2 and time.time() - t_wait < 180:
+            if errs:  # a sibling query died during warmup — fail fast
+                raise RuntimeError(f"query died pre-kill: {errs}")
             time.sleep(0.2)
         assert committed_files() >= 2, "ingest never committed pre-kill"
         victim = _executor_pids()[0]

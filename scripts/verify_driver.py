@@ -47,30 +47,32 @@ def _err_record(err: str) -> dict:
     }
 
 
-def _resolve_sf10_cert(argv: list[str]) -> tuple[list[str], str | None]:
-    """Pop ``--sf10-modes [path]`` from argv; resolve the default path to
-    the newest CORRECTNESS_sf10_*.json at the repo root."""
+def _resolve_sf10_cert(argv: list[str]) -> tuple[list[str], list[str] | None]:
+    """Pop ``--sf10-modes [path]`` from argv. With no explicit path, ALL
+    CORRECTNESS_sf10_*.json files at the repo root participate, oldest
+    first, and per-slot records are unioned newest-wins — a partial
+    re-certification after a single-operator plan change (e.g.
+    CORRECTNESS_sf10_r13_lsh.json re-certifying dedup_lsh_pairs) then
+    overlays the full ledger instead of masking it."""
     if "--sf10-modes" not in argv:
         return argv, None
     i = argv.index("--sf10-modes")
     rest = argv[:i] + argv[i + 1 :]
-    path = None
     if i < len(argv) - 1 and argv[i + 1].endswith(".json"):
         path = argv[i + 1]
         rest.remove(path)
-    if path is None:
-        import glob
+        return rest, [path]
+    import glob
 
-        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-        cands = glob.glob(os.path.join(repo, "CORRECTNESS_sf10_*.json"))
-        if not cands:
-            raise SystemExit("--sf10-modes: no CORRECTNESS_sf10_*.json found")
-        path = max(cands, key=os.path.getmtime)
-    return rest, path
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cands = glob.glob(os.path.join(repo, "CORRECTNESS_sf10_*.json"))
+    if not cands:
+        raise SystemExit("--sf10-modes: no CORRECTNESS_sf10_*.json found")
+    return rest, sorted(cands, key=os.path.getmtime)
 
 
 def main() -> int:
-    argv, sf10_cert_path = _resolve_sf10_cert(sys.argv[1:])
+    argv, sf10_cert_paths = _resolve_sf10_cert(sys.argv[1:])
     only = argv
     import duckdb
 
@@ -180,12 +182,20 @@ def main() -> int:
             print(f"   duckdb cols={dsig[0]} rows={dsig[1]} hash={dsig[2]} grid={dsig_r[2]}")
     spark.stop()
     sf10_summary = None
-    if sf10_cert_path:
+    if sf10_cert_paths:
         import json
 
-        cert = json.load(open(sf10_cert_path))
-        cert_q = cert.get("queries", {})
-        print(f"== sf10 certification modes ({os.path.basename(sf10_cert_path)}) ==")
+        cert_q: dict[str, dict] = {}
+        slot_src: dict[str, str] = {}
+        sf_dir_seen = None
+        for p in sf10_cert_paths:  # oldest -> newest: newest wins per slot
+            cert = json.load(open(p))
+            sf_dir_seen = cert.get("sf_dir") or sf_dir_seen
+            for slot, rec in cert.get("queries", {}).items():
+                cert_q[slot] = rec
+                slot_src[slot] = os.path.basename(p)
+        srcs = ", ".join(os.path.basename(p) for p in sf10_cert_paths)
+        print(f"== sf10 certification modes ({srcs}) ==")
         sf10_missing, sf10_bad = [], []
         modes: dict[str, dict] = {}
         for name in qs:
@@ -200,12 +210,14 @@ def main() -> int:
                 "mode": rec.get("mode"),
                 "ok": bool(rec.get("ok")),
                 "verdict": rec.get("verdict"),
+                "source": slot_src[name],
             }
             if not rec.get("ok"):
                 sf10_bad.append(name)
             print(
                 f"sf10 {name}: mode={rec.get('mode')} ok={rec.get('ok')}"
                 + (f" verdict={rec.get('verdict')}" if rec.get("verdict") else "")
+                + f" [{slot_src[name]}]"
             )
         if sf10_missing or sf10_bad:
             failures.extend(
@@ -213,8 +225,8 @@ def main() -> int:
                 + [f"sf10-not-ok:{n}" for n in sf10_bad]
             )
         sf10_summary = {
-            "source": os.path.basename(sf10_cert_path),
-            "sf_dir": cert.get("sf_dir"),
+            "sources": [os.path.basename(p) for p in sf10_cert_paths],
+            "sf_dir": sf_dir_seen,
             "n_slots": len(modes),
             "n_ok": sum(1 for m in modes.values() if m["ok"]),
             "missing": sf10_missing,

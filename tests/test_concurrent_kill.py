@@ -30,7 +30,11 @@ def test_concurrent_topology_survives_executor_sigkill():
         pytest.skip("needs the generated .benchdata/sf1 events table")
     env = {
         **os.environ,
-        "SPARK_GRAFT_MASTER": "local-cluster[2,4,2048]",
+        # worker memory must cover the session's executor request
+        # (SPARK_GRAFT_EXECUTOR_MEM, default 6g) — local-cluster refuses
+        # to launch otherwise
+        "SPARK_GRAFT_MASTER": "local-cluster[2,4,3072]",
+        "SPARK_GRAFT_EXECUTOR_MEM": "3g",
         "SPARK_GRAFT_STATE_PROVIDER": "rocksdb",
     }
     proc = subprocess.run(
