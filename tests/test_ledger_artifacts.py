@@ -33,7 +33,7 @@ def _cited(path: str) -> set[str]:
 
 def test_every_cited_artifact_exists():
     missing = []
-    for ledger in ("SURVEY.md", "BASELINE.md"):
+    for ledger in ("SURVEY.md", "BASELINE.md", "SCALING.md"):
         for name in sorted(_cited(os.path.join(REPO, ledger))):
             if _DRIVER_EMITTED.match(name):
                 continue
