@@ -703,43 +703,109 @@ def run_oracle_phase(record: dict, sf_dir: str) -> None:
     bad-allocation on the string-heavy sf10 oracles while sharing the
     box with it."""
     import __spark_entry__ as entrymod
-    from ct_clickhouse_spark.testing import pandas_signature, pandas_signature_rtol
 
     oracles = entrymod.oracle_sql()
     for name, rec in record.items():
         if rec.get("mode") != "oracle" or "_sigs" not in rec:
             continue
-        t0 = time.time()
-        # isolated connection per slot: one slot's buffer-pool exhaustion
-        # must not cascade into trivial later queries
-        con = spill_con(sf_dir)
-        try:
-            opdf = con.execute(oracles[name]).df()
-        except Exception as e:  # noqa: BLE001
-            rec.update({"ok": False, "verdict": "oracle-error", "err": str(e)[:300]})
+        # one SUBPROCESS per slot (r13): a per-slot connection is not
+        # enough — glibc never returns a ~100 GB DuckDB working set to
+        # the OS on con.close(), so after one string-heavy oracle the
+        # process RSS stays pinned and every later slot (even a 2 KB
+        # connection bootstrap) dies on bad_alloc. A spawned child gives
+        # each slot the box's full free memory and returns it on exit.
+        res = _oracle_slot_in_subprocess(sf_dir, oracles[name])
+        if "err" in res:
+            rec.update({
+                "ok": False, "verdict": "oracle-error", "err": res["err"][:300],
+            })
             rec.pop("_sigs", None)
-            print(f"ORACLE-FAIL {name}: {e}", flush=True)
-            con.close()
+            print(f"ORACLE-FAIL {name}: {res['err'][:200]}", flush=True)
             continue
-        osec = round(time.time() - t0, 2)
-        con.close()
         s = rec.pop("_sigs")
-        dsig = pandas_signature(opdf)
-        dsig_r = pandas_signature_rtol(opdf)
-        del opdf
-        shape_ok = list(s["cols"]) == list(dsig[0]) and int(s["rows"]) == int(dsig[1])
+        shape_ok = (
+            list(s["cols"]) == list(res["cols"])
+            and int(s["rows"]) == int(res["rows"])
+        )
         verdict = (
-            "hash" if (shape_ok and s["hash"] == dsig[2])
-            else "rtol" if (shape_ok and s["grid_hash"] == dsig_r[2])
+            "hash" if (shape_ok and s["hash"] == res["hash"])
+            else "rtol" if (shape_ok and s["grid_hash"] == res["grid_hash"])
             else "fail"
         )
         rec.update({
             "ok": verdict in ("hash", "rtol"),
             "verdict": verdict,
-            "oracle_rows": int(dsig[1]),
-            "oracle_sec": osec,
+            "oracle_rows": int(res["rows"]),
+            "oracle_sec": res["osec"],
         })
-        print(f"oracle {name}: {verdict} [{osec}s]", flush=True)
+        print(f"oracle {name}: {verdict} [{res['osec']}s]", flush=True)
+
+
+def _oracle_slot_worker(sf_dir: str, sql: str, q) -> None:
+    """Child-process body: run ONE oracle on a fresh spill connection and
+    ship back only the signature scalars (never the frame)."""
+    import time as _time
+
+    try:
+        from ct_clickhouse_spark.testing import (
+            pandas_signature,
+            pandas_signature_rtol,
+        )
+
+        t0 = _time.time()
+        con = spill_con(sf_dir)
+        opdf = con.execute(sql).df()
+        osec = round(_time.time() - t0, 2)
+        dsig = pandas_signature(opdf)
+        dsig_r = pandas_signature_rtol(opdf)
+        q.put({
+            "cols": list(dsig[0]),
+            "rows": int(dsig[1]),
+            "hash": dsig[2],
+            "grid_hash": dsig_r[2],
+            "osec": osec,
+        })
+    except Exception as e:  # noqa: BLE001 — marshalled to the parent
+        q.put({"err": str(e)})
+
+
+def _oracle_slot_in_subprocess(sf_dir: str, sql: str) -> dict:
+    import multiprocessing as mp
+
+    import queue as _queue
+
+    # glibc serves every allocation >= M_MMAP_THRESHOLD (128 KB default,
+    # dynamically adjusted) as its OWN mmap, and DuckDB's buffer manager
+    # allocates in 256 KB blocks — a ~16 GB hash-distinct working set is
+    # then ~65k mappings, which hits vm.max_map_count (65530 default) and
+    # surfaces as "Out of Memory Error: Failed to allocate block of ..."
+    # with single-digit-GB RSS and >100 GB free (observed on
+    # dedup_doc_exact / text_doc_profile; flaky because the threshold
+    # auto-adjusts with the alloc/free pattern). Pin the threshold at
+    # glibc's 32 MB ceiling in the child's environment so block
+    # allocations come from heap arenas instead of per-block mmaps.
+    os.environ["MALLOC_MMAP_THRESHOLD_"] = "33554432"
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    p = ctx.Process(target=_oracle_slot_worker, args=(sf_dir, sql, q))
+    p.start()
+    res = None
+    while True:
+        try:
+            res = q.get(timeout=2)
+            break
+        except _queue.Empty:
+            if not p.is_alive():
+                # one last drain: the child may exit between put and poll
+                try:
+                    res = q.get(timeout=2)
+                except _queue.Empty:
+                    res = None
+                break
+    p.join()
+    if res is None:
+        res = {"err": f"oracle subprocess died (exitcode {p.exitcode})"}
+    return res
 
 
 def write_artifact(record: dict, sf_dir: str, out: str) -> int:
