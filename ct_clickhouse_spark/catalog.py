@@ -140,6 +140,46 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+def path_state(path: str) -> tuple:
+    """Cheap staleness fingerprint of a local table path (file OR
+    directory): (file count, total bytes, max mtime_ns). One os.stat per
+    file — the same contract as serving's `_dir_state` (serving/app.py):
+    a token that changes iff the file listing changed. Missing paths
+    fingerprint as (0, 0, 0) so a later write is always a change."""
+    try:
+        st = os.stat(path)
+    except OSError:
+        return (0, 0, 0)
+    if not os.path.isdir(path):
+        return (1, st.st_size, st.st_mtime_ns)
+    n = total = mx = 0
+    for root, _dirs, files in os.walk(path):
+        for fn in files:
+            try:
+                s = os.stat(os.path.join(root, fn))
+            except OSError:
+                continue
+            n += 1
+            total += s.st_size
+            mx = max(mx, s.st_mtime_ns)
+    return (n, total, mx)
+
+
+def invalidate_table(spark: SparkSession, sf_dir: str, name: str) -> None:
+    """Drop every driver-side memo of one fixture table (logical-plan
+    cache, rowcount memo, and Spark's own cached listings/data for the
+    path) so the next load_table re-lists and re-reads. Called by
+    staleness-fingerprinted artifact caches when a path's `path_state`
+    changes (r13 verdict #5 — mutable table dirs must re-resolve)."""
+    key = (_session_key(spark), sf_dir, name)
+    _DF_CACHE.pop(key, None)
+    _ROWCOUNT_CACHE.pop(key, None)
+    try:
+        spark.catalog.refreshByPath(table_path(sf_dir, name))
+    except Exception:  # refresh is best-effort (connect-only sessions)
+        pass
+
+
 # DataFrame-lineage cache: repeated load_table calls re-list files and
 # re-read footers on the driver (~50-100 ms each), which dominates small
 # interactive queries. The cached object is just the immutable logical
@@ -170,6 +210,21 @@ def bounded_cache_put(cache: dict, key, value, release=None, max_entries: int = 
             except Exception:  # releasing a stale artifact is best-effort
                 pass
     return value
+
+
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free a localCheckpoint()ed frame's persisted RDD blocks eagerly.
+
+    Dataset.unpersist only clears CacheManager entries; a localCheckpoint
+    pins PERSISTED RDD BLOCKS, whose holder is the LogicalRDD's rdd —
+    reachable through the analyzed plan (r13 advice #3: the df.unpersist
+    release was a measured no-op on RDDStorageInfo; this empties it).
+    Falls back to GC-driven cleanup (ContextCleaner) when the JVM plan is
+    unreachable (connect-only sessions)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass  # blocks are then freed by ContextCleaner on GC
 
 
 def _session_key(spark: SparkSession) -> str:

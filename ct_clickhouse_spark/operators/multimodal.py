@@ -1227,8 +1227,9 @@ def perceptual_near_dups_cached(
     (dedup.py): the band-join and the label-propagation rounds converge
     to a fixed point for a fixed corpus, so re-running them on every
     driver invocation of the lsh-pairs slot bought nothing. Checkpoint
-    blocks are dropped by the ContextCleaner on cache eviction."""
-    from ..catalog import _session_key, bounded_cache_put
+    blocks are released eagerly on cache eviction
+    (catalog.release_local_checkpoint)."""
+    from ..catalog import _session_key, bounded_cache_put, release_local_checkpoint
     from .similarity import label_propagate
 
     key = (_session_key(spark), sf_dir)
@@ -1246,7 +1247,10 @@ def perceptual_near_dups_cached(
         audio_signatures(spark, sf_dir)
     ).localCheckpoint(eager=True)
     return bounded_cache_put(
-        _PERCEPTUAL_CACHE, key, (ph_pairs, ph_labels, afp_pairs)
+        _PERCEPTUAL_CACHE,
+        key,
+        (ph_pairs, ph_labels, afp_pairs),
+        release=lambda v: [release_local_checkpoint(df) for df in v],
     )
 
 

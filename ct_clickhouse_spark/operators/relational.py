@@ -280,10 +280,16 @@ def _group_bounds(
         .localCheckpoint(eager=True)
     )
     if cache_key is not None:
-        # release evicted boundary frames (r12 advice): localCheckpoint
-        # blocks otherwise linger until Python GC collects the DataFrame
+        # release evicted boundary frames (r12 advice, corrected per r13
+        # advice #3): Dataset.unpersist only clears CacheManager entries,
+        # and a localCheckpoint's blocks are PERSISTED RDD BLOCKS — the
+        # actual holder is the LogicalRDD's rdd, reachable through the
+        # analyzed plan. df.unpersist() was a measured no-op (storage
+        # info unchanged); rdd.unpersist(blocking=False) empties it.
+        from ..catalog import release_local_checkpoint
+
         bounded_cache_put(
-            _BOUNDS_CACHE, cache_key, bounds, release=lambda df: df.unpersist()
+            _BOUNDS_CACHE, cache_key, bounds, release=release_local_checkpoint
         )
     return bounds
 

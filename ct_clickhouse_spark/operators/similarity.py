@@ -121,27 +121,36 @@ _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 # later must become visible. Bounded at both levels like every sibling
 # artifact cache.
 #
-# IMMUTABLE-FIXTURE ASSUMPTION (r12 advice): this cache (and
-# _SQ8_SERVING_CACHE below) has no staleness invalidation — an embedding
-# REWRITTEN IN PLACE under a cached vec_id would keep serving the old
-# vector for the session. The data model never mutates embedding rows
-# (fixture dirs are immutable; ingest creates new ids, which are not
-# negative-cached and so become visible), matching every sibling
-# artifact cache keyed on (session, sf_dir). If mutable embedding dirs
-# ever enter scope, key these on a directory fingerprint the way
-# serving's cert-table cache re-resolves on _dir_state changes.
+# STALENESS ENFORCED (r13 verdict #5 — was a documented immutable-fixture
+# assumption): this cache and the SQ8 caches below carry the
+# `path_state` fingerprint of the embeddings path they were resolved
+# from; a fingerprint mismatch (a rewrite/compaction/mutation landed)
+# drops the stale entry, invalidates the table's driver-side memos
+# (catalog.invalidate_table), and re-resolves. The probe is one os.stat
+# per lookup — noise next to the Spark job it guards.
 _QVEC_CACHE: dict[tuple[str, str], dict] = {}
 QVEC_CACHE_MAX_IDS = 4096
 
 
+def _emb_state(sf_dir: str) -> tuple:
+    from ..catalog import path_state, table_path
+
+    return path_state(table_path(sf_dir, "embeddings"))
+
+
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list:
-    from ..catalog import _session_key
+    from ..catalog import _session_key, invalidate_table
 
     key = (_session_key(spark), sf_dir)
+    st = _emb_state(sf_dir)
     per = _QVEC_CACHE.get(key)
+    if per is not None and per.get("_state") != st:
+        invalidate_table(spark, sf_dir, "embeddings")
+        per = None
     if per is None:
-        per = _bounded_cache_put(_QVEC_CACHE, key, {})
-    v = per.get(vec_id)
+        per = _bounded_cache_put(_QVEC_CACHE, key, {"_state": st, "vecs": {}})
+    vecs = per["vecs"]
+    v = vecs.get(vec_id)
     if v is None:
         v = (
             load_table(spark, sf_dir, "embeddings")
@@ -150,9 +159,9 @@ def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list:
             .collect()[0]  # IndexError on unknown id -> serving 404
             .embedding
         )
-        while len(per) >= QVEC_CACHE_MAX_IDS:
-            per.pop(next(iter(per)))
-        per[vec_id] = v
+        while len(vecs) >= QVEC_CACHE_MAX_IDS:
+            vecs.pop(next(iter(vecs)))
+        vecs[vec_id] = v
     return v
 
 
@@ -1119,19 +1128,23 @@ def sq8_quantize(
 
 
 def _sq8_cached(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[float]]:
-    from ..catalog import _session_key
+    from ..catalog import _session_key, invalidate_table
 
     key = (_session_key(spark), sf_dir)
+    st = _emb_state(sf_dir)
     hit = _SQ8_CACHE.get(key)
+    if hit is not None and hit[0] != st:
+        invalidate_table(spark, sf_dir, "embeddings")
+        hit[1].unpersist()
+        hit = None
     if hit is None:
         codes, scales = sq8_quantize(load_table(spark, sf_dir, "embeddings"))
-        hit = (codes.persist(), scales)
-        _bounded_cache_put(_SQ8_CACHE, key, hit, release=lambda v: v[0].unpersist())
-    return hit
+        hit = (st, codes.persist(), scales)
+        _bounded_cache_put(_SQ8_CACHE, key, hit, release=lambda v: v[1].unpersist())
+    return hit[1], hit[2]
 
 
-# Same immutable-fixture assumption as _QVEC_CACHE (see its note): no
-# staleness invalidation; embedding rows are never rewritten in place.
+# Same `path_state` staleness enforcement as _QVEC_CACHE (see its note).
 _SQ8_SERVING_CACHE: dict = {}
 
 
@@ -1144,20 +1157,25 @@ def _sq8_serving_index(spark: SparkSession, sf_dir: str):
     TakeOrdered returns candidates WITH their vectors, and the exact
     re-rank of k*refine rows runs driver-side. The codes-only
     sq8_topk remains the scan-compression shape for batch/analytics."""
-    from ..catalog import _session_key
+    from ..catalog import _session_key, invalidate_table
 
     key = (_session_key(spark), sf_dir)
+    st = _emb_state(sf_dir)
     hit = _SQ8_SERVING_CACHE.get(key)
+    if hit is not None and hit[0] != st:
+        invalidate_table(spark, sf_dir, "embeddings")
+        hit[1].unpersist()
+        hit = None
     if hit is None:
         emb = load_table(spark, sf_dir, "embeddings").withColumn(
             "embedding_raw", F.col("embedding")
         )
         codes, scales = sq8_quantize(emb)
-        hit = (codes.persist(), scales)
+        hit = (st, codes.persist(), scales)
         _bounded_cache_put(
-            _SQ8_SERVING_CACHE, key, hit, release=lambda v: v[0].unpersist()
+            _SQ8_SERVING_CACHE, key, hit, release=lambda v: v[1].unpersist()
         )
-    return hit
+    return hit[1], hit[2]
 
 
 def _round_half_up4(x: float) -> float:
@@ -1820,8 +1838,9 @@ def _emb_groups_cached(
     ngram labels (`_ngram_pairs_and_labels_cached`) and the perceptual
     pair/label tables. Label propagation converges to a FIXED point for
     a fixed pair set, so re-running the O(log d) join rounds on every
-    driver invocation buys nothing; localCheckpoint blocks are dropped
-    by the ContextCleaner when the bounded cache evicts the entry."""
+    driver invocation buys nothing; localCheckpoint blocks are released
+    EAGERLY on cache eviction (catalog.release_local_checkpoint — r13
+    advice #3: df.unpersist was a no-op for checkpoint blocks)."""
     from ..catalog import _session_key
 
     key = (_session_key(spark), sf_dir)
@@ -1832,7 +1851,14 @@ def _emb_groups_cached(
     s = embedding_dedup_groups(
         spark, sf_dir, pairs_fn=grid_cell_pairs
     ).localCheckpoint(eager=True)
-    return _bounded_cache_put(_EMB_GROUP_CACHE, key, (g, s))
+    from ..catalog import release_local_checkpoint
+
+    return _bounded_cache_put(
+        _EMB_GROUP_CACHE,
+        key,
+        (g, s),
+        release=lambda v: [release_local_checkpoint(df) for df in v],
+    )
 
 
 def groups_global_and_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:

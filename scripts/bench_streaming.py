@@ -983,6 +983,7 @@ def bench_concurrent_kill(
         t0 = time.time()
         threads = [
             threading.Thread(
+                name="ingest",
                 target=run,
                 args=(
                     "ingest",
@@ -997,6 +998,7 @@ def bench_concurrent_kill(
                 ),
             ),
             threading.Thread(
+                name="rollup",
                 target=run,
                 args=("rollup", lambda: bench_rollup(spark, pool="k_rollup")),
             ),
@@ -1037,6 +1039,15 @@ def bench_concurrent_kill(
         t_kill = time.time()
         for t in threads:
             t.join(timeout=900)
+        # join(timeout) does NOT raise on expiry — a hung query thread
+        # would otherwise surface as a KeyError on out[...] (and the
+        # finally-rmtree would race the still-running thread). Fail with
+        # the actual cause instead (r13 advice #4).
+        hung = [t.name for t in threads if t.is_alive()]
+        if hung:
+            raise TimeoutError(
+                f"concurrent queries still running after 900s join: {hung}"
+            )
         if errs:
             raise RuntimeError(f"concurrent queries failed after kill: {errs}")
         sink = spark.read.parquet(table)

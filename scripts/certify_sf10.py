@@ -626,9 +626,15 @@ def verify_lsh_pairs(pdf, sf_dir, ids, mn, con, rng):
         tj = [truth.get(p) for p in samp if truth.get(p) is not None]
         low = sum(1 for j in tj if j < 0.2)
         out["minhash"] = {
+            # consistency band AND an absolute floor on the analytic
+            # (r13 advice): |measured - analytic| alone would certify a
+            # plan regression whose analytic is itself poor (mis-set
+            # MINHASH_REF_SIM / bands) — a low analytic must fail even
+            # when the measurement tracks it.
             "ok": (ex_rec is None or ex_rec >= 0.99)
             and (
-                nr_rec is None or abs(nr_rec - nr_analytic) <= nr_tol
+                nr_rec is None
+                or (abs(nr_rec - nr_analytic) <= nr_tol and nr_analytic >= 0.6)
             )
             and low / max(1, len(tj)) <= 0.2,
             "n_exact_planted": len(ex_live),
@@ -809,9 +815,18 @@ def _oracle_slot_in_subprocess(sf_dir: str, sql: str) -> dict:
 
 
 def write_artifact(record: dict, sf_dir: str, out: str) -> int:
+    import datetime
+
     n_ok = sum(1 for r in record.values() if r.get("ok"))
     artifact = {
         "sf_dir": sf_dir,
+        # content-embedded recency token: artifact consumers (e.g.
+        # verify_driver's --sf10-modes newest-wins merge) order on THIS,
+        # never on filesystem mtime — a fresh clone normalizes mtimes
+        # (r13 advice #1)
+        "generated_utc": datetime.datetime.now(datetime.timezone.utc).isoformat(
+            timespec="seconds"
+        ),
         "protocol": (
             "scripts/certify_sf10.py: mode=oracle -> full DuckDB oracle on a "
             "spill-enabled connection, verdict hash|rtol (relative-grid, "

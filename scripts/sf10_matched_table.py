@@ -20,27 +20,52 @@ artifacts, not engine wins/losses):
            per row; its closed-form oracle is a byte-arithmetic scan).
 
 Usage: python scripts/sf10_matched_table.py [CORRECTNESS_sf10_rN.json]
+With no argument, the NEWEST full (all-slot) certification ledger is
+used, ordered by content (verify_driver.sf10_cert_order_key), never
+filesystem mtime. Slots with ok=false never enter the ratio (r13
+advice #5 — a failed-verdict slot's timings are not a matched pair).
 Prints the markdown table + one JSON summary line.
 """
 
 from __future__ import annotations
 
+import glob
 import json
+import os
 import sys
 
 FLOOR_ORACLE_SEC = 0.15
 KERNEL_SLOTS = {"mm_media_stats"}
 
 
+def _newest_full_cert() -> str:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from verify_driver import sf10_cert_order_key
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cands = glob.glob(os.path.join(repo, "CORRECTNESS_sf10_*.json"))
+    # partial overlays (single-slot re-certs) are not a matched TABLE —
+    # require the full slot census
+    full = [
+        p for p in cands if len(json.load(open(p)).get("queries", {})) >= 40
+    ]
+    if not full:
+        raise SystemExit("no full CORRECTNESS_sf10_*.json ledger found")
+    return max(full, key=sf10_cert_order_key)
+
+
 def main() -> None:
-    path = sys.argv[1] if len(sys.argv) > 1 else "CORRECTNESS_sf10_r12.json"
+    path = sys.argv[1] if len(sys.argv) > 1 else _newest_full_cert()
     cert = json.load(open(path))
     queries = cert["queries"]
 
     matched = []
     unmatched = []
+    skipped_not_ok = []
     for name, rec in queries.items():
-        if rec.get("mode") == "oracle" and rec.get("oracle_sec"):
+        if not rec.get("ok"):
+            skipped_not_ok.append(name)
+        elif rec.get("mode") == "oracle" and rec.get("oracle_sec"):
             matched.append((name, rec))
         else:
             unmatched.append((name, rec))
@@ -71,7 +96,9 @@ def main() -> None:
 
     core_s, core_o = tot_s - exc_s, tot_o - exc_o
     summary = {
-        "source": path,
+        "source": os.path.basename(path),
+        "generated_utc": cert.get("generated_utc"),
+        "skipped_not_ok": skipped_not_ok,
         "sf_dir": cert.get("sf_dir"),
         "n_matched": len(matched),
         "n_excused": n_excused,

@@ -47,13 +47,38 @@ def _err_record(err: str) -> dict:
     }
 
 
+def sf10_cert_order_key(path: str) -> tuple:
+    """Deterministic recency key for a CORRECTNESS_sf10_*.json artifact,
+    derived from CONTENT, never filesystem mtime — a fresh clone
+    normalizes mtimes, which made the newest-wins merge arbitrary (r13
+    advice #1). Primary: the `generated_utc` stamp certify_sf10 embeds
+    (r14+ artifacts). Fallback for older artifacts: the round number in
+    the filename, with suffixed overlays (…_r13_lsh) AFTER their round's
+    full ledger (an overlay is by construction a later re-cert); unnumbered
+    names (…_tolcheck) sort oldest. Filename is the final tiebreak."""
+    import json
+    import re
+
+    name = os.path.basename(path)
+    try:
+        with open(path, encoding="utf-8") as f:
+            stamp = json.load(f).get("generated_utc") or ""
+    except Exception:
+        stamp = ""
+    m = re.search(r"_r(\d+)(_\w+)?\.json$", name)
+    rnd = int(m.group(1)) if m else -1
+    overlay = 1 if (m and m.group(2)) else 0
+    return (stamp, rnd, overlay, name)
+
+
 def _resolve_sf10_cert(argv: list[str]) -> tuple[list[str], list[str] | None]:
     """Pop ``--sf10-modes [path]`` from argv. With no explicit path, ALL
     CORRECTNESS_sf10_*.json files at the repo root participate, oldest
-    first, and per-slot records are unioned newest-wins — a partial
-    re-certification after a single-operator plan change (e.g.
-    CORRECTNESS_sf10_r13_lsh.json re-certifying dedup_lsh_pairs) then
-    overlays the full ledger instead of masking it."""
+    first (content-derived order — sf10_cert_order_key), and per-slot
+    records are unioned newest-wins — a partial re-certification after a
+    single-operator plan change (e.g. CORRECTNESS_sf10_r13_lsh.json
+    re-certifying dedup_lsh_pairs) then overlays the full ledger instead
+    of masking it."""
     if "--sf10-modes" not in argv:
         return argv, None
     i = argv.index("--sf10-modes")
@@ -68,7 +93,7 @@ def _resolve_sf10_cert(argv: list[str]) -> tuple[list[str], list[str] | None]:
     cands = glob.glob(os.path.join(repo, "CORRECTNESS_sf10_*.json"))
     if not cands:
         raise SystemExit("--sf10-modes: no CORRECTNESS_sf10_*.json found")
-    return rest, sorted(cands, key=os.path.getmtime)
+    return rest, sorted(cands, key=sf10_cert_order_key)
 
 
 def main() -> int:

@@ -16,10 +16,19 @@ from cryptography.hazmat.primitives.serialization import Encoding
 from cryptography.x509.oid import NameOID
 
 _EPOCH = datetime.datetime(2024, 1, 1)
+_DEFAULT_TS_MS = 1704067200000  # 2024-01-01T00:00:00Z
 
 
-def make_cert_der(domains: list[str], serial: int) -> bytes:
-    """Self-signed cert: first domain is the CN, all domains are SANs."""
+def make_cert_der(
+    domains: list[str],
+    serial: int,
+    not_before: datetime.datetime | None = None,
+    days: int = 90,
+) -> bytes:
+    """Self-signed cert: first domain is the CN, all domains are SANs.
+    ``not_before``/``days`` parameterize validity so regenerated fixtures
+    can carry current-era dates (r13 verdict #8)."""
+    nb = not_before if not_before is not None else _EPOCH
     key = ec.generate_private_key(ec.SECP256R1())
     name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, domains[0])])
     cert = (
@@ -28,8 +37,8 @@ def make_cert_der(domains: list[str], serial: int) -> bytes:
         .issuer_name(name)
         .public_key(key.public_key())
         .serial_number(serial)
-        .not_valid_before(_EPOCH)
-        .not_valid_after(_EPOCH + datetime.timedelta(days=90))
+        .not_valid_before(nb)
+        .not_valid_after(nb + datetime.timedelta(days=days))
         .add_extension(
             x509.SubjectAlternativeName([x509.DNSName(d) for d in domains]),
             critical=False,
@@ -39,12 +48,17 @@ def make_cert_der(domains: list[str], serial: int) -> bytes:
     return cert.public_bytes(Encoding.DER)
 
 
-def wrap_leaf(der: bytes, leaf_type: int = 0, entry_type: int = 0) -> bytes:
+def wrap_leaf(
+    der: bytes,
+    leaf_type: int = 0,
+    entry_type: int = 0,
+    ts_ms: int = _DEFAULT_TS_MS,
+) -> bytes:
     """MerkleTreeLeaf: version, leaf_type, timestamp(8), entry_type(2),
     3-byte length, DER (RFC 6962 §3.4)."""
     return (
         bytes([0, leaf_type])
-        + (1704067200000).to_bytes(8, "big")
+        + ts_ms.to_bytes(8, "big")
         + entry_type.to_bytes(2, "big")
         + len(der).to_bytes(3, "big")
         + der

@@ -43,3 +43,108 @@ def test_every_cited_artifact_exists():
         "ledger cites artifacts that do not exist on disk "
         "(record the run or strike the citation): " + "; ".join(missing)
     )
+
+
+# ---------------------------------------------------------------------------
+# Content freshness (r13 verdict #7): existence alone could not catch the
+# r13 drift where the committed certification said n_ok=49 while the
+# ledger claimed 50/50. Parse the few quoted figures next to an artifact
+# citation and compare them to the artifact's JSON, so mutating an
+# artifact's n_ok (or re-certifying) without editing the ledger turns a
+# test red.
+
+_LEDGERS = ("SURVEY.md", "BASELINE.md", "SCALING.md")
+
+# "NN/MM" on the same line as a CORRECTNESS_*.json citation, where MM
+# equals the artifact's slot census, must equal its n_ok
+_NOFM = re.compile(r"\b(\d+)/(\d+)\b")
+_CORR_CITE = re.compile(r"\b(CORRECTNESS_sf10_[A-Za-z0-9_.]*?\.json)\b")
+# the matched-table headline sentence shapes used in BASELINE.md
+_MATCHED_CITE = re.compile(r"\b(BENCH_matched_[A-Za-z0-9_.]*?\.json)\b")
+_MATCHED_TRIPLE = re.compile(
+    r"([\d.]+) s(?: Spark)? vs ([\d.]+) s(?: DuckDB)? = ([\d.]+)x"
+)
+
+
+def _paragraphs(path: str) -> list[str]:
+    with open(path, encoding="utf-8") as f:
+        text = f.read()
+    return [" ".join(p.split()) for p in text.split("\n\n")]
+
+
+def _load(name: str) -> dict | None:
+    import json
+
+    p = os.path.join(REPO, name)
+    if not os.path.exists(p):
+        return None
+    with open(p, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def test_quoted_n_ok_matches_artifact():
+    stale = []
+    for ledger in _LEDGERS:
+        with open(os.path.join(REPO, ledger), encoding="utf-8") as f:
+            for ln, line in enumerate(f, 1):
+                arts = _CORR_CITE.findall(line)
+                if not arts:
+                    continue
+                for art in set(arts):
+                    data = _load(art)
+                    if data is None or "n_slots" not in data:
+                        continue
+                    for nn, mm in _NOFM.findall(line):
+                        if int(mm) == int(data["n_slots"]) and int(nn) != int(
+                            data["n_ok"]
+                        ):
+                            stale.append(
+                                f"{ledger}:{ln} claims {nn}/{mm} for {art} "
+                                f"(artifact n_ok={data['n_ok']})"
+                            )
+    assert not stale, "ledger quotes stale n_ok figures: " + "; ".join(stale)
+
+
+def test_quoted_matched_headline_matches_artifact():
+    stale = []
+    for ledger in _LEDGERS:
+        paras = _paragraphs(os.path.join(REPO, ledger))
+        for i, para in enumerate(paras):
+            arts = set(_MATCHED_CITE.findall(para))
+            if not arts:
+                # a headline paragraph may sit just under its citation
+                # paragraph — attribute it to the nearest citation within
+                # the two preceding paragraphs
+                for back in paras[max(0, i - 2) : i][::-1]:
+                    prev = set(_MATCHED_CITE.findall(back))
+                    if prev:
+                        arts = prev
+                        break
+            if len(arts) != 1:
+                continue  # zero or ambiguous citation: nothing checkable
+            data = _load(next(iter(arts)))
+            if data is None or "ratio_all" not in data:
+                continue
+            legal = {
+                (
+                    round(data["spark_sec_total"], 1),
+                    round(data["duckdb_sec_total"], 1),
+                    round(data["ratio_all"], 2),
+                ),
+                (
+                    round(data["spark_sec_core"], 1),
+                    round(data["duckdb_sec_core"], 1),
+                    round(data["ratio_core"], 2),
+                ),
+            }
+            for s, o, r in _MATCHED_TRIPLE.findall(para):
+                trip = (round(float(s), 1), round(float(o), 1), round(float(r), 2))
+                if trip not in legal:
+                    stale.append(
+                        f"{ledger} quotes {trip} against {next(iter(arts))} "
+                        f"(artifact totals {sorted(legal)})"
+                    )
+    assert not stale, (
+        "ledger quotes stale matched-table headline figures: "
+        + "; ".join(stale)
+    )

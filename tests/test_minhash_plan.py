@@ -145,3 +145,72 @@ def test_planted_recall_matches_banding_analytic(spark, tmp_path, n_doc, seed):
     # fixed plan missed at sf10 (0.73 measured)
     if n_doc > MINHASH_ADAPT_N:
         assert recall >= 0.8, f"adaptive-plan recall {recall:.3f} < 0.8"
+
+
+# ---------------------------------------------------------------------------
+# One full-corpus signature pass across k (r13 verdict #3): seed i always
+# produces column h{i}, so the k=16 signatures slot and the plan-k LSH
+# slot must share ONE explode + min-aggregate per (session, sf_dir) —
+# smaller-k requests are projections of the cached larger-k frame, and a
+# cache miss computes at the corpus plan's k up front.
+
+
+def _fresh_sig_cache():
+    from ct_clickhouse_spark.operators import dedup as D
+
+    saved = dict(D._SIG_CACHE)
+    D._SIG_CACHE.clear()
+    return D, saved
+
+
+def test_smaller_k_served_by_projection(spark, tmp_path, monkeypatch):
+    D, saved = _fresh_sig_cache()
+    try:
+        sf_dir, _ = _make_corpus(tmp_path, 400, seed=23)
+        full = D._minhash_sig_df(spark, sf_dir, k=48)
+        assert len([c for c in full.columns if c.startswith("h")]) == 48
+        # the corpus is now unloadable: a second full-corpus aggregate
+        # would have to re-load documents and must not happen
+        monkeypatch.setattr(
+            D,
+            "load_table",
+            lambda *a, **kw: (_ for _ in ()).throw(
+                AssertionError("second full-corpus signature pass ran")
+            ),
+        )
+        small = D._minhash_sig_df(spark, sf_dir, k=16)
+        assert small.columns == ["doc_id"] + [f"h{i}" for i in range(16)]
+        lhs = {r["doc_id"]: [r[f"h{i}"] for i in range(16)] for r in small.collect()}
+        rhs = {r["doc_id"]: [r[f"h{i}"] for i in range(16)] for r in full.collect()}
+        assert lhs == rhs  # seed-stable prefix property, observed
+    finally:
+        D._SIG_CACHE.clear()
+        D._SIG_CACHE.update(saved)
+
+
+def test_miss_precomputes_at_plan_k(spark, tmp_path, monkeypatch):
+    """Sweep order independence: when the adaptive plan wants k=48, a
+    FIRST request for k=16 must compute (and cache) the k=48 frame so
+    the later LSH request is also a cache hit — one aggregate total."""
+    D, saved = _fresh_sig_cache()
+    try:
+        sf_dir, _ = _make_corpus(tmp_path, 600, seed=29)
+        monkeypatch.setattr(D, "MINHASH_ADAPT_N", 100)  # plan: k=48 at 600 docs
+        plan_k = D._minhash_plan(600)[0]
+        assert plan_k > 16
+        small = D._minhash_sig_df(spark, sf_dir, k=16)
+        assert small.columns == ["doc_id"] + [f"h{i}" for i in range(16)]
+        cached_ks = {k for (_sid, sdir, k) in D._SIG_CACHE if sdir == sf_dir}
+        assert cached_ks == {plan_k}
+        monkeypatch.setattr(
+            D,
+            "load_table",
+            lambda *a, **kw: (_ for _ in ()).throw(
+                AssertionError("plan-k request re-ran the signature pass")
+            ),
+        )
+        full = D._minhash_sig_df(spark, sf_dir, k=plan_k)
+        assert len([c for c in full.columns if c.startswith("h")]) == plan_k
+    finally:
+        D._SIG_CACHE.clear()
+        D._SIG_CACHE.update(saved)
