@@ -56,6 +56,15 @@ MINHASH_ADAPT_N = 8_192  # below: the original (16, 4, 4) plan, bit-identical
 # to pre-r13 output (driver fixtures sf0.001-0.1 all sit under this).
 MINHASH_REF_SIM = 0.65  # near-threshold similarity the recall law is held at
 MINHASH_TARGET_RECALL = 0.9  # banding recall floor at MINHASH_REF_SIM
+# Cost-per-recall model, MEASURED at two scales (BENCH_lsh_decomp_r14.json,
+# SCALING.md "Near-duplicate detection"): signature cost is
+# c_explode·shingles + c_k·k·shingles with the k term minor (sf10:
+# k 16->48 = +1.5 s on a 3.3 s aggregate — the explode dominates), and
+# banding cost is linear in bands through bucket rows (12 vs 4 bands =
+# +0.6 s join at sf10). Raising MINHASH_TARGET_RECALL therefore buys
+# recall near-linearly in k = rows*bands at a small measured constant;
+# the binding budget at 100 TB is the bucket-join shuffle (b rows/doc),
+# not the per-doc hash work.
 SIMHASH_BITS = 32
 
 
