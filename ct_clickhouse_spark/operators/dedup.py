@@ -932,7 +932,12 @@ def ngram_jaccard_pairs_for(docs: DataFrame) -> DataFrame:
 
 def _pairs_from_shingles(sh: DataFrame) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
+    # shingle self-join and the per-doc-size joins: every side scales
+    # with the corpus (shingle rows / doc rows) — pin them off the
+    # broadcast path (see doc_minhash_lsh_pairs: the plan-time estimate
+    # of an aggregate-derived side undershoots and statically
+    # broadcasts; measured driver death at sf30)
+    a = sh.hint("shuffle_hash").alias("a")
     b = sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -942,8 +947,8 @@ def _pairs_from_shingles(sh: DataFrame) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        pairs.join(sa.hint("shuffle_hash"), "doc_a")
+        .join(sb.hint("shuffle_hash"), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -1092,7 +1097,14 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    a = bands.alias("a")
+    # Both sides of the band self-join are corpus-sized (n_docs x bands
+    # rows carrying the k-long sig array) — NEVER broadcastable. Without
+    # the hint, Catalyst's plan-time estimate of the aggregate-derived
+    # side fell under autoBroadcastJoinThreshold at sf30 and the driver
+    # died building a ~7 GB HashedRelation (r14: GCLocker alloc failure
+    # at 18M rows). shuffle_hash keeps the build per-partition-bounded
+    # at any corpus size; bucket keys need no sort, so it also beats SMJ.
+    a = bands.hint("shuffle_hash").alias("a")
     b = bands.alias("b")
     cand = (
         a.join(

@@ -1066,7 +1066,10 @@ def hamming_near_dup_pairs(
             )
         ).alias("bb"),
     ).select("media_id", "h", "bb.band", "bb.bv")
-    a, b = exact.alias("a"), probed.alias("b")
+    # both band-join sides scale with the media corpus (n x bands exact
+    # rows vs n x bands x (width+1) probe rows) — never broadcastable;
+    # see dedup.doc_minhash_lsh_pairs for the measured failure mode
+    a, b = exact.hint("shuffle_hash").alias("a"), probed.alias("b")
     ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
     return (
         a.join(

@@ -404,7 +404,11 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket")
         )
     )
-    bands = buckets.join(emb, "vec_id").select(
+    # buckets (n x bands rows) and emb (n rows x d-float arrays) both
+    # scale with the corpus — pin the join off the broadcast path (same
+    # hazard as the minhash band self-join: a plan-time underestimate of
+    # the aggregate-derived buckets side statically broadcasts it)
+    bands = buckets.hint("shuffle_hash").join(emb, "vec_id").select(
         "vec_id", "embedding", "band", "bucket"
     )
 

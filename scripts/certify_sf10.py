@@ -880,7 +880,15 @@ def main() -> int:
     from ct_clickhouse_spark.testing import pandas_signature, pandas_signature_rtol
 
     rng = np.random.default_rng(7)
-    spark = get_spark(app_name="certify-sf10")
+    # The certification protocol COLLECTS full results for value hashing
+    # (toPandas per slot) — at sf30 the win_order_seq frame (45M rows) is
+    # ~1.7 GB serialized, over the 1g default maxResultSize. This is a
+    # harness collect, not an operator shape (the operators never collect
+    # unbounded frames); size the cap for the certification scales.
+    spark = get_spark(
+        app_name="certify-sf10",
+        extra_conf={"spark.driver.maxResultSize": "8g"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
