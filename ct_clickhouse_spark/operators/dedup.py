@@ -936,8 +936,10 @@ def _pairs_from_shingles(sh: DataFrame) -> DataFrame:
     # with the corpus (shingle rows / doc rows) — pin them off the
     # broadcast path (see doc_minhash_lsh_pairs: the plan-time estimate
     # of an aggregate-derived side undershoots and statically
-    # broadcasts; measured driver death at sf30)
-    a = sh.hint("shuffle_hash").alias("a")
+    # broadcasts; measured driver death at sf30). merge, not
+    # shuffle_hash: a hash build is per-task-memory-bounded and cannot
+    # spill (measured task OOM at sf30 on the band join); SMJ spills.
+    a = sh.hint("merge").alias("a")
     b = sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -947,8 +949,8 @@ def _pairs_from_shingles(sh: DataFrame) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        pairs.join(sa.hint("shuffle_hash"), "doc_a")
-        .join(sb.hint("shuffle_hash"), "doc_b")
+        pairs.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -1076,9 +1078,13 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, rows_per_band, n_bands = _minhash_plan(n)
     sig = _minhash_sig_df(spark, sf_dir, k)
 
+    # THIN band frame: the self-join needs only (doc_id, band, bucket) —
+    # shipping the k-long sig array through it multiplied shuffle volume
+    # ~20x (r14 sf30: 18M rows x ~400 B) for a payload only the verify
+    # step reads. Signatures are re-attached per CANDIDATE PAIR below,
+    # which is the small side of the funnel.
     bands = sig.select(
         "doc_id",
-        F.array(*[f"h{i}" for i in range(k)]).alias("sig"),
         F.explode(
             F.array(
                 *[
@@ -1095,16 +1101,17 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bb"),
-    ).select("doc_id", "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
     # Both sides of the band self-join are corpus-sized (n_docs x bands
-    # rows carrying the k-long sig array) — NEVER broadcastable. Without
-    # the hint, Catalyst's plan-time estimate of the aggregate-derived
+    # rows) — NEVER broadcastable, and a hash build can exceed task
+    # memory. Catalyst's plan-time estimate of the aggregate-derived
     # side fell under autoBroadcastJoinThreshold at sf30 and the driver
-    # died building a ~7 GB HashedRelation (r14: GCLocker alloc failure
-    # at 18M rows). shuffle_hash keeps the build per-partition-bounded
-    # at any corpus size; bucket keys need no sort, so it also beats SMJ.
-    a = bands.hint("shuffle_hash").alias("a")
+    # died building a ~7 GB HashedRelation (GCLocker alloc failure at
+    # 18M rows); a shuffle_hash retry then died in a task's unspillable
+    # build map. merge (sort-merge) is the plan that survives any
+    # corpus size: both sides spill through the sorter.
+    a = bands.hint("merge").alias("a")
     b = bands.alias("b")
     cand = (
         a.join(
@@ -1116,10 +1123,25 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sig_arr = sig.select(
+        "doc_id", F.array(*[f"h{i}" for i in range(k)]).alias("sig")
+    )
+    cand = (
+        cand.join(
+            sig_arr.select(
+                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+            ).hint("merge"),
+            "doc_a",
+        )
+        .join(
+            sig_arr.select(
+                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+            ).hint("merge"),
+            "doc_b",
+        )
     )
     est = F.round(
         F.size(

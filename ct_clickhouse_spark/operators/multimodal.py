@@ -1067,9 +1067,10 @@ def hamming_near_dup_pairs(
         ).alias("bb"),
     ).select("media_id", "h", "bb.band", "bb.bv")
     # both band-join sides scale with the media corpus (n x bands exact
-    # rows vs n x bands x (width+1) probe rows) — never broadcastable;
-    # see dedup.doc_minhash_lsh_pairs for the measured failure mode
-    a, b = exact.hint("shuffle_hash").alias("a"), probed.alias("b")
+    # rows vs n x bands x (width+1) probe rows) — never broadcastable,
+    # and a hash build cannot spill past task memory; see
+    # dedup.doc_minhash_lsh_pairs for both measured failure modes
+    a, b = exact.hint("merge").alias("a"), probed.alias("b")
     ham = F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h")))
     return (
         a.join(

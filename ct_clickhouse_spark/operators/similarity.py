@@ -407,8 +407,10 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # buckets (n x bands rows) and emb (n rows x d-float arrays) both
     # scale with the corpus — pin the join off the broadcast path (same
     # hazard as the minhash band self-join: a plan-time underestimate of
-    # the aggregate-derived buckets side statically broadcasts it)
-    bands = buckets.hint("shuffle_hash").join(emb, "vec_id").select(
+    # the aggregate-derived buckets side statically broadcasts it).
+    # merge, not shuffle_hash: a hash build cannot spill past task
+    # memory; the sorter can.
+    bands = buckets.hint("merge").join(emb, "vec_id").select(
         "vec_id", "embedding", "band", "bucket"
     )
 
