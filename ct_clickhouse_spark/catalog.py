@@ -165,6 +165,19 @@ def path_state(path: str) -> tuple:
     return (n, total, mx)
 
 
+# TTL-memoized path_state dicts (keyed by sf_dir) registered by artifact
+# caches; invalidate_table clears them so in-ENGINE mutations (merge /
+# delete / compaction, which all route through invalidate_table) become
+# visible immediately, while out-of-band rewrites are detected within
+# the memo's TTL (r14 advice #3).
+_STATE_MEMOS: list[dict] = []
+
+
+def register_state_memo(memo: dict) -> dict:
+    _STATE_MEMOS.append(memo)
+    return memo
+
+
 def invalidate_table(spark: SparkSession, sf_dir: str, name: str) -> None:
     """Drop every driver-side memo of one fixture table (logical-plan
     cache, rowcount memo, and Spark's own cached listings/data for the
@@ -174,6 +187,8 @@ def invalidate_table(spark: SparkSession, sf_dir: str, name: str) -> None:
     key = (_session_key(spark), sf_dir, name)
     _DF_CACHE.pop(key, None)
     _ROWCOUNT_CACHE.pop(key, None)
+    for memo in _STATE_MEMOS:
+        memo.pop(sf_dir, None)
     try:
         spark.catalog.refreshByPath(table_path(sf_dir, name))
     except Exception:  # refresh is best-effort (connect-only sessions)
@@ -199,7 +214,14 @@ ARTIFACT_CACHE_MAX = 4
 
 def bounded_cache_put(cache: dict, key, value, release=None, max_entries: int = ARTIFACT_CACHE_MAX):
     """Insert ``value`` under ``key``; evict (and ``release``) the oldest
-    entries beyond ``max_entries``. Mutates and returns ``value``."""
+    entries beyond ``max_entries``. Mutates and returns ``value``.
+
+    Re-inserting an existing key moves it to the NEWEST position (r14
+    advice #4: a plain ``cache[key] = value`` on a present key keeps the
+    old insertion slot, so a staleness-refreshed entry sat oldest and
+    could be evicted immediately after being rebuilt, silently re-running
+    its construction pass on the next lookup)."""
+    cache.pop(key, None)
     cache[key] = value
     while len(cache) > max_entries:
         old_key = next(iter(cache))
@@ -220,7 +242,19 @@ def release_local_checkpoint(df: DataFrame) -> None:
     reachable through the analyzed plan (r13 advice #3: the df.unpersist
     release was a measured no-op on RDDStorageInfo; this empties it).
     Falls back to GC-driven cleanup (ContextCleaner) when the JVM plan is
-    unreachable (connect-only sessions)."""
+    unreachable (connect-only sessions).
+
+    ONLY for frames whose data is KNOWN DEAD — staleness invalidation
+    (the source path changed) or session teardown. Never use it as a
+    capacity-eviction release for caches whose values callers may still
+    hold (r14 advice, medium): a checkpoint's lineage is truncated, so a
+    concurrently-held reference to an eagerly-freed frame fails at action
+    time with block-not-found and CANNOT recompute. Capacity eviction of
+    checkpointed frames must instead just DROP the reference: Python GC
+    detaches the py4j handle, and the JVM's ContextCleaner unpersists the
+    blocks once NO live reference (including in-flight jobs, which pin
+    the RDD through the DAG) can reach them — reachability is a free,
+    race-proof refcount."""
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:

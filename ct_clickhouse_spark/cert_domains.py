@@ -131,7 +131,9 @@ def build_cert_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     The (immutable) lineage is cached per (session, sf_dir) so repeated
     queries skip re-parsing the construction SQL; views are re-registered
     each call so spark.sql always resolves."""
-    key = (id(spark), sf_dir)
+    from .catalog import _session_key
+
+    key = (_session_key(spark), sf_dir)
     df = _CERT_CACHE.get(key)
     if df is None:
         load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")

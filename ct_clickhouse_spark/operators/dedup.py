@@ -972,7 +972,9 @@ _SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
 
 
 def _kept_shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    from ..catalog import _session_key
+
+    key = (_session_key(spark), sf_dir)
     sh = _SHINGLE_CACHE.get(key)
     if sh is None:
         docs = load_table(spark, sf_dir, "documents").repartition(
@@ -1025,12 +1027,15 @@ def _minhash_sig_df(
     other is served by projection instead of re-running the explode +
     min-aggregate over the corpus. Projections are not cached (free to
     recompute; the persisted parent carries the data)."""
-    key = (id(spark), sf_dir, k)
+    from ..catalog import _session_key
+
+    skey = _session_key(spark)
+    key = (skey, sf_dir, k)
     sig = _SIG_CACHE.get(key)
     if sig is not None:
         return sig
     for (sid, sdir, kk), parent in _SIG_CACHE.items():
-        if sid == id(spark) and sdir == sf_dir and kk > k:
+        if sid == skey and sdir == sf_dir and kk > k:
             return parent.select("doc_id", *[f"h{i}" for i in range(k)])
     k_req = k
     k = max(k, _minhash_plan(table_rowcount(spark, sf_dir, "documents"))[0])
@@ -1047,8 +1052,10 @@ def _minhash_sig_df(
     sig = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64("sh_h", F.lit(i))).alias(f"h{i}") for i in range(k)]
     ).persist()
+    # keyed on _session_key, not id(spark): CPython can recycle an id and
+    # alias a fresh session to a dead one's cached frames (r14 advice #2)
     _bounded_cache_put(
-        _SIG_CACHE, (id(spark), sf_dir, k), sig, release=lambda v: v.unpersist()
+        _SIG_CACHE, (skey, sf_dir, k), sig, release=lambda v: v.unpersist()
     )
     if k_req < k:
         return sig.select("doc_id", *[f"h{i}" for i in range(k_req)])

@@ -1230,10 +1230,12 @@ def perceptual_near_dups_cached(
     maintained-artifact lifecycle as the ngram pair/label cache
     (dedup.py): the band-join and the label-propagation rounds converge
     to a fixed point for a fixed corpus, so re-running them on every
-    driver invocation of the lsh-pairs slot bought nothing. Checkpoint
-    blocks are released eagerly on cache eviction
-    (catalog.release_local_checkpoint)."""
-    from ..catalog import _session_key, bounded_cache_put, release_local_checkpoint
+    driver invocation of the lsh-pairs slot bought nothing. Capacity
+    eviction drops the reference only — ContextCleaner frees the
+    checkpoint blocks once no holder (caller or in-flight job) can reach
+    them (r14 advice, medium: eager release broke still-held references
+    unrecoverably; see catalog.release_local_checkpoint)."""
+    from ..catalog import _session_key, bounded_cache_put
     from .similarity import label_propagate
 
     key = (_session_key(spark), sf_dir)
@@ -1254,7 +1256,6 @@ def perceptual_near_dups_cached(
         _PERCEPTUAL_CACHE,
         key,
         (ph_pairs, ph_labels, afp_pairs),
-        release=lambda v: [release_local_checkpoint(df) for df in v],
     )
 
 

@@ -280,17 +280,14 @@ def _group_bounds(
         .localCheckpoint(eager=True)
     )
     if cache_key is not None:
-        # release evicted boundary frames (r12 advice, corrected per r13
-        # advice #3): Dataset.unpersist only clears CacheManager entries,
-        # and a localCheckpoint's blocks are PERSISTED RDD BLOCKS — the
-        # actual holder is the LogicalRDD's rdd, reachable through the
-        # analyzed plan. df.unpersist() was a measured no-op (storage
-        # info unchanged); rdd.unpersist(blocking=False) empties it.
-        from ..catalog import release_local_checkpoint
-
-        bounded_cache_put(
-            _BOUNDS_CACHE, cache_key, bounds, release=release_local_checkpoint
-        )
+        # Capacity eviction DROPS the reference only (r14 advice, medium,
+        # reversing the r13 eager rdd-unpersist): a checkpointed frame's
+        # lineage is truncated, so eagerly freeing its blocks breaks any
+        # still-held reference (e.g. a concurrent bench thread mid-action)
+        # unrecoverably. Dropping instead lets ContextCleaner unpersist
+        # the blocks once nothing — Python holders or in-flight jobs —
+        # can reach the RDD; see catalog.release_local_checkpoint's note.
+        bounded_cache_put(_BOUNDS_CACHE, cache_key, bounds)
     return bounds
 
 

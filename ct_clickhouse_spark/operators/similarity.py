@@ -126,16 +126,42 @@ _PAIRS_CACHE: dict[tuple[str, str], DataFrame] = {}
 # `path_state` fingerprint of the embeddings path they were resolved
 # from; a fingerprint mismatch (a rewrite/compaction/mutation landed)
 # drops the stale entry, invalidates the table's driver-side memos
-# (catalog.invalidate_table), and re-resolves. The probe is one os.stat
-# per lookup — noise next to the Spark job it guards.
+# (catalog.invalidate_table), and re-resolves. The probe is a TTL-memoized
+# directory fingerprint (_emb_state) — amortized noise next to the Spark
+# job it guards.
 _QVEC_CACHE: dict[tuple[str, str], dict] = {}
 QVEC_CACHE_MAX_IDS = 4096
 
 
+# path_state on a directory-shaped table is a full os.walk + per-file
+# stat — NOT "one os.stat per lookup" (r14 advice #3), and it sat on the
+# serving hot path growing with file count per query. Memoized with a
+# short TTL: the walk runs at most once per TTL per path, so staleness
+# detection lags a mutation by <= _EMB_STATE_TTL_S (a freshly-landed
+# rewrite is visible on the next tick) while the hot path pays a dict
+# probe + one monotonic clock read.
+_EMB_STATE_TTL_S = 1.0
+_EMB_STATE_MEMO: dict[str, tuple[float, tuple]] = {}
+
+from ..catalog import register_state_memo as _register_state_memo  # noqa: E402
+
+_register_state_memo(_EMB_STATE_MEMO)
+
+
 def _emb_state(sf_dir: str) -> tuple:
+    import time as _time
+
     from ..catalog import path_state, table_path
 
-    return path_state(table_path(sf_dir, "embeddings"))
+    now = _time.monotonic()
+    hit = _EMB_STATE_MEMO.get(sf_dir)
+    if hit is not None and now - hit[0] < _EMB_STATE_TTL_S:
+        return hit[1]
+    st = path_state(table_path(sf_dir, "embeddings"))
+    _EMB_STATE_MEMO[sf_dir] = (now, st)
+    while len(_EMB_STATE_MEMO) > 64:
+        _EMB_STATE_MEMO.pop(next(iter(_EMB_STATE_MEMO)))
+    return st
 
 
 def _query_vector(spark: SparkSession, sf_dir: str, vec_id: int) -> list:
@@ -1844,9 +1870,11 @@ def _emb_groups_cached(
     ngram labels (`_ngram_pairs_and_labels_cached`) and the perceptual
     pair/label tables. Label propagation converges to a FIXED point for
     a fixed pair set, so re-running the O(log d) join rounds on every
-    driver invocation buys nothing; localCheckpoint blocks are released
-    EAGERLY on cache eviction (catalog.release_local_checkpoint — r13
-    advice #3: df.unpersist was a no-op for checkpoint blocks)."""
+    driver invocation buys nothing. Capacity eviction drops the
+    reference only — ContextCleaner frees the checkpoint blocks once no
+    holder (caller or in-flight job) can reach them (r14 advice, medium:
+    the r13 eager release broke still-held references unrecoverably;
+    see catalog.release_local_checkpoint)."""
     from ..catalog import _session_key
 
     key = (_session_key(spark), sf_dir)
@@ -1857,14 +1885,7 @@ def _emb_groups_cached(
     s = embedding_dedup_groups(
         spark, sf_dir, pairs_fn=grid_cell_pairs
     ).localCheckpoint(eager=True)
-    from ..catalog import release_local_checkpoint
-
-    return _bounded_cache_put(
-        _EMB_GROUP_CACHE,
-        key,
-        (g, s),
-        release=lambda v: [release_local_checkpoint(df) for df in v],
-    )
+    return _bounded_cache_put(_EMB_GROUP_CACHE, key, (g, s))
 
 
 def groups_global_and_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:

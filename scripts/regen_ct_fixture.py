@@ -89,7 +89,12 @@ def main() -> None:
                 der = make_cert_der(domains, serial=serial, not_before=ts)
                 serial += 1
             prev = der
-            leaves.append(wrap_leaf(der, ts_ms=int(ts.timestamp() * 1000)))
+            # pin the epoch conversion to UTC: .timestamp() on a naive
+            # datetime uses the regenerating machine's LOCAL timezone, so
+            # the committed fixture bytes would differ per-TZ (r14 advice
+            # #5), contradicting the reproducibility claim above
+            ts_utc = ts.replace(tzinfo=datetime.timezone.utc)
+            leaves.append(wrap_leaf(der, ts_ms=int(ts_utc.timestamp() * 1000)))
         write_log_dir(out, log, leaves)
         print(f"{log}: {len(leaves)} leaves")
     print(f"-> {out}")

@@ -41,6 +41,13 @@ def _write_embeddings(path: str, scale: float) -> None:
     # even on coarse-mtime filesystems by nudging the clock forward
     now = time.time() + 2
     os.utime(os.path.join(path, "embeddings.parquet"), (now, now))
+    # out-of-band rewrites (not routed through invalidate_table) are
+    # detected within the TTL of the memoized fingerprint (r14 advice
+    # #3 made path_state amortized); wait it out so re-resolution is
+    # deterministic here
+    from ct_clickhouse_spark.operators.similarity import _EMB_STATE_TTL_S
+
+    time.sleep(_EMB_STATE_TTL_S + 0.05)
 
 
 @pytest.fixture()
@@ -125,4 +132,42 @@ def test_release_local_checkpoint_frees_blocks(spark):
     release_local_checkpoint(ck)
     assert rid not in storage_ids(), (
         "release_local_checkpoint left the checkpointed RDD blocks pinned"
+    )
+
+
+def test_bounded_cache_put_reinsert_moves_to_newest():
+    # r14 advice #4: assigning over a present key must refresh its
+    # insertion-order slot, or a staleness-refreshed entry sits oldest
+    # and is evicted right after being rebuilt
+    from ct_clickhouse_spark.catalog import bounded_cache_put
+
+    cache: dict = {}
+    released: list = []
+    for k in "abcd":
+        bounded_cache_put(cache, k, k, release=released.append, max_entries=4)
+    bounded_cache_put(cache, "a", "a2", release=released.append, max_entries=4)
+    bounded_cache_put(cache, "e", "e", release=released.append, max_entries=4)
+    assert released == ["b"], "re-inserted key was not moved to newest"
+    assert list(cache) == ["c", "d", "a", "e"]
+    assert cache["a"] == "a2"
+
+
+def test_evicted_checkpoint_frame_still_usable_by_held_reference(spark):
+    # r14 advice, medium: capacity eviction of a localCheckpoint-backed
+    # artifact must NOT eagerly free its blocks — a still-held reference
+    # (e.g. a concurrent bench thread) would fail at action time with
+    # block-not-found, unrecoverably (truncated lineage). Eviction drops
+    # the reference; ContextCleaner frees blocks by reachability.
+    from ct_clickhouse_spark.catalog import ARTIFACT_CACHE_MAX
+    from ct_clickhouse_spark.operators import relational as R
+
+    R._BOUNDS_CACHE.clear()
+    base = spark.range(2_000).selectExpr("id % 7 AS g", "CAST(id AS DOUBLE) AS v")
+    held = R._group_bounds(base, "g", "v", 4, cache_key=("t", "held"))
+    n_before = held.count()  # (sampled sketch: group count may be < 7)
+    for i in range(ARTIFACT_CACHE_MAX + 2):  # sweep the held entry out
+        R._group_bounds(base, "g", "v", 4, cache_key=("t", f"fill{i}"))
+    assert ("t", "held") not in R._BOUNDS_CACHE
+    assert held.count() == n_before, (
+        "held reference to an evicted checkpointed boundary frame broke"
     )
