@@ -848,11 +848,45 @@ def write_artifact(record: dict, sf_dir: str, out: str) -> int:
     return 0 if n_ok == len(record) else 1
 
 
+def isolate_session(spark) -> None:
+    """Return the session to a kernel-cold state before a slot (r14
+    verdict #3: in-sweep slot times ran ~15x the fresh-session kernel
+    cost because ~40 earlier slots' persisted artifacts caused
+    eviction/spill churn; the cold_slot_probe in
+    BENCH_lsh_decomp_r14.json measured dedup_sketch_signatures at
+    241.3 s in-sweep vs 16.2 s fresh). Clears every driver-side artifact
+    cache in the package (dict module attrs named *_CACHE / *_MEMO),
+    Spark's CacheManager, and all persisted RDD blocks, so each slot's
+    time is its OWN kernel + construction cost — the same accounting the
+    DuckDB oracle gets (every oracle query pays full cost), making the
+    matched table apples-to-apples and sf-growth ratios kernel-shaped."""
+    import sys as _sys
+
+    for mod_name, mod in list(_sys.modules.items()):
+        if not mod_name.startswith("ct_clickhouse_spark"):
+            continue
+        for attr, val in vars(mod).items():
+            if (attr.endswith("_CACHE") or attr.endswith("_MEMO")) and isinstance(
+                val, dict
+            ):
+                val.clear()
+    spark.catalog.clearCache()
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for jrdd in jmap.values():
+        jrdd.unpersist()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=".benchdata/sf10")
     ap.add_argument("--out", default="CORRECTNESS_sf10_r12.json")
     ap.add_argument("--only", nargs="*", default=None)
+    ap.add_argument(
+        "--isolate",
+        action="store_true",
+        help="clear artifact caches + persisted blocks before each slot "
+        "so slot times approximate fresh-session kernel costs",
+    )
     ap.add_argument("--selfcheck", action="store_true")
     ap.add_argument("--oracle-phase", default=None, help=argparse.SUPPRESS)
     ap.add_argument(
@@ -899,6 +933,8 @@ def main() -> int:
     for name, fn in qs.items():
         if args.only and not any(s in name for s in args.only):
             continue
+        if args.isolate:
+            isolate_session(spark)
         t0 = time.time()
         try:
             pdf = fn(spark, args.sf_dir).toPandas()

@@ -148,3 +148,63 @@ def test_quoted_matched_headline_matches_artifact():
         "ledger quotes stale matched-table headline figures: "
         + "; ".join(stale)
     )
+
+
+# ---------------------------------------------------------------------------
+# Silent-artifact gate (r14 verdict #5): the r14 sf30 certification sat
+# on disk cited in NO ledger, so the freshness checks above never looked
+# at it — silence evaded the gate. Two closures:
+#  1. every scale-certification artifact on disk must be cited in at
+#     least one ledger (the driver-emitted per-round CORRECTNESS_r{N}
+#     files are exempt — the driver writes them, not the ledgers);
+#  2. the NEWEST certification per scale factor must be fully green
+#     (n_ok == n_slots) — leaving a failing artifact newest (as the
+#     pre-fix 3/4 sf30 run briefly was) turns a test red instead of
+#     waiting for a judge to notice.
+
+_CERT_ON_DISK = re.compile(r"^CORRECTNESS_(sf[\d.]+|multiproc)[A-Za-z0-9_.]*\.json$")
+_CERT_SF = re.compile(r"^CORRECTNESS_(sf[\d.]+)")
+
+
+def test_every_certification_artifact_on_disk_is_cited():
+    cited: set[str] = set()
+    for ledger in _LEDGERS:
+        cited |= _cited(os.path.join(REPO, ledger))
+    silent = [
+        name
+        for name in sorted(os.listdir(REPO))
+        if _CERT_ON_DISK.match(name) and name not in cited
+    ]
+    assert not silent, (
+        "certification artifacts on disk are cited in no ledger "
+        "(write them up or remove them): " + "; ".join(silent)
+    )
+
+
+def test_newest_certification_per_sf_is_fully_green():
+    by_sf: dict[str, list[tuple[str, str, dict]]] = {}
+    for name in sorted(os.listdir(REPO)):
+        m = _CERT_SF.match(name)
+        if not m:
+            continue
+        data = _load(name)
+        if not isinstance(data, dict) or "n_slots" not in data:
+            continue  # legacy shapes without a census are not rankable
+        stamp = data.get("generated_utc") or ""
+        if not stamp:
+            # legacy artifacts without a content stamp: fall back to
+            # mtime so they still participate in newest-wins ordering
+            stamp = str(os.path.getmtime(os.path.join(REPO, name)))
+        by_sf.setdefault(m.group(1), []).append((stamp, name, data))
+    bad = []
+    for sf, rows in by_sf.items():
+        stamp, name, data = max(rows)
+        if int(data["n_ok"]) != int(data["n_slots"]):
+            bad.append(
+                f"{sf}: newest certification {name} has "
+                f"n_ok={data['n_ok']} of n_slots={data['n_slots']}"
+            )
+    assert not bad, (
+        "newest certification per scale factor is not fully green: "
+        + "; ".join(bad)
+    )
