@@ -930,16 +930,30 @@ def ngram_jaccard_pairs_for(docs: DataFrame) -> DataFrame:
     return _pairs_from_shingles(_kept_shingles(docs))
 
 
-def _pairs_from_shingles(sh: DataFrame) -> DataFrame:
+def _merge_pin(df: DataFrame, corpus_n: int | None = None) -> DataFrame:
+    """Pin a corpus-scaling join side to sort-merge — but only when the
+    corpus is actually big. Above MINHASH_ADAPT_N docs the pin is the
+    only spill-safe plan: Catalyst's plan-time size estimate of an
+    aggregate-derived side undershoots ~10x and statically broadcasts a
+    multi-GB HashedRelation (measured driver death at sf30), and
+    shuffle_hash builds a per-task map that cannot spill (measured task
+    OOM on the band join); sort-merge spills through the sorter. Below
+    the knee every side fits a broadcast/hash build comfortably and
+    Catalyst's own pick is faster — the unconditional r14 pin cost
+    +1.5 s across the two LSH slots at sf0.1 (r14 verdict, Performance
+    (a)). Unknown size pins (safe default for arbitrary caller frames).
+    tests/test_minhash_plan.py pins the above-knee safety property."""
+    if corpus_n is not None and corpus_n <= MINHASH_ADAPT_N:
+        return df
+    return df.hint("merge")
+
+
+def _pairs_from_shingles(sh: DataFrame, corpus_n: int | None = None) -> DataFrame:
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     # shingle self-join and the per-doc-size joins: every side scales
-    # with the corpus (shingle rows / doc rows) — pin them off the
-    # broadcast path (see doc_minhash_lsh_pairs: the plan-time estimate
-    # of an aggregate-derived side undershoots and statically
-    # broadcasts; measured driver death at sf30). merge, not
-    # shuffle_hash: a hash build is per-task-memory-bounded and cannot
-    # spill (measured task OOM at sf30 on the band join); SMJ spills.
-    a = sh.hint("merge").alias("a")
+    # with the corpus (shingle rows / doc rows) — size-gated sort-merge
+    # pin (_merge_pin above).
+    a = _merge_pin(sh, corpus_n).alias("a")
     b = sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -949,8 +963,8 @@ def _pairs_from_shingles(sh: DataFrame) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
-        pairs.join(sa.hint("merge"), "doc_a")
-        .join(sb.hint("merge"), "doc_b")
+        pairs.join(_merge_pin(sa, corpus_n), "doc_a")
+        .join(_merge_pin(sb, corpus_n), "doc_b")
         .withColumn(
             "jaccard",
             F.round(
@@ -998,7 +1012,10 @@ def doc_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one small parquet file = one input split, which would serialize the
     expensive expression work (13s single-task at sf0.1 -> ~1s across
     cores). On real multi-file inputs the repartition is a no-op cost."""
-    return _pairs_from_shingles(_kept_shingles_cached(spark, sf_dir))
+    return _pairs_from_shingles(
+        _kept_shingles_cached(spark, sf_dir),
+        corpus_n=table_rowcount(spark, sf_dir, "documents"),
+    )
 
 
 _SIG_CACHE: dict[tuple[int, str, int], DataFrame] = {}
@@ -1110,15 +1127,12 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bb"),
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
-    # Both sides of the band self-join are corpus-sized (n_docs x bands
-    # rows) — NEVER broadcastable, and a hash build can exceed task
-    # memory. Catalyst's plan-time estimate of the aggregate-derived
-    # side fell under autoBroadcastJoinThreshold at sf30 and the driver
-    # died building a ~7 GB HashedRelation (GCLocker alloc failure at
-    # 18M rows); a shuffle_hash retry then died in a task's unspillable
-    # build map. merge (sort-merge) is the plan that survives any
-    # corpus size: both sides spill through the sorter.
-    a = bands.hint("merge").alias("a")
+    # Above the knee both sides of the band self-join are corpus-sized
+    # (n_docs x bands rows) — never broadcastable, and a hash build can
+    # exceed task memory (measured sf30 driver death / task OOM; see
+    # _merge_pin). Size-gated so fixture-scale plans keep Catalyst's
+    # faster pick.
+    a = _merge_pin(bands, n).alias("a")
     b = bands.alias("b")
     cand = (
         a.join(
@@ -1138,15 +1152,21 @@ def doc_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         cand.join(
-            sig_arr.select(
-                F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
-            ).hint("merge"),
+            _merge_pin(
+                sig_arr.select(
+                    F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")
+                ),
+                n,
+            ),
             "doc_a",
         )
         .join(
-            sig_arr.select(
-                F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
-            ).hint("merge"),
+            _merge_pin(
+                sig_arr.select(
+                    F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")
+                ),
+                n,
+            ),
             "doc_b",
         )
     )

@@ -431,12 +431,16 @@ def lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # buckets (n x bands rows) and emb (n rows x d-float arrays) both
-    # scale with the corpus — pin the join off the broadcast path (same
-    # hazard as the minhash band self-join: a plan-time underestimate of
-    # the aggregate-derived buckets side statically broadcasts it).
-    # merge, not shuffle_hash: a hash build cannot spill past task
-    # memory; the sorter can.
-    bands = buckets.hint("merge").join(emb, "vec_id").select(
+    # scale with the corpus — above the plan's own knee, pin the join
+    # off the broadcast path (same hazard as the minhash band self-join:
+    # a plan-time underestimate of the aggregate-derived buckets side
+    # statically broadcasts it) and off shuffle_hash (a hash build
+    # cannot spill past task memory; the sorter can). Below the knee
+    # Catalyst's pick is faster (r14: unconditional pins cost +1.5 s
+    # across the LSH slots at sf0.1) — size-gated like dedup._merge_pin.
+    lsh_knee = LSH_TARGET_BUCKET * (1 << (LSH_BITS // LSH_BANDS))
+    pinned = buckets.hint("merge") if n > lsh_knee else buckets
+    bands = pinned.join(emb, "vec_id").select(
         "vec_id", "embedding", "band", "bucket"
     )
 

@@ -214,3 +214,36 @@ def test_miss_precomputes_at_plan_k(spark, tmp_path, monkeypatch):
     finally:
         D._SIG_CACHE.clear()
         D._SIG_CACHE.update(saved)
+
+
+def test_merge_pin_gated_on_corpus_size(spark, tmp_path, monkeypatch):
+    """The sf30 safety property (r14: static broadcast of a corpus-sized
+    aggregate-derived side killed the driver; shuffle-hash task-OOMed):
+    ABOVE the adaptive knee the band self-join must be sort-merge —
+    regardless of Catalyst's size estimate — while BELOW it the pin is
+    absent and Catalyst keeps its (faster, broadcastable) choice."""
+    D, saved = _fresh_sig_cache()
+    try:
+        sf_dir, _ = _make_corpus(tmp_path, 400, seed=29)
+
+        # below the knee: no forced merge anywhere in the slot's plan
+        small_plan = D.doc_minhash_lsh_pairs(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in small_plan, (
+            "fixture-scale plan should keep Catalyst's join choice"
+        )
+
+        # above the knee (rowcount mocked; 400 physical rows keep the
+        # plan build cheap): every band/sig join must be sort-merge
+        D._SIG_CACHE.clear()
+        monkeypatch.setattr(D, "table_rowcount", lambda *a, **k: D.MINHASH_ADAPT_N + 1)
+        big_plan = D.doc_minhash_lsh_pairs(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in big_plan, (
+            "above-knee band self-join lost its sort-merge pin"
+        )
+        assert "BroadcastHashJoin" not in big_plan, (
+            "above-knee plan statically broadcast a corpus-sized side "
+            "(the measured sf30 driver-death shape)"
+        )
+    finally:
+        D._SIG_CACHE.clear()
+        D._SIG_CACHE.update(saved)
