@@ -141,7 +141,19 @@ def build_cert_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         # (init.sql) — in-memory columnar caching is the engine's analog,
         # so the per-query cost is a cached-relation scan, not a rebuild
         # of the sha2+explode construction (~500k rows at sf0.1, ~150 MB).
-        df = spark.sql(cert_domains_spark_sql()).cache()
+        #
+        # repartition BEFORE caching (r15, guide §2.5 "input skew"): the
+        # fixture orders.parquet is one file with one row group, so the
+        # scan — and with it the cached relation and the partial-
+        # aggregation phase of EVERY consumer — was a single partition:
+        # measured 472k cached rows in 1 block at sf0.1, putting the
+        # whole map side of each ref_* / dedup-exact query on one core.
+        # Width = the session's core count (scale-adaptive: on a real
+        # cluster the scan has file/row-group splits and this widens the
+        # cached relation to the executor cores, never to a constant).
+        # One-time cost at cache build, recorded in the slot's first_run.
+        df = spark.sql(cert_domains_spark_sql())
+        df = df.repartition(spark.sparkContext.defaultParallelism).cache()
         _CERT_CACHE[key] = df
     df.createOrReplaceTempView("cert_domains")
     return df

@@ -951,11 +951,130 @@ def train_bigram_lm(
 
 _LM_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
 
+# Inline-map gate (r15 optimization): an LM whose bigram table has at most
+# this many entries is scored through two FOLDED MAP LITERALS inside the
+# document projection instead of the explode + 2 broadcast joins + per-doc
+# aggregate + re-join pipeline. Below the knee that removes every exchange
+# and per-call broadcast build from the scoring pass (measured at sf0.1:
+# fresh-plan score pass 1.23 s -> 0.62 s; fused into text_doc_profile it
+# also deletes the final doc_id join). The gate exists because Catalyst's
+# literal-map lookup is a linear scan: cost per bigram ~ entries/2, so the
+# fixture's cube-root vocab growth (31 words/931 bigrams at sf<=0.1, ~4.4k
+# bigrams at sf1) crosses over quickly — above the gate the join path
+# (hash lookup, corpus-scalable) stands unchanged. Both paths are pinned
+# equal by tests/test_text.py::test_lm_inline_matches_join_path.
+LM_INLINE_MAX_ENTRIES = 2048
+
+# (m12 keys, m12 vals, m1 keys, m1 vals) per (session, sf) — collected
+# once from the persisted c12 artifact iff it passes the gate; a None
+# entry memoizes "too big, use the join path".
+_LM_MAPS_CACHE: dict[tuple[str, str], tuple | None] = {}
+
+
+def _lm_maps(spark: SparkSession, sf_dir: str, lm: tuple[DataFrame, int]):
+    """Literal lookup tables for the inline scoring path, or None when the
+    LM is past LM_INLINE_MAX_ENTRIES (driver + plan size stay bounded:
+    the collect is gated BEFORE it runs)."""
+    from ..catalog import _session_key, bounded_cache_put
+
+    key = (_session_key(spark), sf_dir)
+    if key in _LM_MAPS_CACHE:
+        return _LM_MAPS_CACHE[key]
+    c12, _v = lm
+    maps = None
+    if c12.count() <= LM_INLINE_MAX_ENTRIES:
+        rows = c12.collect()
+        c1: dict[str, int] = {}
+        for r in rows:
+            c1[r["w1"]] = c1.get(r["w1"], 0) + int(r["c12"])
+        maps = (
+            [r["w1"] + " " + r["w2"] for r in rows],
+            [int(r["c12"]) for r in rows],
+            list(c1),
+            list(c1.values()),
+        )
+    return bounded_cache_put(_LM_MAPS_CACHE, key, maps, max_entries=16)
+
+
+def _lm_encs(bigrams_col, maps: tuple):
+    """Sorted (c12*ENC + c1) encodings for a bigram-string array column,
+    via two FOLDED MAP LITERALS — the inline replacement for the scoring
+    joins. MUST be materialized as its own column (a dedicated Project)
+    before the aggregate columns below read it: referenced from several
+    output expressions it would re-evaluate per reference — the same
+    re-evaluation cliff doc_profile_with_lang documents for ``_w``/``_bg``
+    (measured: 2.7 s -> 8.5 s when the four lm columns each inlined this
+    tree)."""
+    m12_k, m12_v, m1_k, m1_v = maps
+    m12 = F.map_from_arrays(F.lit(m12_k), F.lit(m12_v))
+    m1 = F.map_from_arrays(F.lit(m1_k), F.lit(m1_v))
+    return F.sort_array(
+        F.transform(
+            bigrams_col,
+            lambda b: F.coalesce(m12[b], F.lit(0)).cast("long") * F.lit(_LM_ENC)
+            + F.coalesce(m1[F.split(b, " ")[0]], F.lit(0)).cast("long"),
+        )
+    )
+
+
+def _lm_agg_cols(encs, v: int) -> dict:
+    """The lm_score output columns as PURE EXPRESSIONS over a
+    MATERIALIZED ``_lm_encs`` attribute column. Same encoding, same
+    sorted fold, same float op order as lm_score's aggregate, so the two
+    paths are bit-identical (n_bigrams/sum_c12/n_oov exact ints;
+    bigram_nll the identical sorted left-fold before round(4))."""
+    n_bg = F.size(encs)
+    return {
+        "n_bigrams": n_bg.cast("long").alias("n_bigrams"),
+        "sum_c12": F.aggregate(
+            encs, F.lit(0).cast("long"), lambda a, e: a + F.shiftright(e, 31)
+        ).alias("sum_c12"),
+        "n_oov": F.aggregate(
+            encs,
+            F.lit(0).cast("long"),
+            lambda a, e: a + F.when(F.shiftright(e, 31) == 0, 1).otherwise(0),
+        ).alias("n_oov"),
+        "bigram_nll": F.when(
+            n_bg > 0,
+            F.round(
+                -F.aggregate(
+                    encs,
+                    F.lit(0.0),
+                    lambda acc, e: acc
+                    + F.log(
+                        (F.shiftright(e, 31) + 1)
+                        / (e.bitwiseAND(F.lit(_LM_ENC - 1)) + F.lit(v))
+                    ),
+                )
+                / n_bg,
+                4,
+            ),
+        ).alias("bigram_nll"),
+    }
+
+
+def _bigram_strings(words_col):
+    """"w1 w2" bigram array from a split-words array column (the same
+    construction doc_profile_with_lang materializes as ``_bg``)."""
+    return F.when(
+        F.size(words_col) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words_col) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(words_col, (i + 1).cast("int")),
+                F.element_at(words_col, (i + 2).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
 
 def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Driver wrapper: score every fixture document against the LM
     trained on the ``lang = LM_LANG`` slice (trained once per
-    (session, sf))."""
+    (session, sf)). Small LMs (<= LM_INLINE_MAX_ENTRIES bigrams) score
+    through the inline literal-map projection — one scan, zero
+    exchanges; larger LMs take lm_score's join path."""
     from ..catalog import _session_key, bounded_cache_put
 
     docs = load_table(spark, sf_dir, "documents")
@@ -968,7 +1087,17 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             train_bigram_lm(docs.filter(F.col("lang") == LM_LANG)),
             release=lambda val: val[0].unpersist(),
         )
-    return lm_score(docs, lm=lm)
+    maps = _lm_maps(spark, sf_dir, lm)
+    if maps is None:
+        return lm_score(docs, lm=lm)
+    with_encs = docs.select(
+        "doc_id",
+        _lm_encs(_bigram_strings(_words(F.col("text"))), maps).alias("_encs"),
+    )
+    cols = _lm_agg_cols(F.col("_encs"), lm[1])
+    return with_encs.select(
+        "doc_id", cols["n_bigrams"], cols["sum_c12"], cols["n_oov"], cols["bigram_nll"]
+    )
 
 
 def lm_score(
@@ -1258,20 +1387,7 @@ def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("redacted_chars", F.length("rtext"))
     docs = docs.withColumn("_w", _words(F.col("text")))
     words = F.col("_w")
-    docs = docs.withColumn(
-        "_bg",
-        F.when(
-            F.size(words) >= 2,
-            F.transform(
-                F.sequence(F.lit(0), F.size(words) - 2),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(words, (i + 1).cast("int")),
-                    F.element_at(words, (i + 2).cast("int")),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<string>")),
-    )
+    docs = docs.withColumn("_bg", _bigram_strings(words))
     bigrams = F.col("_bg")
     n_chars = F.length("text")
     junk_ratio = F.length(F.regexp_replace(F.lower("text"), "[a-z0-9 ]", "")) / n_chars
@@ -1313,16 +1429,46 @@ def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(words) - (n_chunks_expr(F.size(words)) - 1) * CHUNK_STRIDE,
         ).cast("long").alias("last_chunk_words"),
         *scores.values(),
+        # carried for the inline LM path below; dropped before output
+        "_bg",
     )
     best = F.greatest(*[F.col(f"score_{lang}") for lang in STOPWORDS])
     pred = F.when(best <= 0, F.lit("unknown"))
     for lang in STOPWORDS:  # first-match-wins tie break, fixed lang order
         pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
     # the bigram-LM columns are inherently relational (cross-doc corpus
-    # counts), so unlike the per-row expressions above they join in —
-    # the same shape decontamination uses
-    lm = bigram_lm_scores(spark, sf_dir)
-    joined = scored.withColumn("pred_lang", pred).join(lm, "doc_id", "left")
+    # counts): the MODEL is an aggregate over the trusted slice. But once
+    # the model artifact is built (cached per (session, sf)), a small LM
+    # scores as a pure per-row expression over the ALREADY-materialized
+    # ``_bg`` bigram array — the r15 inline path drops the scoring
+    # pipeline's explode + 2 broadcast joins + per-doc aggregate + the
+    # final doc_id re-join from this slot's plan (18 -> 0 exchanges in
+    # the profile subtree; plans/r15/text_doc_profile_*.txt). Large LMs
+    # (past LM_INLINE_MAX_ENTRIES) keep the join shape — the path
+    # decontamination uses.
+    from ..catalog import _session_key, bounded_cache_put
+
+    docs_raw = load_table(spark, sf_dir, "documents")
+    lm_key = (_session_key(spark), sf_dir)
+    lm = _LM_CACHE.get(lm_key)
+    if lm is None:
+        lm = bounded_cache_put(
+            _LM_CACHE,
+            lm_key,
+            train_bigram_lm(docs_raw.filter(F.col("lang") == LM_LANG)),
+            release=lambda val: val[0].unpersist(),
+        )
+    maps = _lm_maps(spark, sf_dir, lm)
+    scored = scored.withColumn("pred_lang", pred)
+    if maps is None:
+        joined = scored.join(lm_score(docs_raw, lm=lm), "doc_id", "left").drop("_bg")
+    else:
+        # _encs gets its own Project before the four lm columns read it —
+        # see _lm_encs's re-evaluation note
+        with_encs = scored.withColumn("_encs", _lm_encs(F.col("_bg"), maps))
+        joined = with_encs.withColumns(_lm_agg_cols(F.col("_encs"), lm[1])).drop(
+            "_bg", "_encs"
+        )
     # quality_filter rides the same pipeline (text carried through the
     # projection; the perplexity check reads the ALREADY-joined nll via
     # nll_col instead of re-running lm_score) — its fused keep verdict +

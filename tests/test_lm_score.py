@@ -142,3 +142,30 @@ def test_quality_filter_null_text_is_named_not_kept(spark):
     rows = {r.doc_id: r for r in quality_filter(docs, min_words=3).collect()}
     assert rows[0].keep
     assert not rows[1].keep and list(rows[1].drop_reasons) == ["null_text"]
+
+
+def test_lm_inline_matches_join_path(spark):
+    """r15 optimization gate: the literal-map inline scoring path and the
+    explode+join lm_score path must be BIT-IDENTICAL (same encs, same
+    sorted fold, same float op order) — the inline path serves small LMs,
+    the join path serves corpus-scale vocabularies, and the driver oracle
+    only ever sees whichever side of LM_INLINE_MAX_ENTRIES the fixture
+    lands on."""
+    from ct_clickhouse_spark.catalog import load_table
+    from ct_clickhouse_spark.operators.text import (
+        _LM_CACHE,
+        _lm_maps,
+        bigram_lm_scores,
+        lm_score,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    inline = bigram_lm_scores(spark, sf_dir)  # populates _LM_CACHE
+    key = next(k for k in _LM_CACHE if k[1] == sf_dir)
+    lm = _LM_CACHE[key]
+    maps = _lm_maps(spark, sf_dir, lm)
+    assert maps is not None, "fixture LM should be under the inline gate"
+    joined = lm_score(load_table(spark, sf_dir, "documents"), lm=lm)
+    a = inline.toPandas().sort_values("doc_id").reset_index(drop=True)
+    b = joined.toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
