@@ -424,3 +424,25 @@ def register_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = 
     """Register fixture tables as temp views so spark.sql can address them."""
     for name in names or TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def widen_narrow_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Round-robin repartition a NARROW scan up to the session's core
+    count — only when the scan is actually narrow (r15, guide §2.5
+    "input skew: one huge unsplittable file … repartition immediately
+    after the read").
+
+    The fixture parquet files are written as one row group, so Spark's
+    byte-range splitting yields ONE non-empty scan partition regardless
+    of maxPartitionBytes, and every expensive per-row projection
+    downstream (regex chains, array HOFs, Python kernels) runs on one
+    core. The gate keeps this scale-correct: at cluster scale a table
+    scan has >= cores splits, the gate is false, and no per-query
+    shuffle of the payload is ever added — exactly the "don't move heavy
+    bytes for placement" rule (guide §8), paid only where the single-task
+    alternative is strictly worse. getNumPartitions costs one physical
+    planning of the sub-frame (~10 ms), no job."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

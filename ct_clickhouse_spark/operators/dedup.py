@@ -434,8 +434,14 @@ def cert_exact_and_mutations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def doc_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact content dedup on documents: group by md5(text), keep min id."""
-    docs = load_table(spark, sf_dir, "documents")
+    """Exact content dedup on documents: group by md5(text), keep min id.
+    The scan is widened when the fixture file yields one split (r15):
+    the md5 + partial-aggregate phase is the whole cost and would
+    otherwise run on one core (catalog.widen_narrow_scan, gated no-op at
+    cluster scale)."""
+    from ..catalog import widen_narrow_scan
+
+    docs = widen_narrow_scan(load_table(spark, sf_dir, "documents"), spark)
     return (
         docs.groupBy(F.md5("text").alias("text_hash"))
         .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))

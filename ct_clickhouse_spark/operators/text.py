@@ -117,9 +117,11 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows explode only their applicable tags, and a single hash aggregate
     produces every (tag, source) group. At 100 TB this is one pass over
     the text column instead of three."""
+    from ..catalog import widen_narrow_scan
     from .sampling import _bucket_hex, _hex_threshold
 
-    docs = load_table(spark, sf_dir, "documents")
+    # regex tokenization per row — widen a single-row-group fixture scan
+    docs = widen_narrow_scan(load_table(spark, sf_dir, "documents"), spark)
     bucket = _bucket_hex("doc_id", 0)
     mix_thr = F.create_map(
         *[F.lit(x) for s, w in MIX_WEIGHTS.items() for x in (s, _hex_threshold(w))]
@@ -169,31 +171,66 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pandas as pd
 
         for pdf in batches:
-            out = []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            n_docs = len(pdf)
+            if n_docs == 0:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series([], dtype="int64"),
+                        "fp_min": pd.Series([], dtype="int64"),
+                        "fp_max": pd.Series([], dtype="int64"),
+                    }
+                )
+                continue
+            # One rolling-hash sweep over the WHOLE batch (r15, guide
+            # §4.2 "hand whole batches to vectorized native code"): the
+            # per-doc loop paid FP_WINDOW tiny numpy ops per document —
+            # overhead-bound on ~200-word docs. Concatenating the batch's
+            # (zero-padded) byte buffers makes it FP_WINDOW multiply-adds
+            # over ONE array; windows that straddle document boundaries
+            # are simply never selected, because each doc's valid window
+            # positions are the contiguous [start_i, start_i + k_i) slice
+            # (k_i = n_i - FP_WINDOW + 1) that segment-min/max below
+            # reads via minimum/maximum.reduceat. Identical uint64
+            # arithmetic per element, so fingerprints are bit-equal to
+            # the per-doc form (pinned in tests/test_text_fingerprint.py).
+            bufs = []
+            lens = np.empty(n_docs, dtype=np.int64)
+            for i, text in enumerate(pdf["text"]):
                 # NULL text fingerprints like the empty string (the
                 # zero-padded window below) — dropping the row would
                 # desync the per-doc sections of the fingerprint slot
-                data = np.frombuffer(
-                    (text or "").lower().strip().encode("utf-8"), dtype=np.uint8
-                )
-                n = len(data)
-                if n < FP_WINDOW:
-                    data = np.pad(data, (0, FP_WINDOW - n))
-                    n = FP_WINDOW
-                k = n - FP_WINDOW + 1
-                with np.errstate(over="ignore"):
-                    h = np.zeros(k, dtype=np.uint64)
-                    for j in range(FP_WINDOW):
-                        h = h * base + data[j : j + k].astype(np.uint64)
-                out.append(
-                    {
-                        "doc_id": doc_id,
-                        "fp_min": int(h.min().astype(np.int64)),
-                        "fp_max": int(h.max().astype(np.int64)),
-                    }
-                )
-            yield pd.DataFrame(out, columns=["doc_id", "fp_min", "fp_max"])
+                b = (text or "").lower().strip().encode("utf-8")
+                if len(b) < FP_WINDOW:
+                    b = b + b"\x00" * (FP_WINDOW - len(b))
+                bufs.append(b)
+                lens[i] = len(b)
+            data = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+            starts = np.zeros(n_docs, dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            ks = lens - FP_WINDOW + 1  # valid windows per doc (>= 1)
+            total_k = len(data) - FP_WINDOW + 1
+            with np.errstate(over="ignore"):
+                h = np.zeros(total_k, dtype=np.uint64)
+                for j in range(FP_WINDOW):
+                    h = h * base + data[j : j + total_k].astype(np.uint64)
+            # interleaved reduceat bounds [s_0, s_0+k_0, s_1, ...]: even
+            # slots reduce each doc's valid range, odd slots cover the
+            # boundary-straddling gap (discarded). The final end index
+            # (== len(h)) is dropped — the last segment runs to the end,
+            # which IS the last doc's valid range.
+            idx = np.empty(2 * n_docs, dtype=np.int64)
+            idx[0::2] = starts
+            idx[1::2] = starts + ks
+            idx = idx[:-1]
+            fp_min = np.minimum.reduceat(h, idx)[0::2].astype(np.int64)
+            fp_max = np.maximum.reduceat(h, idx)[0::2].astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "fp_min": fp_min,
+                    "fp_max": fp_max,
+                }
+            )
 
     return (
         docs.select("doc_id", "text")
@@ -965,16 +1002,27 @@ _LM_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
 # equal by tests/test_text.py::test_lm_inline_matches_join_path.
 LM_INLINE_MAX_ENTRIES = 2048
 
-# (m12 keys, m12 vals, m1 keys, m1 vals) per (session, sf) — collected
-# once from the persisted c12 artifact iff it passes the gate; a None
-# entry memoizes "too big, use the join path".
+# (m12 map Column, m1 map Column) per (session, sf) — built once from the
+# persisted c12 artifact iff it passes the gate; a None entry memoizes
+# "too big (or unencodable), use the join path".
 _LM_MAPS_CACHE: dict[tuple[str, str], tuple | None] = {}
+
+# Each lookup table is ONE string literal parsed by a foldable str_to_map
+# — not a map_from_arrays over per-entry literals, which costs one py4j
+# round trip AND one expression node per entry, turning every plan build
+# into a ~2k-node tree that analysis re-walks per query (measured: the
+# text_doc_profile builder went 0.7 s -> 2.1 s per call under the
+# array-literal form; the single-string form keeps the tree at a handful
+# of nodes and ConstantFolding parses it once per plan).
+_LM_SEP_PAIR = "\x1e"
+_LM_SEP_KV = "\x1f"
 
 
 def _lm_maps(spark: SparkSession, sf_dir: str, lm: tuple[DataFrame, int]):
-    """Literal lookup tables for the inline scoring path, or None when the
-    LM is past LM_INLINE_MAX_ENTRIES (driver + plan size stay bounded:
-    the collect is gated BEFORE it runs)."""
+    """Literal lookup-map COLUMNS for the inline scoring path, or None
+    when the LM is past LM_INLINE_MAX_ENTRIES (driver + plan size stay
+    bounded: the collect is gated BEFORE it runs) or a key contains the
+    encoding separators (the join path then guarantees correctness)."""
     from ..catalog import _session_key, bounded_cache_put
 
     key = (_session_key(spark), sf_dir)
@@ -982,37 +1030,45 @@ def _lm_maps(spark: SparkSession, sf_dir: str, lm: tuple[DataFrame, int]):
         return _LM_MAPS_CACHE[key]
     c12, _v = lm
     maps = None
-    if c12.count() <= LM_INLINE_MAX_ENTRIES:
+    if 0 < c12.count() <= LM_INLINE_MAX_ENTRIES:
         rows = c12.collect()
         c1: dict[str, int] = {}
         for r in rows:
             c1[r["w1"]] = c1.get(r["w1"], 0) + int(r["c12"])
-        maps = (
-            [r["w1"] + " " + r["w2"] for r in rows],
-            [int(r["c12"]) for r in rows],
-            list(c1),
-            list(c1.values()),
-        )
+        if not any(
+            _LM_SEP_PAIR in r["w1"] + r["w2"] or _LM_SEP_KV in r["w1"] + r["w2"]
+            for r in rows
+        ):
+            m12_str = _LM_SEP_PAIR.join(
+                f"{r['w1']} {r['w2']}{_LM_SEP_KV}{int(r['c12'])}" for r in rows
+            )
+            m1_str = _LM_SEP_PAIR.join(
+                f"{w}{_LM_SEP_KV}{c}" for w, c in c1.items()
+            )
+            maps = tuple(
+                F.str_to_map(F.lit(s), F.lit(_LM_SEP_PAIR), F.lit(_LM_SEP_KV))
+                for s in (m12_str, m1_str)
+            )
     return bounded_cache_put(_LM_MAPS_CACHE, key, maps, max_entries=16)
 
 
 def _lm_encs(bigrams_col, maps: tuple):
     """Sorted (c12*ENC + c1) encodings for a bigram-string array column,
     via two FOLDED MAP LITERALS — the inline replacement for the scoring
-    joins. MUST be materialized as its own column (a dedicated Project)
-    before the aggregate columns below read it: referenced from several
-    output expressions it would re-evaluate per reference — the same
-    re-evaluation cliff doc_profile_with_lang documents for ``_w``/``_bg``
-    (measured: 2.7 s -> 8.5 s when the four lm columns each inlined this
-    tree)."""
-    m12_k, m12_v, m1_k, m1_v = maps
-    m12 = F.map_from_arrays(F.lit(m12_k), F.lit(m12_v))
-    m1 = F.map_from_arrays(F.lit(m1_k), F.lit(m1_v))
+    joins. A bigram (or context word) absent from its map yields NULL,
+    cast stays NULL, and coalesce(…, 0) restores exactly the join path's
+    left-join-miss semantics. MUST be materialized as its own column (a
+    dedicated Project) before the aggregate columns below read it:
+    referenced from several output expressions it would re-evaluate per
+    reference — the same re-evaluation cliff doc_profile_with_lang
+    documents for ``_w``/``_bg`` (measured: 2.7 s -> 8.5 s when the four
+    lm columns each inlined this tree)."""
+    m12, m1 = maps
     return F.sort_array(
         F.transform(
             bigrams_col,
-            lambda b: F.coalesce(m12[b], F.lit(0)).cast("long") * F.lit(_LM_ENC)
-            + F.coalesce(m1[F.split(b, " ")[0]], F.lit(0)).cast("long"),
+            lambda b: F.coalesce(m12[b].cast("long"), F.lit(0)) * F.lit(_LM_ENC)
+            + F.coalesce(m1[F.split(b, " ")[0]].cast("long"), F.lit(0)),
         )
     )
 
@@ -1090,7 +1146,9 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     maps = _lm_maps(spark, sf_dir, lm)
     if maps is None:
         return lm_score(docs, lm=lm)
-    with_encs = docs.select(
+    from ..catalog import widen_narrow_scan
+
+    with_encs = widen_narrow_scan(docs, spark).select(
         "doc_id",
         _lm_encs(_bigram_strings(_words(F.col("text"))), maps).alias("_encs"),
     )
@@ -1381,8 +1439,16 @@ def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     per reference, which measured 17.6s vs 0.4s at sf0.1 for the
     repetition pair alone. A dedicated Project keeps each array computed
     once per row; everything downstream reads the attribute."""
+    from ..catalog import widen_narrow_scan
+
+    # the whole slot is per-row expression work (regex chains, array
+    # HOFs): a single-row-group fixture scan would run it all on one
+    # core — widen_narrow_scan is a no-op wherever the scan has real
+    # splits (catalog.py)
     docs = redact_pii(
-        load_table(spark, sf_dir, "documents").withColumn("rtext", F.col("text")),
+        widen_narrow_scan(
+            load_table(spark, sf_dir, "documents"), spark
+        ).withColumn("rtext", F.col("text")),
         col="rtext",
     ).withColumn("redacted_chars", F.length("rtext"))
     docs = docs.withColumn("_w", _words(F.col("text")))
