@@ -142,18 +142,18 @@ def build_cert_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so the per-query cost is a cached-relation scan, not a rebuild
         # of the sha2+explode construction (~500k rows at sf0.1, ~150 MB).
         #
-        # repartition BEFORE caching (r15, guide §2.5 "input skew"): the
-        # fixture orders.parquet is one file with one row group, so the
-        # scan — and with it the cached relation and the partial-
-        # aggregation phase of EVERY consumer — was a single partition:
-        # measured 472k cached rows in 1 block at sf0.1, putting the
-        # whole map side of each ref_* / dedup-exact query on one core.
-        # Width = the session's core count (scale-adaptive: on a real
-        # cluster the scan has file/row-group splits and this widens the
-        # cached relation to the executor cores, never to a constant).
-        # One-time cost at cache build, recorded in the slot's first_run.
-        df = spark.sql(cert_domains_spark_sql())
-        df = df.repartition(spark.sparkContext.defaultParallelism).cache()
+        # Cache width: NATURAL scan width, deliberately NOT widened (r15
+        # measured both ways, interleaved in one session). The fixture
+        # scan is one row group -> the cached relation is one ~472k-row
+        # block at sf0.1, which puts each consumer's partial-aggregation
+        # phase on one core — but widening it costs more than it buys:
+        # ref-family suite (8 slots, mostly small scans) 5.5 s at width 1
+        # vs 5.9 s at width 8 vs 8.1 s at width 32 (per-stage task
+        # scheduling on tiny data), while the one aggregation-heavy
+        # consumer (dedup exact distinct) improved only 1.70 -> 1.27 s at
+        # width 8. On a real cluster the construction scan has its own
+        # split parallelism, so this is purely a small-fixture trade.
+        df = spark.sql(cert_domains_spark_sql()).cache()
         _CERT_CACHE[key] = df
     df.createOrReplaceTempView("cert_domains")
     return df

@@ -117,11 +117,14 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows explode only their applicable tags, and a single hash aggregate
     produces every (tag, source) group. At 100 TB this is one pass over
     the text column instead of three."""
-    from ..catalog import widen_narrow_scan
     from .sampling import _bucket_hex, _hex_threshold
 
-    # regex tokenization per row — widen a single-row-group fixture scan
-    docs = widen_narrow_scan(load_table(spark, sf_dir, "documents"), spark)
+    # NOT widened (r15): the paired bench showed the widening exchange
+    # costs more than this slot's single-task regex work saves
+    # (+0.22 s consistent across pairs) — the per-row load here is one
+    # regexp_extract_all + split, an order of magnitude lighter than
+    # doc_profile's chain, so the single-split fixture scan wins.
+    docs = load_table(spark, sf_dir, "documents")
     bucket = _bucket_hex("doc_id", 0)
     mix_thr = F.create_map(
         *[F.lit(x) for s, w in MIX_WEIGHTS.items() for x in (s, _hex_threshold(w))]
