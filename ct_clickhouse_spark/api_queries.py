@@ -325,69 +325,130 @@ def sketch_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     between logs — the set operation HLL cannot answer (operators/
     sketches.py). Exact cross-checks live in ref_stats and ref_tld_topk;
     pytest pins all three sketch families to exact values at fixture
-    cardinality (tests/test_sketches.py for kmv)."""
-    from .operators.sketches import (
-        kmv_distinct_estimate,
-        kmv_pairwise,
-        kmv_sketch,
+    cardinality (tests/test_sketches.py for kmv).
+
+    Composed as ONE spark.sql statement, not a Column-API union of the
+    section builders: the Column form cost ~1.6 s of driver time PER
+    CALL rebuilding this plan (~3400 py4j round trips + one eager
+    analysis per intermediate Dataset — r16 build census), re-analyzing
+    the kmv sketch subtree 3x per call. The SQL parses and analyzes
+    JVM-side in one round trip. Section-for-section equality with the
+    Column operators is pinned by tests/test_sketch_family_parity.py,
+    and the per-section bench attribution (SECTIONS) still runs the
+    Column builders."""
+    from .operators.sketches import CMS_DEPTH, CMS_WIDTH, DEFAULT_K
+    from .streaming.rollup import (
+        KMV_USERS_K,
+        RANGE_A,
+        RANGE_B,
+        rollup_kmv_cached,
     )
 
-    s = stats_approx(spark, sf_dir).selectExpr(
-        "stack(3, 'total', total, 'approx_subdomains', subdomains,"
-        " 'approx_domains', domains) AS (key, value)"
-    ).select(F.lit("stats").alias("sect"), "key", "value")
-    t = base_domain_topk_sketch(spark, sf_dir).select(
-        F.lit("topk").alias("sect"),
-        F.col("base_domain").alias("key"),
-        F.col("est_count").cast("long").alias("value"),
+    build_cert_domains(spark, sf_dir)
+    rollup_kmv_cached(spark, sf_dir).createOrReplaceTempView("_sf_rollup_kmv")
+    k = DEFAULT_K
+    ku = KMV_USERS_K
+    # 2^64 as a double literal (== float(2**64)); same uniform-hash map
+    # as sketches._uniform_hash
+    two64 = "18446744073709551616.0D"
+    est = (
+        "CASE WHEN get({a}, {km1}) IS NOT NULL THEN {km1} / get({a}, {km1}) "
+        "ELSE CAST(size({a}) AS DOUBLE) END"
     )
-    sk = kmv_sketch(
-        build_cert_domains(spark, sf_dir), ["log_name"], "domain"
+    cms_cells = ", ".join(
+        f"named_struct('d', {r}, 'b', CAST(pmod(xxhash64(CAST({{v}} AS STRING),"
+        f" {r}), {CMS_WIDTH}) AS INT))"
+        for r in range(CMS_DEPTH)
     )
-    per_log = sk.select(
-        F.lit("kmv").alias("sect"),
-        F.concat(F.lit("est:"), F.col("log_name")).alias("key"),
-        F.round(kmv_distinct_estimate(F.col("kmv"))).cast("long").alias("value"),
+    probes_values = ", ".join(f"('{d}')" for d in CMS_PROBE_DOMAINS)
+    range_kmv = (
+        "SELECT sort_array(collect_list(_u)) AS kmv FROM ("
+        "  SELECT _u, row_number() OVER (ORDER BY _u) AS _r FROM ("
+        "    SELECT DISTINCT _u FROM ("
+        "      SELECT explode(users_kmv) AS _u FROM _sf_rollup_kmv"
+        "      WHERE window_start >= '{lo}' AND window_start < '{hi}')))"
+        " WHERE _r <= {ku}"
     )
-    pairwise = kmv_pairwise(sk, "log_name").select(
-        F.lit("kmv").alias("sect"),
-        F.concat(
-            F.lit("inter:"), F.col("group_a"), F.lit("|"), F.col("group_b")
-        ).alias("key"),
-        F.round(F.col("est_intersection")).cast("long").alias("value"),
+    sql = f"""
+    WITH hashed AS (
+      SELECT DISTINCT log_name,
+             xxhash64(CAST(domain AS STRING)) / {two64} + 0.5D AS _u
+      FROM cert_domains WHERE domain IS NOT NULL
+    ), sk AS (
+      SELECT log_name, sort_array(collect_list(_u)) AS kmv FROM (
+        SELECT log_name, _u,
+               row_number() OVER (PARTITION BY log_name ORDER BY _u) AS _r
+        FROM hashed
+      ) WHERE _r <= {k} GROUP BY log_name
+    ), pair_u AS (
+      SELECT a.log_name AS ga, b.log_name AS gb, a.kmv AS _ka, b.kmv AS _kb,
+             slice(array_sort(array_union(a.kmv, b.kmv)), 1, {k}) AS u
+      FROM sk a JOIN sk b ON a.log_name < b.log_name
+    ), ra AS ({range_kmv.format(lo=RANGE_A[0], hi=RANGE_A[1], ku=ku)}
+    ), rb AS ({range_kmv.format(lo=RANGE_B[0], hi=RANGE_B[1], ku=ku)}
+    ), ret AS (
+      SELECT {est.format(a="_ka", km1=ku - 1)} AS users_a,
+             {est.format(a="_kb", km1=ku - 1)} AS users_b,
+             {est.format(a="u", km1=ku - 1)} AS union_est,
+             size(array_intersect(array_intersect(u, _ka), _kb)) / size(u)
+               AS jaccard
+      FROM (SELECT a.kmv AS _ka, b.kmv AS _kb,
+                   slice(array_sort(array_union(a.kmv, b.kmv)), 1, {ku}) AS u
+            FROM ra a CROSS JOIN rb b)
+    ), cms AS (
+      SELECT _c.d AS d, _c.b AS b, count(1) AS c FROM (
+        SELECT explode(array({cms_cells.format(v="domain")})) AS _c
+        FROM cert_domains WHERE domain IS NOT NULL
+      ) GROUP BY _c.d, _c.b
+    ), cm_addr AS (
+      SELECT domain, _c.d AS d, _c.b AS b FROM (
+        SELECT domain, explode(array({cms_cells.format(v="domain")})) AS _c
+        FROM (SELECT DISTINCT domain
+              FROM VALUES {probes_values} AS p(domain))
+      )
+    ), cm_est AS (
+      SELECT /*+ BROADCAST(cms) */ domain, min(coalesce(c, 0)) AS est
+      FROM cm_addr LEFT JOIN cms USING (d, b) GROUP BY domain
     )
-    # 'returning' rows: cross-range retention estimates answered FROM THE
-    # ROLLUP KMV ARTIFACT alone (streaming/rollup.py) — the driver-visible
-    # gate for the rollup sketch tier (r4 verdict #2); streamed == batch
-    # stays pinned by the streaming tests.
-    from .streaming.rollup import returning_users_section
-
-    ret = returning_users_section(spark, sf_dir).select(
-        F.lit("returning").alias("sect"), "key", "value"
-    )
-    # 'cms' rows: Count-Min frequency estimates for three fixed domains
-    # against a sketch built over every cert_domains domain occurrence —
-    # the mergeable FREQUENCY member of the family (est >= exact always;
-    # the error bound and merge law are pytest-pinned).
-    from .operators.sketches import cms_build, cms_estimate
-
-    cert = build_cert_domains(spark, sf_dir)
-    cms = cms_build(cert, "domain")
-    probes = spark.createDataFrame(
-        [(d,) for d in CMS_PROBE_DOMAINS], "domain string"
-    )
-    cm = cms_estimate(cms, probes, "domain").select(
-        F.lit("cms").alias("sect"),
-        F.concat(F.lit("freq:"), F.col("domain")).alias("key"),
-        F.col("est").alias("value"),
-    )
-    return (
-        s.unionByName(t)
-        .unionByName(per_log)
-        .unionByName(pairwise)
-        .unionByName(ret)
-        .unionByName(cm)
-    )
+    SELECT 'stats' AS sect, key, value FROM (
+      SELECT stack(3, 'total', total,
+                      'approx_subdomains', subdomains,
+                      'approx_domains', domains) AS (key, value)
+      FROM (SELECT count(1) AS total,
+                   approx_count_distinct(domain) AS subdomains,
+                   approx_count_distinct(base_domain) AS domains
+            FROM cert_domains))
+    UNION ALL
+    SELECT 'topk', e.item, CAST(e.count AS LONG) FROM (
+      SELECT explode(approx_top_k(base_domain, 10, 100000)) AS e
+      FROM cert_domains)
+    UNION ALL
+    SELECT 'kmv', concat('est:', log_name),
+           CAST(round({est.format(a="kmv", km1=k - 1)}) AS LONG)
+    FROM sk
+    UNION ALL
+    SELECT 'kmv', concat('inter:', ga, '|', gb),
+           -- round(x, 1) BEFORE round(x): kmv_pairwise emits
+           -- est_intersection already rounded to 1 dp, and the slot
+           -- rounds that — double rounding is observable (2936.47 ->
+           -- 2936.5 -> 2937), so the SQL replicates it exactly
+           CAST(round(round(
+             (size(array_intersect(array_intersect(u, _ka), _kb)) / size(u))
+             * ({est.format(a="u", km1=k - 1)}), 1)) AS LONG)
+    FROM pair_u
+    UNION ALL
+    SELECT 'returning', key, CAST(value AS LONG) FROM (
+      SELECT stack(5, 'users_a', round(users_a, 1),
+                      'users_b', round(users_b, 1),
+                      'users_union', round(union_est, 1),
+                      'users_both', round(jaccard * union_est, 1),
+                      'jaccard_x1e4', round(round(jaccard, 4) * 10000, 0))
+             AS (key, value)
+      FROM ret)
+    UNION ALL
+    SELECT 'cms', concat('freq:', domain), CAST(est AS LONG) FROM cm_est
+    """
+    return spark.sql(sql)
 
 
 QUERIES = {

@@ -111,6 +111,37 @@ def test_ann_variants_slot_carries_all_kinds(spark):
     }
 
 
+def test_driver_side_query_projection_matches_kernel(spark):
+    """r16: rp_topk computes the query's projection DRIVER-SIDE (from the
+    cached query vector) instead of running a one-row rp_project job per
+    call. The driver numpy ops mirror the executor kernel's exactly
+    (float64 normalize + (1,d)@(d,out) matmul on a one-row batch), so
+    the two must agree BITWISE — any drift means the replicated kernel
+    math fell out of sync with rp_project."""
+    from ct_clickhouse_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        RP_SEED,
+        _query_vector,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    kernel = np.array(
+        rp_project(emb.filter(F.col("vec_id") == QUERY_VEC_ID))
+        .select("rp")
+        .collect()[0]
+        .rp
+    )
+    qrow = _query_vector(spark, SF_DIR, QUERY_VEC_ID)
+    x = np.array([qrow], dtype=np.float64)
+    rmat = np.random.default_rng(RP_SEED).standard_normal(
+        (x.shape[1], RP_DIM)
+    ) / np.sqrt(RP_DIM)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    driver = ((x / norms) @ rmat)[0]
+    assert np.array_equal(kernel, driver)
+
+
 def test_lsh_plan_bounds_buckets_and_preserves_recall():
     """Round-11 scale fix: fixed 4-bit bands gave 16 buckets/band, so
     bucket membership grew linearly with corpus size and bucket-local
