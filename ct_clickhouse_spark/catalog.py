@@ -426,23 +426,65 @@ def register_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = 
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
-def widen_narrow_scan(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Round-robin repartition a NARROW scan up to the session's core
-    count — only when the scan is actually narrow (r15, guide §2.5
-    "input skew: one huge unsplittable file … repartition immediately
-    after the read").
+# A scan only counts as pathologically narrow below this split count:
+# the r15 evidence for widening is the ONE-split unsplittable-file case
+# (single row group; guide §2.5 "input skew ... repartition immediately
+# after the read"). Gating at <= 2 instead of "< defaultParallelism"
+# keeps real clusters safe: a small-but-multi-split table on a
+# many-hundred-core cluster must NOT pay a payload shuffle just for
+# being narrower than the core count (r15 advice, medium).
+NARROW_SCAN_MAX_SPLITS = 2
+
+# Split-count memo per widened table, keyed sf_dir -> {(session, table):
+# n}. Registered as a state memo so in-engine mutations invalidate it;
+# fixture tables are immutable otherwise. Avoids re-running the
+# partition probe (one physical planning of the sub-frame) on every
+# query invocation (r15 verdict #9).
+_SCAN_WIDTH_MEMO: dict = {}
+register_state_memo(_SCAN_WIDTH_MEMO)
+
+
+def widen_narrow_scan(
+    df: DataFrame,
+    spark: SparkSession,
+    table_key: tuple[str, str] | None = None,
+) -> DataFrame:
+    """Round-robin repartition a pathologically NARROW scan up to the
+    session's core count — only when the scan has <=
+    NARROW_SCAN_MAX_SPLITS splits AND fewer than the session's cores.
 
     The fixture parquet files are written as one row group, so Spark's
     byte-range splitting yields ONE non-empty scan partition regardless
     of maxPartitionBytes, and every expensive per-row projection
     downstream (regex chains, array HOFs, Python kernels) runs on one
-    core. The gate keeps this scale-correct: at cluster scale a table
-    scan has >= cores splits, the gate is false, and no per-query
-    shuffle of the payload is ever added — exactly the "don't move heavy
-    bytes for placement" rule (guide §8), paid only where the single-task
-    alternative is strictly worse. getNumPartitions costs one physical
-    planning of the sub-frame (~10 ms), no job."""
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    core. The gate keeps this scale-correct: any scan with real splits
+    (> NARROW_SCAN_MAX_SPLITS) never pays a per-query payload shuffle —
+    exactly the "don't move heavy bytes for placement" rule (guide §8),
+    paid only where the near-serial alternative is strictly worse.
+
+    ``table_key``: (sf_dir, table name) when ``df`` is the raw scan of a
+    fixture table — memoizes the split-count probe per (session, table
+    state) so the gate costs a dict lookup per call instead of one
+    physical planning of the sub-frame. Sessions without the RDD API
+    (Spark Connect) return ``df`` unchanged — the probe is impossible
+    there and single-task execution is only a performance, not a
+    correctness, concern."""
+    try:
+        target = spark.sparkContext.defaultParallelism
+    except Exception:  # pragma: no cover - connect-only sessions
+        return df
+    nparts = None
+    skey = _session_key(spark)
+    if table_key is not None:
+        sf_dir, name = table_key
+        nparts = _SCAN_WIDTH_MEMO.get(sf_dir, {}).get((skey, name))
+    if nparts is None:
+        try:
+            nparts = df.rdd.getNumPartitions()
+        except Exception:  # pragma: no cover - connect-only sessions
+            return df
+        if table_key is not None:
+            _SCAN_WIDTH_MEMO.setdefault(sf_dir, {})[(skey, name)] = nparts
+    if nparts > NARROW_SCAN_MAX_SPLITS or nparts >= target:
         return df
     return df.repartition(target)

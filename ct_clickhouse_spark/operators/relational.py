@@ -961,38 +961,111 @@ def sketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The one-pass mergeable-sketch quantile family (rows-only — sketch
     estimates are engine-specific) under one slot: approx_percentile
     boundaries per lineitem flag ('li_p*') + approx-ntile quartile
-    assignment over customers ('cust_quartile'). These are the documented
-    100 TB substitutes for the exact percentile / global-sort ntile."""
-    from .windows import spend_quartiles_approx
+    assignment over customers ('cust_quartile') + week-1 quantiles off
+    the merged rollup HISTOGRAMS ('range_hist') + week-1 per-user
+    frequencies off the merged rollup CMS cells ('range_freq'). These
+    are the documented 100 TB substitutes for the exact percentile /
+    global-sort ntile; the rollup sections keep the r4 driver gate.
 
-    li = approx_quantiles(spark, sf_dir).selectExpr(
-        "l_returnflag AS key",
-        "stack(3, 'li_p25', p25, 'li_p50', p50, 'li_p75', p75) AS (kind, value)",
-    ).select("kind", "key", "value")
-    nt = spend_quartiles_approx(spark, sf_dir).select(
-        F.lit("cust_quartile").alias("kind"),
-        F.col("c_custkey").cast("string").alias("key"),
-        F.col("balance_quartile").cast("double").alias("value"),
+    Composed as ONE spark.sql statement (r16, like ref_sketches): the
+    Column union cost ~0.9 s of per-call plan building, and the
+    range_hist section additionally ran a per-call collect + driver loop
+    + createDataFrame (two extra job round-trips) that the SQL folds
+    into the plan as a cumulative-histogram window. Section equality
+    with the Column operators (which keep their own tests) is pinned by
+    tests/test_sketch_family_parity.py."""
+    from ..catalog import load_table
+    from ..streaming.rollup import (
+        HIST_BINS,
+        RANGE_A,
+        RANGE_QS,
+        ROLLUP_HIST_HI,
+        ROLLUP_HIST_LO,
+        rollup_cms_cached,
+        rollup_hist_cached,
+        CMS_PROBE_USERS,
     )
-    # 'range_hist' rows: week-1 event-value quantiles read off the merged
-    # per-window rollup HISTOGRAMS (streaming/rollup.py) — the mergeable-
-    # histogram member of the sketch-quantile family under the driver
-    # gate (r4 verdict #2); bin counts add exactly, error <= 1 bin width.
-    from ..streaming.rollup import range_quantiles_section
+    from .sketches import CMS_DEPTH, CMS_WIDTH
 
-    rh = range_quantiles_section(spark, sf_dir).select(
-        F.lit("range_hist").alias("kind"), "key", "value"
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    rollup_hist_cached(spark, sf_dir).createOrReplaceTempView("_rsq_hist")
+    rollup_cms_cached(spark, sf_dir).createOrReplaceTempView("_rsq_cms")
+    lo, hi, bins = ROLLUP_HIST_LO, ROLLUP_HIST_HI, HIST_BINS
+    width = (hi - lo) / bins
+    qs_values = ", ".join(f"(CAST('{float(q)!r}' AS DOUBLE))" for q in RANGE_QS)
+    cms_cells = ", ".join(
+        f"named_struct('d', {r}, 'b', CAST(pmod(xxhash64(CAST(user_id AS"
+        f" STRING), {r}), {CMS_WIDTH}) AS INT))"
+        for r in range(CMS_DEPTH)
     )
-    # 'range_freq' rows: week-1 per-user frequencies off the merged
-    # per-window rollup CMS cells — the frequency member of the rollup
-    # sketch-column set under the driver gate (cell sums are exact;
-    # merged == direct-raw-range pinned by test_streaming_rollup).
-    from ..streaming.rollup import range_freq_section
-
-    rf = range_freq_section(spark, sf_dir).select(
-        F.lit("range_freq").alias("kind"), "key", "value"
+    probes_values = ", ".join(f"({int(u)}L)" for u in CMS_PROBE_USERS)
+    sql = f"""
+    WITH merged AS (
+      SELECT b, sum(n) AS n FROM (
+        SELECT posexplode(hist) AS (b, n) FROM _rsq_hist
+        WHERE window_start >= '{RANGE_A[0]}' AND window_start < '{RANGE_A[1]}'
+      ) GROUP BY b
+    ), cum AS (
+      SELECT b, sum(n) OVER (ORDER BY b) AS acc, sum(n) OVER () AS total
+      FROM merged
+    ), picked AS (
+      -- first bin whose cumulative count reaches q * total: the exact
+      -- rule of streaming.rollup.range_quantiles' driver loop (floats
+      -- exact: bin counts < 2^53)
+      SELECT q, min(b) AS b
+      FROM (SELECT q FROM VALUES {qs_values} AS t(q))
+      LEFT JOIN cum ON CAST(acc AS DOUBLE) >= q * CAST(total AS DOUBLE)
+      GROUP BY q
+    ), rh AS (
+      SELECT q, CASE WHEN b IS NULL THEN CAST(NULL AS DOUBLE)
+                     WHEN b = 0 THEN CAST('{float(lo)!r}' AS DOUBLE)
+                     WHEN b = {bins + 1} THEN CAST('{float(hi)!r}' AS DOUBLE)
+                     ELSE CAST('{float(lo)!r}' AS DOUBLE)
+                          + (b - 1) * CAST('{float(width)!r}' AS DOUBLE)
+                END AS value_est
+      FROM picked
+    ), mcms AS (
+      SELECT d, b, sum(c) AS c FROM _rsq_cms
+      WHERE window_start >= '{RANGE_A[0]}' AND window_start < '{RANGE_A[1]}'
+      GROUP BY d, b
+    ), cm_addr AS (
+      SELECT user_id, _c.d AS d, _c.b AS b FROM (
+        SELECT user_id, explode(array({cms_cells})) AS _c
+        FROM (SELECT DISTINCT user_id FROM VALUES {probes_values} AS p(user_id))
+      )
+    ), cm_est AS (
+      SELECT /*+ BROADCAST(mcms) */ user_id,
+             CAST(min(coalesce(c, 0)) AS LONG) AS est
+      FROM cm_addr LEFT JOIN mcms USING (d, b) GROUP BY user_id
     )
-    return li.unionByName(nt).unionByName(rh).unionByName(rf)
+    SELECT kind, key, value FROM (
+      SELECT key, stack(3, 'li_p25', ps[0], 'li_p50', ps[1],
+                           'li_p75', ps[2]) AS (kind, value)
+      FROM (SELECT l_returnflag AS key,
+                   approx_percentile(l_extendedprice,
+                                     array(0.25, 0.5, 0.75), 10000) AS ps
+            FROM lineitem GROUP BY l_returnflag)
+    )
+    UNION ALL
+    SELECT 'cust_quartile', CAST(c_custkey AS STRING),
+           CAST(CASE WHEN c_acctbal <= bd.b[0] THEN 1
+                     WHEN c_acctbal <= bd.b[1] THEN 2
+                     WHEN c_acctbal <= bd.b[2] THEN 3
+                     ELSE 4 END AS DOUBLE)
+    FROM customer CROSS JOIN (
+      SELECT /*+ BROADCAST */ approx_percentile(c_acctbal,
+                                 array(0.25, 0.5, 0.75), 10000) AS b
+      FROM customer) bd
+    UNION ALL
+    SELECT 'range_hist', concat('p', CAST(round(q * 100) AS INT)), value_est
+    FROM rh
+    UNION ALL
+    SELECT 'range_freq', concat('u', CAST(user_id AS STRING)),
+           CAST(est AS DOUBLE)
+    FROM cm_est
+    """
+    return spark.sql(sql)
 
 
 QUERIES = {

@@ -1005,10 +1005,15 @@ _LM_CACHE: dict[tuple[str, str], tuple[DataFrame, int]] = {}
 # equal by tests/test_text.py::test_lm_inline_matches_join_path.
 LM_INLINE_MAX_ENTRIES = 2048
 
-# (m12 map Column, m1 map Column) per (session, sf) — built once from the
-# persisted c12 artifact iff it passes the gate; a None entry memoizes
-# "too big (or unencodable), use the join path".
-_LM_MAPS_CACHE: dict[tuple[str, str], tuple | None] = {}
+# (m12 map Column, m1 map Column) per (session, sf, lm identity) — built
+# once from the persisted c12 artifact iff it passes the gate; a None
+# entry memoizes "too big (or unencodable), use the join path". The lm
+# identity (id of the c12 frame + V) is part of the key (r15 advice): a
+# retrained artifact is a NEW DataFrame object, so its maps can never be
+# served from the previous artifact's entry. (id() recycling can only
+# alias two artifacts of the SAME immutable (session, sf) corpus, whose
+# maps are identical by construction.)
+_LM_MAPS_CACHE: dict[tuple, tuple | None] = {}
 
 # Each lookup table is ONE string literal parsed by a foldable str_to_map
 # — not a map_from_arrays over per-entry literals, which costs one py4j
@@ -1028,10 +1033,10 @@ def _lm_maps(spark: SparkSession, sf_dir: str, lm: tuple[DataFrame, int]):
     encoding separators (the join path then guarantees correctness)."""
     from ..catalog import _session_key, bounded_cache_put
 
-    key = (_session_key(spark), sf_dir)
+    c12, _v = lm
+    key = (_session_key(spark), sf_dir, id(c12), _v)
     if key in _LM_MAPS_CACHE:
         return _LM_MAPS_CACHE[key]
-    c12, _v = lm
     maps = None
     if 0 < c12.count() <= LM_INLINE_MAX_ENTRIES:
         rows = c12.collect()
@@ -1151,7 +1156,9 @@ def bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         return lm_score(docs, lm=lm)
     from ..catalog import widen_narrow_scan
 
-    with_encs = widen_narrow_scan(docs, spark).select(
+    with_encs = widen_narrow_scan(
+        docs, spark, table_key=(sf_dir, "documents")
+    ).select(
         "doc_id",
         _lm_encs(_bigram_strings(_words(F.col("text"))), maps).alias("_encs"),
     )
@@ -1184,21 +1191,51 @@ def lm_score(
     bg = _doc_bigrams(docs, ["doc_id"])
     c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
 
+    # Pre-aggregate occurrences to (doc_id, w1, w2) -> count BEFORE the
+    # scoring joins (r16, guide §2.3 "aggregate before you shuffle"): the
+    # join and per-doc shuffles then move one row per DISTINCT bigram per
+    # doc instead of one per occurrence — smaller by the per-doc
+    # repetition factor, which grows with document length at corpus
+    # scale. The sorted float fold stays BIT-IDENTICAL: the collected
+    # (enc, count) structs sort by enc exactly like the old per-
+    # occurrence array (duplicates were adjacent), and array_repeat
+    # re-expands each enc to its original multiplicity before the fold,
+    # so the log-sum runs over the identical sorted sequence
+    # (tests/test_lm_score.py pins join == inline on fixture AND
+    # synthetic edge docs).
+    bgc = bg.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
     scored = (
-        bg.join(c12, ["w1", "w2"], "left")
+        bgc.join(c12, ["w1", "w2"], "left")
         .join(c1, ["w1"], "left")
         .select(
             "doc_id",
             F.coalesce(F.col("c12"), F.lit(0)).alias("c12"),
             F.coalesce(F.col("c1"), F.lit(0)).alias("c1"),
+            "_cnt",
         )
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.sum("c12").alias("sum_c12"),
-            F.sum(F.when(F.col("c12") == 0, 1).otherwise(0)).alias("n_oov"),
-            F.sort_array(
-                F.collect_list(F.col("c12") * _LM_ENC + F.col("c1"))
+            F.sum("_cnt").alias("n_bigrams"),
+            F.sum(F.col("c12") * F.col("_cnt")).alias("sum_c12"),
+            F.sum(
+                F.when(F.col("c12") == 0, F.col("_cnt")).otherwise(F.lit(0))
+            ).alias("n_oov"),
+            F.flatten(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.struct(
+                                (F.col("c12") * _LM_ENC + F.col("c1")).alias(
+                                    "e"
+                                ),
+                                F.col("_cnt").cast("int").alias("n"),
+                            )
+                        )
+                    ),
+                    lambda s: F.array_repeat(s["e"], s["n"]),
+                )
             ).alias("_encs"),
         )
         .withColumn(
@@ -1450,7 +1487,9 @@ def doc_profile_with_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     # splits (catalog.py)
     docs = redact_pii(
         widen_narrow_scan(
-            load_table(spark, sf_dir, "documents"), spark
+            load_table(spark, sf_dir, "documents"),
+            spark,
+            table_key=(sf_dir, "documents"),
         ).withColumn("rtext", F.col("text")),
         col="rtext",
     ).withColumn("redacted_chars", F.length("rtext"))

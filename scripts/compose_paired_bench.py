@@ -24,14 +24,32 @@ def load(path: str) -> dict:
 def main() -> None:
     old = [load(f"/tmp/paired_old_{i}.json") for i in (1, 2)]
     new = [load(f"/tmp/paired_new_{i}.json") for i in (1, 2)]
-    slots = sorted(old[0]["queries"])
-    rows = {}
-    for s in slots:
-        o = statistics.median([r["queries"][s] for r in old])
-        n = statistics.median([r["queries"].get(s) for r in new])
+    # union of slot sets, with missing-side slots REPORTED instead of
+    # crashing the composition or silently dropping new-only slots
+    # (r15 advice): a slot absent from any run on a side gets null for
+    # that side and lands in "incomparable".
+    slot_sets = [set(r["queries"]) for r in old + new]
+    all_slots = sorted(set().union(*slot_sets))
+    rows, incomparable = {}, {}
+    for s in all_slots:
+        o_samples = [r["queries"][s] for r in old if s in r["queries"]]
+        n_samples = [r["queries"][s] for r in new if s in r["queries"]]
+        if len(o_samples) < len(old) or len(n_samples) < len(new):
+            incomparable[s] = {
+                "old_samples": o_samples,
+                "new_samples": n_samples,
+            }
+            continue
+        o = statistics.median(o_samples)
+        n = statistics.median(n_samples)
         rows[s] = {"old": round(o, 3), "new": round(n, 3), "delta": round(n - o, 3)}
+    label = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else "r15 paired optimization bench (old=a7c73b0, new=r15 HEAD)"
+    )
     out = {
-        "metric": "r15 paired optimization bench (old=a7c73b0, new=r15 HEAD)",
+        "metric": label,
         "protocol": (
             "bench.py, SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1, CPUS=32, "
             "SECTIONS=0, runs alternated OLD/NEW/OLD/NEW in immediate "
@@ -45,6 +63,8 @@ def main() -> None:
         },
         "slots": rows,
     }
+    if incomparable:
+        out["incomparable"] = incomparable
     dest = sys.argv[1] if len(sys.argv) > 1 else "BENCH_paired_r15.json"
     with open(dest, "w") as f:
         json.dump(out, f, indent=1)

@@ -58,6 +58,11 @@ def main() -> None:
             df.toPandas()
         samples = []
         for _ in range(args.runs):
+            # same pre-sample GC discipline as bench.py: accumulated
+            # py4j/broadcast state otherwise lands multi-second driver
+            # GC pauses inside random samples (observed 4-28 s outliers
+            # on eager-action slots in the un-GC'd first census run)
+            spark.sparkContext._jvm.System.gc()
             t0 = time.time()
             fn(spark, SF_DIR)
             samples.append(time.time() - t0)

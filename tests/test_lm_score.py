@@ -169,3 +169,67 @@ def test_lm_inline_matches_join_path(spark):
     a = inline.toPandas().sort_values("doc_id").reset_index(drop=True)
     b = joined.toPandas().sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_lm_paths_match_on_synthetic_edge_docs(spark):
+    """r15 advice: the inline/join parity must hold on the edge classes
+    the fixture may not contain — NULL text, empty text, one-word docs
+    (no bigrams), all-OOV docs, and heavy within-doc bigram REPETITION
+    (which exercises the r16 join path's (doc_id, w1, w2) -> count
+    pre-aggregation + array_repeat re-expansion of the sorted fold)."""
+    import pandas as pd
+
+    from ct_clickhouse_spark.operators.text import (
+        _LM_CACHE,
+        _lm_encs,
+        _lm_agg_cols,
+        _lm_maps,
+        _bigram_strings,
+        _words,
+        lm_score,
+    )
+    from pyspark.sql import functions as F
+
+    sf_dir = "/root/testdata/sf0.001"
+    from ct_clickhouse_spark.operators.text import bigram_lm_scores
+
+    bigram_lm_scores(spark, sf_dir)  # populate the LM artifact
+    key = next(k for k in _LM_CACHE if k[1] == sf_dir)
+    lm = _LM_CACHE[key]
+    maps = _lm_maps(spark, sf_dir, lm)
+    assert maps is not None
+
+    # one in-vocab word pair, repeated, gives _cnt > 1 per (w1, w2)
+    w1w2 = lm[0].limit(1).collect()[0]
+    invocab = f"{w1w2['w1']} {w1w2['w2']}"
+    docs = spark.createDataFrame(
+        [
+            (1, None),
+            (2, ""),
+            (3, "solitary"),
+            (4, "zzq qqz zzq qqz zzq"),  # all-OOV bigrams
+            (5, " ".join([invocab] * 7)),  # heavy repetition, in-vocab
+            (6, f"{invocab} zzq {invocab}"),  # mixed OOV / repeated
+        ],
+        "doc_id long, text string",
+    )
+    joined = lm_score(docs, lm=lm).toPandas().sort_values("doc_id")
+    with_encs = docs.select(
+        "doc_id",
+        _lm_encs(_bigram_strings(_words(F.col("text"))), maps).alias("_encs"),
+    )
+    cols = _lm_agg_cols(F.col("_encs"), lm[1])
+    inline = (
+        with_encs.select(
+            "doc_id",
+            cols["n_bigrams"],
+            cols["sum_c12"],
+            cols["n_oov"],
+            cols["bigram_nll"],
+        )
+        .toPandas()
+        .sort_values("doc_id")
+    )
+    pd.testing.assert_frame_equal(
+        joined.reset_index(drop=True), inline.reset_index(drop=True)
+    )

@@ -89,3 +89,48 @@ def test_sql_slot_matches_column_composition(spark):
         .query("value_old != value_new")
         .to_string()
     )
+
+
+def _quantiles_column_composition(spark, sf_dir):
+    """The pre-r16 rel_sketch_quantiles, composed from the operators."""
+    from ct_clickhouse_spark.operators.relational import approx_quantiles
+    from ct_clickhouse_spark.operators.windows import spend_quartiles_approx
+    from ct_clickhouse_spark.streaming.rollup import (
+        range_freq_section,
+        range_quantiles_section,
+    )
+
+    li = approx_quantiles(spark, sf_dir).selectExpr(
+        "l_returnflag AS key",
+        "stack(3, 'li_p25', p25, 'li_p50', p50, 'li_p75', p75) AS (kind, value)",
+    ).select("kind", "key", "value")
+    nt = spend_quartiles_approx(spark, sf_dir).select(
+        F.lit("cust_quartile").alias("kind"),
+        F.col("c_custkey").cast("string").alias("key"),
+        F.col("balance_quartile").cast("double").alias("value"),
+    )
+    rh = range_quantiles_section(spark, sf_dir).select(
+        F.lit("range_hist").alias("kind"), "key", "value"
+    )
+    rf = range_freq_section(spark, sf_dir).select(
+        F.lit("range_freq").alias("kind"), "key", "value"
+    )
+    return li.unionByName(nt).unionByName(rh).unionByName(rf)
+
+
+def test_sketch_quantiles_sql_matches_column_composition(spark):
+    """The r16 SQL-composed rel_sketch_quantiles (which also folds the
+    range_quantiles driver loop into a cumulative-histogram window) must
+    stay value-identical to the Column/driver-loop composition."""
+    from ct_clickhouse_spark.operators.relational import sketch_quantiles
+
+    old = _quantiles_column_composition(spark, SF_DIR)
+    new = sketch_quantiles(spark, SF_DIR)
+    assert old.schema == new.schema
+    po = old.toPandas().sort_values(["kind", "key"]).reset_index(drop=True)
+    pn = new.toPandas().sort_values(["kind", "key"]).reset_index(drop=True)
+    assert po.equals(pn), (
+        po.merge(pn, on=["kind", "key"], how="outer", suffixes=("_old", "_new"))
+        .query("value_old != value_new")
+        .to_string()
+    )
